@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Schema-pinned loaders for the driver-generated testdata tables.
+  *
+  * Reads go through `spark.read.parquet` so Catalyst handles column
+  * pruning + predicate pushdown; callers select only what they need.
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Timestamp literal cast to the actual type of `column` in `df` —
+    * the testdata timestamps may surface as TIMESTAMP_NTZ (parquet
+    * isAdjustedToUTC=false) and Spark refuses NTZ↔LTZ comparisons. */
+  def tsLit(df: DataFrame, column: String, value: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.lit(value).cast(df.schema(column).dataType)
+
+  def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  /** `events.ts` is parquet INT64 TIMESTAMP(NANOS,false), which Spark
+    * refuses to read as a timestamp. Read it as raw nanos
+    * (`nanosAsLong`) and rebuild a micros timestamp with integer
+    * division (float division would lose precision above 2^53 ns). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events").withColumn(
+      "ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

@@ -1,0 +1,214 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** The reference's ETL operator surface (open_bus_siri_etl), re-expressed
+  * as declarative Spark transformations over the `events` table so every
+  * op is DuckDB-oracle-checkable.
+  *
+  * Mapping (SURVEY.md §3): snapshot_id ≙ minute(ts); dimension natural
+  * key ≙ (user_id, event_type); fact payload ≙ value/props. The same
+  * operators run against real SIRI-SM JSON in [[SiriSnapshotEtl]].
+  *
+  * Scale notes: every op is a single scan + at most one shuffle; dims
+  * are broadcast; no driver-side iteration anywhere (the reference's
+  * row-at-a-time ObjectsMaker loop becomes set-level joins).
+  */
+object EventsEtl {
+  private val minuteCol = date_trunc("minute", col("ts"))
+  private def epochSec(c: Column): Column = unix_timestamp(c)
+
+  /** Nested-field extraction + coercion (parse_monitored_stop_visit,
+    * process_snapshot.py:214): pull `k` out of the JSON props, coerce,
+    * stamp the snapshot-minute. Pure projection — no shuffle. */
+  def parseProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"), col("user_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        epochSec(minuteCol).as("minute_epoch"))
+
+  /** Parse-failure segregation (save_monitored_stop_visit_parse_error,
+    * process_snapshot.py:46): rows that fail the parse predicate are
+    * counted per snapshot-minute instead of silently dropped.
+    * `event_type='error'` plays the role of an unparseable visit. */
+  def parseErrors(spark: SparkSession, dir: String): DataFrame = {
+    val ok = col("event_type") =!= "error" &&
+      get_json_object(col("props"), "$.k").cast("long").isNotNull
+    Tables.events(spark, dir)
+      .groupBy(epochSec(minuteCol).as("minute_epoch"))
+      .agg(
+        sum(when(ok, 1L).otherwise(0L)).as("n_parse_ok"),
+        sum(when(ok, 0L).otherwise(1L)).as("n_parse_failed"))
+      .orderBy(col("minute_epoch"))
+  }
+
+  /** Per-snapshot ETL stats (update_siri_snapshot_stats,
+    * process_snapshot.py:283): per-minute record/user counts, value sum,
+    * first/last record time. One hash-agg, partial map-side. */
+  def snapshotStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(epochSec(minuteCol).as("minute_epoch"))
+      .agg(
+        count(lit(1)).as("n_records"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"),
+        min(epochSec(col("ts"))).as("first_sec"),
+        max(epochSec(col("ts"))).as("last_sec"))
+      .orderBy(col("minute_epoch"))
+
+  /** Get-or-create keep-first semantics (ObjectsMaker,
+    * process_snapshot.py:51): first occurrence of each dimension natural
+    * key wins; later sightings reuse it. Window row_number=1 with a
+    * total tie-break — single shuffle on the natural key. */
+  def dimFirstSeen(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"),
+        epochSec(col("ts")).as("first_sec"), col("event_id").as("first_event_id"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** Dimension surrogate-key assignment (the autoincrement ids the
+    * reference gets from Postgres). Oracle-checkable variant uses
+    * dense_rank over the natural key; the scale path is
+    * xxhash64(natural key) — no global coordination (SURVEY.md §5). */
+  def dimSurrogate(spark: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+    // dims are small by construction — a single-partition rank is fine
+    // here; never do this on a fact table.
+    dim.withColumn("surrogate_id",
+        dense_rank().over(Window.orderBy(col("user_id"), col("event_type"))).cast("long"))
+      .select(col("surrogate_id"), col("user_id"), col("event_type"))
+      .orderBy(col("surrogate_id"))
+  }
+
+  /** Production surrogate path: collision-checked 64-bit hash key.
+    * Not oracle-checked (DuckDB's hash differs); exercised in tests. */
+  def dimSurrogateHashed(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+      .withColumn("surrogate_id", xxhash64(col("user_id"), col("event_type")))
+
+  /** "Which incoming keys are new" (ObjectsMaker fetch-then-create,
+    * process_snapshot.py:113): batch keys left_anti existing dim keys.
+    * Existing = first four days, batch = the rest of the month. */
+  def upsertNewKeys(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val cut = Tables.tsLit(ev, "ts", "2024-01-05")
+    val existing = ev.filter(col("ts") < cut)
+      .select(col("user_id"), col("event_type")).distinct()
+    val batch = ev.filter(col("ts") >= cut)
+      .select(col("user_id"), col("event_type")).distinct()
+    batch.join(existing, Seq("user_id", "event_type"), "left_anti")
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** Last-write-wins compaction (snapshot reload semantics,
+    * process_snapshot.py:269): latest record per user key. */
+  def latestState(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("last_event_type"),
+        col("value").as("last_value"), epochSec(col("ts")).as("last_sec"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Missing-snapshot detection (update_pending_snapshots.py): expected
+    * minute series minus observed minutes → pending list. The series is
+    * generated with `sequence` (no driver loop) and the subtraction is a
+    * left_anti join. */
+  def missingMinutes(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val bounds = ev.agg(
+      date_trunc("minute", min(col("ts"))).as("mn"),
+      date_trunc("minute", max(col("ts"))).as("mx"))
+    val expected = bounds.select(
+      explode(sequence(col("mn"), col("mx"), expr("interval 1 minute"))).as("minute"))
+    val observed = ev.select(minuteCol.as("minute")).distinct()
+    expected.join(observed, Seq("minute"), "left_anti")
+      .select(epochSec(col("minute")).as("minute_epoch"))
+      .orderBy(col("minute_epoch"))
+  }
+
+  /** Gap-driven sessionization (the daemon's catch-up windows,
+    * process_snapshot.py:486): a >30-minute silence starts a new
+    * session. lag + running conditional sum, two window passes over one
+    * shuffle partitioning. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_sec", lag(epochSec(col("ts")), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_sec").isNull || epochSec(col("ts")) - col("prev_sec") > 1800, 1L).otherwise(0L))
+      .withColumn("session_num", sum(col("new_sess")).over(byUser))
+      .groupBy(col("user_id"), col("session_num"))
+      .agg(count(lit(1)).as("n_events"),
+        min(epochSec(col("ts"))).as("start_sec"),
+        max(epochSec(col("ts"))).as("end_sec"))
+      .orderBy(col("user_id"), col("session_num"))
+  }
+
+  /** Star-schema normalize + join-back (validate_snapshots.py:16): build
+    * the dimension, key facts by the broadcast dim surrogate, aggregate
+    * over dim attributes. Facts shuffle once (for the final agg); the
+    * dim join is broadcast. */
+  def starJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val dim = ev.select(col("user_id"), col("event_type")).distinct()
+      .withColumn("dim_id",
+        dense_rank().over(Window.orderBy(col("user_id"), col("event_type"))).cast("long"))
+    val fact = ev.join(broadcast(dim), Seq("user_id", "event_type"))
+      .select(col("dim_id"), col("value"))
+    fact.join(broadcast(dim), Seq("dim_id"))
+      .groupBy(col("dim_id"), col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_facts"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .orderBy(col("dim_id"))
+  }
+
+  /** Field-level reconciliation report (validate_snapshot,
+    * validate_snapshots.py:100): two independent derivations of the
+    * per-minute stats, full-outer joined, mismatches flagged. */
+  def validateRecon(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val a = ev.groupBy(epochSec(minuteCol).as("minute_epoch"))
+      .agg(count(lit(1)).as("n_a"))
+    val b = ev.select(epochSec(minuteCol).as("minute_epoch"), col("event_id"))
+      .distinct()
+      .groupBy(col("minute_epoch"))
+      .agg(count(lit(1)).as("n_b"))
+    a.join(b, Seq("minute_epoch"), "full_outer")
+      .select(col("minute_epoch"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        (coalesce(col("n_a"), lit(0L)) === coalesce(col("n_b"), lit(0L))).as("is_match"))
+      .orderBy(col("minute_epoch"))
+  }
+
+  /** Idempotent-reload invariance (retry loop, process_snapshot.py:370):
+    * replaying a batch must not create duplicates — union the batch with
+    * itself, dedup by full row, counts must equal the original's. */
+  def retryDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.unionAll(ev)
+      .distinct()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+}

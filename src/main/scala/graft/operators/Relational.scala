@@ -1,0 +1,216 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Relational query surface — the analytic queries a user of the
+  * reference's stride DB runs over the star schema, re-expressed on the
+  * driver's TPC-H-ish testdata.
+  *
+  * Numeric discipline (so the DuckDB oracle hash-matches): money math is
+  * done in exact DECIMAL (doubles cast before aggregation — float sums
+  * are order-dependent and Spark's partial aggregation order is not),
+  * then the final value is cast to DOUBLE / rounded. Timestamps are
+  * emitted as epoch seconds (BIGINT) to avoid engine timestamp-type
+  * skew.
+  */
+object Relational {
+  private val dec2 = DecimalType(18, 2)
+  private val dec4 = DecimalType(18, 4)
+
+  private def d2(c: Column): Column = c.cast(dec2)
+  /** exact revenue term: extendedprice * (1 - discount) in decimal */
+  private def revTerm(price: Column, disc: Column): Column =
+    d2(price) * (lit(1).cast(DecimalType(5, 4)) - disc.cast(dec4))
+
+  /** Wide pricing-summary aggregation (TPC-H Q1 shape): scan → filter
+    * (pushed to parquet) → hash-agg on a low-cardinality key. At scale
+    * this is a pure map-side-partial + tiny shuffle plan. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_shipdate") <= Tables.tsLit(li, "l_shipdate", "1999-12-01"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(d2(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(d2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(revTerm(col("l_extendedprice"), col("l_discount"))).cast("double").as("sum_disc_price"),
+        round(sum(d2(col("l_quantity"))).cast("double") / count(lit(1)), 6).as("avg_qty"),
+        round(sum(d2(col("l_extendedprice"))).cast("double") / count(lit(1)), 6).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** 3-way join + selective filters + group + top-k (TPC-H Q3 shape).
+    * customer is the small side → broadcast; orders⋈lineitem shuffles on
+    * the join key only after both sides are filtered. */
+  def q3TopUnshipped(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord0 = Tables.orders(spark, dir)
+    val ord = ord0
+      .filter(col("o_orderdate") < Tables.tsLit(ord0, "o_orderdate", "1998-01-01"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li0 = Tables.lineitem(spark, dir)
+    val li = li0
+      .filter(col("l_shipdate") > Tables.tsLit(li0, "l_shipdate", "1998-01-01"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(revTerm(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"))
+      .select(col("l_orderkey"), unix_timestamp(col("o_orderdate")).as("o_orderdate_epoch"), col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** 5-way join chain region→nation→customer→orders→lineitem with all
+    * dimension sides broadcast (TPC-H Q5 shape, minus supplier's
+    * nation-equality since testdata has no l_suppkey→nation path that
+    * matters). Only the orders⋈lineitem edge shuffles. */
+  def q5JoinChain(spark: SparkSession, dir: String): DataFrame = {
+    val reg = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val nat = Tables.nation(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val dims = cust
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .select(col("c_custkey"), col("n_name"))
+    val ord0 = Tables.orders(spark, dir)
+    val ord = ord0
+      .filter(col("o_orderdate") >= Tables.tsLit(ord0, "o_orderdate", "1996-01-01") &&
+        col("o_orderdate") < Tables.tsLit(ord0, "o_orderdate", "1998-01-01"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(dims), ord("o_custkey") === dims("c_custkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(revTerm(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Tight range filter + single aggregate (TPC-H Q6 shape): the whole
+    * plan should collapse to scan-with-pushed-filters → partial sum. */
+  def q6SelectiveFilter(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li
+      .filter(col("l_shipdate") >= Tables.tsLit(li, "l_shipdate", "1997-01-01") &&
+        col("l_shipdate") < Tables.tsLit(li, "l_shipdate", "1998-01-01") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum(d2(col("l_extendedprice")) * col("l_discount").cast(dec4)).cast("double").as("revenue"))
+  }
+
+  /** EXISTS → left_semi join: customers that have at least one order,
+    * counted per market segment. No row multiplication, no dedup pass. */
+  def q7SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val ord = Tables.orders(spark, dir).select("o_custkey")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** NOT EXISTS → left_anti join: customers with no recent orders. This is the
+    * same primitive the reference's get-or-create uses to find new keys
+    * (ObjectsMaker fetch-then-create, process_snapshot.py:113). */
+  def q8AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val ord0 = Tables.orders(spark, dir)
+    val ord = ord0
+      .filter(col("o_orderdate") >= Tables.tsLit(ord0, "o_orderdate", "2000-01-01"))
+      .select("o_custkey")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Top-N per group via ranking window: 3 biggest orders per customer.
+    * Single shuffle on the partition key; rank ties broken by unique
+    * orderkey so the result is deterministic. */
+  def q9WindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  /** Hierarchical aggregation with ROLLUP over (returnflag, linestatus):
+    * one pass, Spark expands grouping sets without rescanning. */
+  def q10Rollup(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(d2(col("l_quantity"))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  /** Conditional (CASE) aggregation over a join (TPC-H Q12 shape):
+    * high- vs low-priority order counts per linestatus. */
+  def q12CaseAgg(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority")
+    val li0 = Tables.lineitem(spark, dir)
+    val li = li0
+      .filter(col("l_shipdate") >= Tables.tsLit(li0, "l_shipdate", "1997-01-01") &&
+        col("l_shipdate") < Tables.tsLit(li0, "l_shipdate", "1998-01-01"))
+      .select("l_orderkey", "l_linestatus")
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  /** Ratio of conditional sums over a broadcast join (TPC-H Q14 shape):
+    * promo revenue share. Part is the small side → broadcast. */
+  def q14CondRatio(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir).select("p_partkey", "p_type")
+    val li0 = Tables.lineitem(spark, dir)
+    val li = li0
+      .filter(col("l_shipdate") >= Tables.tsLit(li0, "l_shipdate", "1997-01-01") &&
+        col("l_shipdate") < Tables.tsLit(li0, "l_shipdate", "1997-07-01"))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+    val rev = revTerm(col("l_extendedprice"), col("l_discount"))
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .agg(round(
+        sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast(DecimalType(38, 6)))).cast("double") * 100.0 /
+          sum(rev).cast("double"), 6).as("promo_revenue_pct"))
+  }
+
+  /** Group-HAVING subquery joined back (TPC-H Q18 shape): orders whose
+    * total quantity exceeds a threshold, with customer detail. The
+    * HAVING side reduces to few keys → broadcast back against orders. */
+  def q18HavingJoin(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(d2(col("l_quantity"))).cast("double").as("sum_qty"))
+      .filter(col("sum_qty") > 300)
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey", "o_totalprice")
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_name")
+    ord.join(broadcast(big), ord("o_orderkey") === big("l_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("sum_qty").desc, col("o_orderkey"))
+  }
+
+  /** Global deterministic top-k: ORDER BY with unique-key tie-break then
+    * LIMIT — Spark plans TakeOrderedAndProject (per-partition heaps, no
+    * global sort materialization). */
+  def qTopkGlobal(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(25)
+  }
+}
