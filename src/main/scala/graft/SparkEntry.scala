@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.etl.EventsEtl
 import graft.operators.Relational
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (inventory) and §7.
   *
@@ -47,6 +48,19 @@ object SparkEntry {
     "q14_cond_ratio"     -> Relational.q14CondRatio _,
     "q18_having_join"    -> Relational.q18HavingJoin _,
     "q_topk_global"      -> Relational.qTopkGlobal _,
+    // §2.3 training-data pipeline ops (documents / embeddings)
+    "text_tokens"         -> TextAnalysis.tokens _,
+    "text_quality"        -> TextAnalysis.quality _,
+    "text_langid"         -> TextAnalysis.langid _,
+    "text_fingerprint"    -> TextAnalysis.fingerprint _,
+    "dedup_exact"         -> Dedup.exact _,
+    "dedup_ngram_jaccard" -> Dedup.ngramJaccard _,
+    "dedup_minhash_lsh"   -> Dedup.minhashLsh _,
+    "dedup_simhash"       -> Dedup.simhash _,
+    "ann_bruteforce"      -> Similarity.annBruteforce _,
+    "ann_ivf"             -> Similarity.annIvf _,
+    "embed_centroids"     -> Similarity.centroids _,
+    "mm_binary_features"  -> Multimodal.binaryFeatures _,
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. */
@@ -208,5 +222,121 @@ object SparkEntry {
     "q_topk_global" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        | CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha_words,
+        | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpeish
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """WITH q AS (SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS len_chars,
+        |  CAST(len(regexp_extract_all(text, '[^a-z0-9\s]')) AS DOUBLE) AS np,
+        |  CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS nd,
+        |  CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in)\b')) AS DOUBLE) AS ns,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS nt
+        | FROM documents)
+        |SELECT doc_id, len_chars,
+        | round(np / len_chars, 6) AS punct_ratio,
+        | round(nd / len_chars, 6) AS digit_ratio,
+        | round(ns / nt, 6) AS stop_ratio,
+        | round(least(len_chars / CAST(400 AS DOUBLE), CAST(1.0 AS DOUBLE)) * (1.0 - np / len_chars) * (0.5 + ns / nt), 6) AS quality_score
+        |FROM q ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      """WITH c AS (SELECT doc_id, lang AS tagged_lang,
+        |  CAST(len(regexp_extract_all(text, 'th|he|an|in|er')) AS BIGINT) AS c_en,
+        |  CAST(len(regexp_extract_all(text, 'sch|ein|der|ung')) AS BIGINT) AS c_de,
+        |  CAST(len(regexp_extract_all(text, 'el |la |de |os ')) AS BIGINT) AS c_es
+        | FROM documents)
+        |SELECT doc_id, tagged_lang, c_en, c_de, c_es,
+        | CASE WHEN c_en >= c_de AND c_en >= c_es THEN 'en'
+        |      WHEN c_de >= c_es THEN 'de' ELSE 'es' END AS predicted_lang
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """WITH f AS (SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+        | FROM documents)
+        |SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n_same_fp
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "dedup_exact" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents)
+        |SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+        |FROM corpus GROUP BY 1 ORDER BY keep_doc_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, text, regexp_extract_all(text, '\S+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |   CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1),
+        |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE [text] END)) AS s FROM t),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, round(CAST(c AS DOUBLE) / (x.n + y.n - c), 6) AS jaccard
+        |FROM common JOIN cnt x ON doc_a = x.doc_id JOIN cnt y ON doc_b = y.doc_id
+        |WHERE round(CAST(c AS DOUBLE) / (x.n + y.n - c), 6) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_minhash_lsh" ->
+      """WITH t AS (SELECT doc_id, text, regexp_extract_all(text, '\S+') AS toks FROM documents),
+        |shl AS (SELECT doc_id, list_distinct(
+        |   CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1),
+        |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE [text] END) AS shingles FROM t),
+        |sig AS (SELECT doc_id, list_transform(range(0, 16), i ->
+        |   list_min(list_transform(shingles, s ->
+        |     ((1 + 2*i) * (('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) + 7 + 11*i) % 2147483647))) AS sg
+        |  FROM shl),
+        |bands AS (SELECT doc_id, j AS band,
+        |   md5(concat_ws(',', sg[4*j+1], sg[4*j+2], sg[4*j+3], sg[4*j+4])) AS bkey
+        |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS j))
+        |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "dedup_simhash" ->
+      """WITH t AS (SELECT doc_id, list_distinct(regexp_extract_all(text, '\S+')) AS toks FROM documents),
+        |sims AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), j ->
+        |   CASE WHEN list_sum(list_transform(toks, s ->
+        |       CASE WHEN (('0x' || substr(md5(s), 1, 15))::BIGINT >> j) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+        |     THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sim FROM t)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+        |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sim, b.sim)) <= 2
+        |ORDER BY 1, 2""".stripMargin,
+    "ann_bruteforce" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM e),
+        |p AS (SELECT vec_id AS probe_id, v AS pv, norm AS pnorm FROM n WHERE vec_id < 5),
+        |s AS (SELECT p.probe_id, n.vec_id,
+        |   round(list_sum(list_transform(list_zip(p.pv, n.v), z -> z[1]*z[2])) / (p.pnorm * n.norm), 6) AS cosine
+        |  FROM p CROSS JOIN n WHERE n.vec_id <> p.probe_id)
+        |SELECT probe_id, vec_id, cosine,
+        | CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rk
+        |FROM s QUALIFY rk <= 5 ORDER BY probe_id, rk""".stripMargin,
+    "ann_ivf" ->
+      """WITH pe AS (SELECT label, i AS pos, embedding[i] AS x
+        |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
+        |c AS (SELECT CAST(label AS BIGINT) AS label, CAST(pos - 1 AS BIGINT) AS pos,
+        |   round(avg(CAST(x AS DOUBLE)), 6) AS centroid FROM pe GROUP BY 1, 2),
+        |cent AS (SELECT label AS cell, list(centroid ORDER BY pos) AS cv FROM c GROUP BY 1),
+        |e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |s AS (SELECT e.vec_id, e.label, cent.cell,
+        |   round(sqrt(list_sum(list_transform(list_zip(e.v, cent.cv), z -> (z[1]-z[2])*(z[1]-z[2])))), 6) AS dist
+        |  FROM e CROSS JOIN cent)
+        |SELECT vec_id, cell, dist AS dist_to_cell, cell = CAST(label AS BIGINT) AS matches_label
+        |FROM s QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1
+        |ORDER BY vec_id""".stripMargin,
+    "embed_centroids" ->
+      """SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS pos,
+        | round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid, count(*) AS n_vecs
+        |FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "mm_binary_features" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | hex(encode(substr(text, 1, 4))) AS header_hex,
+        | md5(hex(encode(text))) AS content_hash,
+        | CAST(octet_length(encode(text)) // 256 AS BIGINT) AS n_frames,
+        | 'stubbed-no-codec' AS decode_status
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with
+  * typed metadata, batch feature extraction, decode behind a stub.
+  *
+  * The container has no image/audio codecs, so `decodeStub` is a
+  * deterministic fake — but the Spark-side plumbing is real: binary
+  * columns flow through parquet, features are extracted per partition in
+  * batches (the Scala analogue of `mapInPandas`), and the schema /
+  * partitioning / batch shape is what a real codec would plug into.
+  */
+object Multimodal {
+
+  /** A media record: binary payload + typed metadata. */
+  case class MediaRecord(doc_id: Long, media_type: String, payload: Array[Byte])
+  case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Long,
+      n_frames: Long, decode_status: String, feature0: Double)
+
+  /** Oracle-checked feature projection over a synthesized binary column
+    * (UTF-8 payload of `text`): byte length, header hex, portable
+    * content hash, fake frame count. Everything per-row, codegen'd. */
+  def binaryFeatures(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"), col("text"))
+      .select(
+        col("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        hex(encode(substring(col("text"), 1, 4), "UTF-8")).as("header_hex"),
+        md5(hex(col("payload"))).as("content_hash"),
+        (length(col("payload")).cast("long") / 256).cast("long").as("n_frames"),
+        lit("stubbed-no-codec").as("decode_status"))
+      .orderBy(col("doc_id"))
+
+  /** Deterministic stand-in for a codec: "decodes" a payload into one
+    * scalar feature. A real deployment swaps this body for the codec
+    * call; the batching around it doesn't change. */
+  private def decodeStub(payload: Array[Byte]): (String, Double) = {
+    var acc = 0L
+    var i = 0
+    while (i < payload.length) { acc = acc * 31 + (payload(i) & 0xff); i += 1 }
+    ("stubbed-no-codec", (acc & 0xffffff).toDouble / 0xffffff)
+  }
+
+  /** The mapInPandas-shaped path: typed Dataset, per-partition batched
+    * decode (batch size bounds peak memory per task — at 100 TB the
+    * payloads dominate, so partitions are sized by
+    * `spark.sql.files.maxPartitionBytes`, not row count). */
+  def decodePipeline(media: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // a real codec would process `batch` as one vectorized call
+        batch.iterator.map { r =>
+          val (status, f0) = decodeStub(r.payload)
+          MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong,
+            r.payload.length.toLong / 256, status, f0)
+        }
+      }
+    }
+  }
+
+  /** Build a MediaRecord dataset from the documents table (text bytes as
+    * the opaque payload; media_type cycles deterministically). */
+  def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRecord]
+  }
+}

@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over the embedding column (Array[Float], 64-d).
+  *
+  * Brute-force exact cosine top-k is the correctness baseline; the IVF
+  * variant is the scale path: assign vectors to coarse cells (here the
+  * per-label centroids), search only within a cell. At 100 TB the scan
+  * side stays partition-local — probes are broadcast, each partition
+  * keeps a local top-k heap and only k·partitions rows shuffle for the
+  * final merge (the window below collapses to exactly that under AQE
+  * because the probe set is tiny).
+  *
+  * All math is double, accumulated in list order on both engines, and
+  * rounded to 6 decimals before any ordering so the DuckDB oracle
+  * agrees bit-for-bit.
+  */
+object Similarity {
+  /** embeddings with double-vector, norm, and (rounded) self-norm. */
+  private def vecs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("norm", expr("sqrt(aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x*x))"))
+
+  /** Exact cosine top-5 neighbors for each probe (vec_id < 5). */
+  def annBruteforce(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pnorm"))
+    val scored = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine", round(
+        expr("aggregate(zip_with(pv, v, (x, y) -> x*y), CAST(0 AS DOUBLE), (acc, z) -> acc + z)") /
+          (col("pnorm") * col("norm")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("probe_id"), col("vec_id"), col("cosine"), col("rk"))
+      .orderBy(col("probe_id"), col("rk"))
+  }
+
+  /** Per-label centroids (rounded to 6 so cross-engine float-sum order
+    * can't flip anything downstream) + population stats. */
+  def centroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("label").cast("long").as("label"), col("pos").cast("long").as("pos"))
+      .agg(round(avg(col("x").cast("double")), 6).as("centroid"),
+        count(lit(1)).as("n_vecs"))
+      .orderBy(col("label"), col("pos"))
+
+  /** IVF-style assignment: nearest (L2) per-label centroid for every
+    * vector. The centroid table is tiny → broadcast; the scan side never
+    * shuffles. `matches_label` measures cluster purity. */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val cent = centroids(spark, dir)
+      .groupBy(col("label").as("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, centroid))), s -> s.centroid)").as("cv"))
+    val e = vecs(spark, dir)
+    val scored = e.join(broadcast(cent))
+      .withColumn("dist", round(
+        expr("sqrt(aggregate(zip_with(v, cv, (x, c) -> (x-c)*(x-c)), CAST(0 AS DOUBLE), (acc, z) -> acc + z))"), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("dist"), col("cell"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cell"),
+        col("dist").as("dist_to_cell"),
+        (col("cell") === col("label").cast("long")).as("matches_label"))
+      .orderBy(col("vec_id"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators for a training-data pipeline: token counting,
+  * quality scoring, language id, content fingerprinting. All pure
+  * per-row projections (codegen'd, no shuffle except final sort) so they
+  * stream at scan speed over 100 TB.
+  *
+  * Regex patterns are kept to simple character classes so Java regex
+  * (Spark) and RE2 (DuckDB oracle) agree.
+  */
+object TextAnalysis {
+
+  /** Token counting: whitespace tokens + alpha words + a BPE-ish
+    * word/number/punct split (the tokenizer-shaped count). */
+  def tokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(expr(raw"regexp_extract_all(text, '\\S+', 0)")).cast("long").as("n_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]+', 0)")).cast("long").as("n_alpha_words"),
+        size(expr(raw"regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)")).cast("long").as("n_bpeish"))
+      .orderBy(col("doc_id"))
+
+  /** Quality scoring: length, punctuation/digit density, stopword ratio,
+    * and a combined score — the usual pretraining quality filters. */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(expr(raw"regexp_extract_all(text, '\\S+', 0)"))
+    val nStop = size(expr("regexp_extract_all(text, '\\\\b(the|a|of|and|to|in)\\\\b', 0)"))
+    val nPunct = size(expr(raw"regexp_extract_all(text, '[^a-z0-9\\s]', 0)"))
+    val nDigit = size(expr("regexp_extract_all(text, '[0-9]', 0)"))
+    val len = length(col("text"))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        len.cast("long").as("len_chars"),
+        round(nPunct.cast("double") / len, 6).as("punct_ratio"),
+        round(nDigit.cast("double") / len, 6).as("digit_ratio"),
+        round(nStop.cast("double") / nTok, 6).as("stop_ratio"),
+        // score: long enough, not punctuation soup, some stopwords
+        round(least(len.cast("double") / 400, lit(1.0)) *
+          (lit(1.0) - nPunct.cast("double") / len) *
+          (lit(0.5) + nStop.cast("double") / nTok), 6).as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Character-n-gram language-id heuristic: count language-marker
+    * n-grams, argmax with a fixed priority tie-break. (The testdata text
+    * is synthetic English-ish regardless of its `lang` column — the
+    * operator is the point, the labels are incidental.) */
+  def langid(spark: SparkSession, dir: String): DataFrame = {
+    val cEn = size(expr("regexp_extract_all(text, 'th|he|an|in|er', 0)"))
+    val cDe = size(expr("regexp_extract_all(text, 'sch|ein|der|ung', 0)"))
+    val cEs = size(expr("regexp_extract_all(text, 'el |la |de |os ', 0)"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang").as("tagged_lang"),
+        cEn.cast("long").as("c_en"), cDe.cast("long").as("c_de"), cEs.cast("long").as("c_es"))
+      .withColumn("predicted_lang",
+        when(col("c_en") >= col("c_de") && col("c_en") >= col("c_es"), "en")
+          .when(col("c_de") >= col("c_es"), "de")
+          .otherwise("es"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Normalized-content fingerprint + duplicate-group size: md5 over
+    * lowercased text with punctuation/whitespace collapsed. The window
+    * count is the "how many share my fingerprint" signal dedup uses. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val fp = md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
+    val byFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), fp.as("fp"))
+      .withColumn("n_same_fp", count(lit(1)).over(byFp))
+      .orderBy(col("doc_id"))
+  }
+}
