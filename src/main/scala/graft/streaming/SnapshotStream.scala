@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.etl.SiriSnapshotEtl
+
+/** The reference's continuous daemon (process_new_snapshots +
+  * start_process_new_snapshots_daemon, process_snapshot.py:485-547) as
+  * Structured Streaming.
+  *
+  * The reference polls a directory every minute for new snapshot ids
+  * and processes the backlog since the last loaded snapshot; Spark's
+  * file/stream source does exactly that natively — checkpointed offsets
+  * replace the "last loaded snapshot id" bookkeeping, foreachBatch
+  * replaces the per-snapshot transaction, and a crashed run resumes
+  * from the checkpoint (the reference's heartbeat/retry loop).
+  */
+object SnapshotStream {
+
+  /** Parse a stream of raw (snapshot_id, json) snapshot documents into
+    * typed visit rows (same projection as the batch path — the
+    * pipeline is identical code on both). */
+  def parsedVisits(rawStream: DataFrame): DataFrame =
+    SiriSnapshotEtl.parseVisits(rawStream)
+
+  /** Continuous per-snapshot stats with a 2-minute watermark on
+    * recorded_at_time — the streaming analogue of the siri_snapshot
+    * status row (update_siri_snapshot_loaded). */
+  def liveSnapshotStats(visits: DataFrame): DataFrame =
+    visits
+      .withWatermark("recorded_at_time", "2 minutes")
+      .groupBy(window(col("recorded_at_time"), "1 minute"), col("snapshot_id"))
+      .agg(
+        sum(when(col("parse_ok"), 1L).otherwise(0L)).as("num_successful_parse_vehicle_locations"),
+        sum(when(col("parse_ok"), 0L).otherwise(1L)).as("num_failed_parse_vehicle_locations"))
+
+  /** foreachBatch upsert: each micro-batch runs the batch ETL and hands
+    * the per-table DataFrames to `sink` (parquet append, JDBC upsert…).
+    * Dims are append-only new-keys (get-or-create); facts append. */
+  def upsertWriter(visits: DataFrame)(
+      sink: (String, DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    visits.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink("siri_routes", SiriSnapshotEtl.routes(batch), batchId)
+        sink("siri_stops", SiriSnapshotEtl.stops(batch), batchId)
+        sink("siri_rides", SiriSnapshotEtl.rides(batch), batchId)
+        sink("siri_ride_stops", SiriSnapshotEtl.rideStops(batch), batchId)
+        sink("siri_vehicle_locations", SiriSnapshotEtl.vehicleLocations(batch), batchId)
+        sink("siri_snapshots", SiriSnapshotEtl.snapshotStats(batch), batchId)
+        ()
+      }
+}

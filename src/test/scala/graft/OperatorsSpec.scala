@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.etl.EventsEtl
+import graft.ops.{Dedup, Multimodal, Similarity}
+
+class EventsEtlSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("retryDedup is idempotent: doubled input collapses to original counts") {
+    val orig = Tables.events(spark, sf0001).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dedup = EventsEtl.retryDedup(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dedup == orig)
+  }
+
+  test("hashed surrogate keys are collision-free on the dim") {
+    val dim = EventsEtl.dimSurrogateHashed(spark, sf0001)
+    assert(dim.select("surrogate_id").distinct().count() == dim.count())
+  }
+
+  test("sessionize: session bounds ordered and events conserved") {
+    val sess = EventsEtl.sessionize(spark, sf0001)
+    val total = sess.agg(sum("n_events")).head().getLong(0)
+    assert(total == Tables.events(spark, sf0001).count())
+    assert(sess.filter($"end_sec" < $"start_sec").count() == 0)
+  }
+
+  test("missing minutes + observed minutes = full span") {
+    val missing = EventsEtl.missingMinutes(spark, sf0001).count()
+    val ev = Tables.events(spark, sf0001)
+    val observed = ev.select(date_trunc("minute", $"ts")).distinct().count()
+    val bounds = ev.agg(min(unix_timestamp(date_trunc("minute", $"ts"))),
+      max(unix_timestamp(date_trunc("minute", $"ts")))).head()
+    val span = (bounds.getLong(1) - bounds.getLong(0)) / 60 + 1
+    assert(missing + observed == span)
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup keeps the minimum doc_id and counts both copies") {
+    val r = Dedup.exact(spark, sf0001)
+    assert(r.filter($"n_copies" =!= 2).count() == 0) // every doc was doubled
+    assert(r.filter($"keep_doc_id" >= 100000).count() == 0)
+  }
+
+  test("minhash LSH candidates are a superset of high-jaccard pairs") {
+    val jac = Dedup.ngramJaccard(spark, sf0001)
+      .filter($"jaccard" >= 0.95)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Dedup.minhashLsh(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jac.subsetOf(cand), s"missed: ${jac.diff(cand)}")
+  }
+
+  test("simhash hamming is symmetric-free (a<b) and within radius") {
+    val r = Dedup.simhash(spark, sf0001)
+    assert(r.filter($"doc_a" >= $"doc_b").count() == 0)
+    assert(r.filter($"hamming" > 2).count() == 0)
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("brute-force ANN: 5 neighbors per probe, cosine within [-1,1], descending") {
+    val r = Similarity.annBruteforce(spark, sf0001).collect()
+    val byProbe = r.groupBy(_.getAs[Long]("probe_id"))
+    assert(byProbe.forall(_._2.length == 5))
+    assert(r.forall(x => math.abs(x.getAs[Double]("cosine")) <= 1.000001))
+    byProbe.values.foreach { rows =>
+      val cos = rows.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("IVF assignment: every vector lands in exactly one cell") {
+    val r = Similarity.annIvf(spark, sf0001)
+    assert(r.count() == Tables.embeddings(spark, sf0001).count())
+    assert(r.select("vec_id").distinct().count() == r.count())
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decode pipeline: deterministic features, invariant to batch size") {
+    val media = Multimodal.mediaFromDocuments(spark, sf0001)
+    val f1 = Multimodal.decodePipeline(media, batchSize = 1).collect()
+      .map(f => f.doc_id -> f).toMap
+    val f64 = Multimodal.decodePipeline(media, batchSize = 64).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(f1.keySet == f64.keySet)
+    f1.foreach { case (id, f) =>
+      assert(f64(id).feature0 == f.feature0 && f64(id).n_bytes == f.n_bytes)
+    }
+    assert(f1.values.forall(f => f.feature0 >= 0.0 && f.feature0 <= 1.0))
+    assert(f1.values.forall(_.decode_status == "stubbed-no-codec"))
+  }
+
+  test("binary features agree with payload byte lengths") {
+    val bf = graft.ops.Multimodal.binaryFeatures(spark, sf0001)
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", length(encode($"text", "UTF-8")).cast("long").as("n"))
+    val joined = bf.join(docs, "doc_id").filter($"n_bytes" =!= $"n")
+    assert(joined.count() == 0)
+  }
+}

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.etl.SiriSnapshotEtl
+
+/** Synthetic SIRI-SM fixtures (standard SIRI stop-monitoring document
+  * shape; values are our own). One visit is deliberately unparseable
+  * (no VehicleLocation) to exercise the parse-errors path. */
+object SiriFixtures {
+  def visit(line: Int, operator: Int, journey: String, vehicle: String,
+      stop: Int, order: Int, lon: Double, lat: Double,
+      recorded: String = "2023-03-10T08:01:15+02:00",
+      departed: String = "2023-03-10T07:45:00+02:00",
+      valid: Boolean = true): String = {
+    val loc = if (valid) s""""VehicleLocation": {"Longitude": "$lon", "Latitude": "$lat"},""" else ""
+    s"""{
+      "RecordedAtTime": "$recorded",
+      "MonitoredVehicleJourney": {
+        "LineRef": "$line", "OperatorRef": "$operator",
+        "FramedVehicleJourneyRef": {"DataFrameRef": "2023-03-10", "DatedVehicleJourneyRef": "$journey"},
+        "OriginAimedDepartureTime": "$departed",
+        "VehicleRef": "$vehicle", "Bearing": "90", "Velocity": "42",
+        $loc
+        "MonitoredCall": {"StopPointRef": "$stop", "Order": "$order", "DistanceFromStop": "1200"}
+      }
+    }"""
+  }
+
+  def snapshot(visits: Seq[String]): String =
+    s"""{"Siri": {"ServiceDelivery": {
+        "ResponseTimestamp": "2023-03-10T08:01:45+02:00", "ProducerRef": "test",
+        "StopMonitoringDelivery": [
+          {"ResponseTimestamp": "2023-03-10T08:01:45+02:00", "Status": "true",
+           "MonitoredStopVisit": [${visits.mkString(",")}]}]}}}"""
+
+  val snapA: String = snapshot(Seq(
+    visit(1, 25, "100001", "veh-1", 32043, 13, 34.749191, 31.874036),
+    visit(3, 25, "100002", "veh-2", 37471, 1, 34.731296, 31.890804),
+    visit(1, 25, "100001", "veh-1", 32521, 14, 34.734901, 31.897741),
+    visit(7, 18, "100003", "veh-3", 17016, 23, 34.1, 31.2, valid = false)))
+
+  // same ride keys as A (one minute later) + one brand-new route
+  val snapB: String = snapshot(Seq(
+    visit(1, 25, "100001", "veh-1", 32043, 13, 34.7495, 31.8745,
+      recorded = "2023-03-10T08:02:15+02:00"),
+    visit(9, 30, "200001", "veh-9", 55555, 2, 35.0, 32.0,
+      recorded = "2023-03-10T08:02:20+02:00")))
+}
+
+class SiriEtlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def raw(rows: (String, String)*): DataFrame =
+    rows.toSeq.toDF("snapshot_id", "json")
+
+  test("parse extracts typed fields and composes journey_ref (reference parse_monitored_stop_visit)") {
+    val visits = SiriSnapshotEtl.parseVisits(raw("2023/03/10/08/01" -> SiriFixtures.snapA))
+    assert(visits.count() == 4)
+    val ok = visits.filter($"parse_ok").collect()
+    assert(ok.length == 3)
+    val first = ok.minBy(_.getAs[Int]("order"))
+    assert(first.getAs[String]("journey_ref") == "2023-03-10-100002")
+    val v = visits.filter($"order" === 13).head()
+    assert(v.getAs[Long]("line_ref") == 1L)
+    assert(v.getAs[Long]("operator_ref") == 25L)
+    assert(v.getAs[String]("vehicle_ref") == "veh-1")
+    assert(v.getAs[Int]("bearing") == 90 && v.getAs[Int]("velocity") == 42)
+    assert(v.getAs[Int]("distance_from_journey_start") == 1200)
+    // +02:00 → UTC: 08:01:15+02:00 == 06:01:15Z
+    assert(v.getAs[java.sql.Timestamp]("recorded_at_time").toInstant.toString == "2023-03-10T06:01:15Z")
+  }
+
+  test("invalid visit goes to parse errors, not the fact table (save_parse_errors)") {
+    val result = SiriSnapshotEtl.run(raw("2023/03/10/08/01" -> SiriFixtures.snapA))
+    assert(result.parseErrors.count() == 1)
+    assert(result.vehicleLocations.count() == 3)
+    val stats = result.snapshotStats.head()
+    assert(stats.getAs[Long]("num_successful_parse_vehicle_locations") == 3)
+    assert(stats.getAs[Long]("num_failed_parse_vehicle_locations") == 1)
+    assert(stats.getAs[String]("etl_status") == "loaded")
+  }
+
+  test("dimensions dedup on natural keys with stable hash surrogates (ObjectsMaker)") {
+    val result = SiriSnapshotEtl.run(raw("2023/03/10/08/01" -> SiriFixtures.snapA))
+    assert(result.routes.count() == 2)   // (25,1), (25,3); invalid visit's route excluded
+    assert(result.stops.count() == 3)
+    assert(result.rides.count() == 2)    // veh-1 ride seen twice → one ride
+    assert(result.rideStops.count() == 3)
+    // surrogate ids are deterministic → rerunning yields identical ids
+    val again = SiriSnapshotEtl.run(raw("2023/03/10/08/01" -> SiriFixtures.snapA))
+    assert(result.rides.select("siri_ride_id").collect().toSet ==
+      again.rides.select("siri_ride_id").collect().toSet)
+  }
+
+  test("get-or-create across batches: only new keys are created (left_anti upsert)") {
+    val a = SiriSnapshotEtl.run(raw("2023/03/10/08/01" -> SiriFixtures.snapA))
+    val bVisits = SiriSnapshotEtl.parseVisits(raw("2023/03/10/08/02" -> SiriFixtures.snapB))
+    val newRoutes = SiriSnapshotEtl.routes(bVisits, existing = Some(a.routes))
+    assert(newRoutes.count() == 1) // only (30,9) is new
+    assert(newRoutes.head().getAs[Long]("operator_ref") == 30L)
+    val newRides = SiriSnapshotEtl.rides(bVisits, existing = Some(a.rides))
+    assert(newRides.count() == 1) // veh-1 ride already exists
+  }
+
+  test("ride keeps scheduled_start_time of first sighting") {
+    val mixed = raw("2023/03/10/08/01" -> SiriFixtures.snapA, "2023/03/10/08/02" -> SiriFixtures.snapB)
+    val rides = SiriSnapshotEtl.rides(SiriSnapshotEtl.parseVisits(mixed))
+    val ride1 = rides.filter($"journey_ref" === "2023-03-10-100001").head()
+    assert(ride1.getAs[java.sql.Timestamp]("scheduled_start_time").toInstant.toString ==
+      "2023-03-10T05:45:00Z")
+  }
+
+  test("validate: star-schema reassembly reproduces the parse exactly (validate_snapshots)") {
+    val r = SiriSnapshotEtl.run(raw("2023/03/10/08/01" -> SiriFixtures.snapA,
+      "2023/03/10/08/02" -> SiriFixtures.snapB))
+    val mismatches = SiriSnapshotEtl.validate(r.visits, r.vehicleLocations,
+      r.rideStops, r.rides, r.stops)
+    assert(mismatches.count() == 0)
+  }
+
+  test("snapshot stats attribute dim creation to the first snapshot that saw the key") {
+    val r = SiriSnapshotEtl.run(raw("2023/03/10/08/01" -> SiriFixtures.snapA,
+      "2023/03/10/08/02" -> SiriFixtures.snapB))
+    val bySnap = r.snapshotStats.collect().map(x =>
+      x.getAs[String]("snapshot_id") -> x.getAs[Long]("num_added_siri_routes")).toMap
+    assert(bySnap("2023/03/10/08/01") == 2)
+    assert(bySnap("2023/03/10/08/02") == 1) // only the new (30,9) route
+  }
+}

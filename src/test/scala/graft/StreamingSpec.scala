@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.SnapshotStream
+
+import scala.collection.mutable
+
+/** The continuous-daemon path: snapshots arrive as a stream, each
+  * micro-batch runs the same ETL as the batch path and upserts via
+  * foreachBatch (reference process_new_snapshots loop). */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streamed snapshots produce the same tables as the batch path") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, String)]
+    stream.addData(("2023/03/10/08/01", SiriFixtures.snapA))
+    stream.addData(("2023/03/10/08/02", SiriFixtures.snapB))
+
+    val visits = SnapshotStream.parsedVisits(
+      stream.toDF().toDF("snapshot_id", "json"))
+
+    val sunk = mutable.Map[String, Long]().withDefaultValue(0L)
+    val q = SnapshotStream.upsertWriter(visits) { (table, df, _) =>
+      sunk.synchronized { sunk(table) += df.count() }
+    }.start()
+    q.awaitTermination(120000)
+
+    assert(sunk("siri_vehicle_locations") == 5) // 3 ok in A + 2 in B
+    assert(sunk("siri_snapshots") == 2)
+    assert(sunk("siri_routes") >= 3) // (25,1),(25,3) in A; (30,9) new in B
+    // batch-path equivalence on the fact count
+    val batch = graft.etl.SiriSnapshotEtl.run(
+      Seq(("2023/03/10/08/01", SiriFixtures.snapA),
+        ("2023/03/10/08/02", SiriFixtures.snapB)).toDF("snapshot_id", "json"))
+    assert(batch.vehicleLocations.count() == 5)
+  }
+}
