@@ -1,9 +1,10 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.GraftFunctions
 
 /** Deduplication operator family for a training-data pipeline: exact
   * (content hash), n-gram Jaccard, MinHash+LSH, SimHash.
@@ -15,6 +16,12 @@ import graft.Tables
   * (band, bucket) keys — exactly the joins you want at 100 TB because
   * their fan-in is bounded by collision rate, not corpus size.
   *
+  * Each derivation (tokens → shingles → shingle hashes → signature) is
+  * materialized as its own projected column so every regex/md5 runs
+  * exactly once per row — inlining them into the next lambda makes
+  * Catalyst re-evaluate the producer per element (O(n²) regex work;
+  * measured 100×+ slowdown at sf0.1).
+  *
   * Hashing is engine-portable: H(s) = first 15 hex digits of md5(s) as
   * a 60-bit integer — bit-identical in Spark (`conv`) and DuckDB
   * (`::BIGINT` on a 0x literal), so even the sketch ops hash-match the
@@ -25,19 +32,23 @@ object Dedup {
   private def h60(s: String): String =
     s"CAST(conv(substr(md5($s), 1, 15), 16, 10) AS BIGINT)"
 
-  /** distinct 3-token shingles of `text` as an array column (SQL). */
-  private val shinglesSql =
-    raw"""array_distinct(
-      CASE WHEN size(regexp_extract_all(text, '\\S+', 0)) >= 3 THEN
-        transform(
-          sequence(0, size(regexp_extract_all(text, '\\S+', 0)) - 3),
-          i -> concat(regexp_extract_all(text, '\\S+', 0)[i], ' ',
-                      regexp_extract_all(text, '\\S+', 0)[i+1], ' ',
-                      regexp_extract_all(text, '\\S+', 0)[i+2]))
-      ELSE array(text) END)"""
-
+  /** doc_id + distinct 3-token shingles, each step its own projection. */
   private def withShingles(df: DataFrame): DataFrame =
-    df.select(col("doc_id"), expr(shinglesSql).as("shingles"))
+    df.select(col("doc_id"), col("text"),
+        expr(raw"regexp_extract_all(text, '\\S+', 0)").as("toks"))
+      .select(col("doc_id"),
+        expr("""array_distinct(
+            CASE WHEN size(toks) >= 3 THEN
+              transform(sequence(0, size(toks) - 3),
+                i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))
+            ELSE array(text) END)""").as("shingles"))
+
+  /** doc_id + 60-bit hash per distinct shingle (native codegen kernel,
+    * graft.functions.H60Array — md5 once per shingle, no interpreted
+    * lambda). */
+  private def withShingleHashes(df: DataFrame): DataFrame =
+    withShingles(df)
+      .select(col("doc_id"), expr("graft_h60_array(shingles)").as("hs"))
 
   /** Exact dedup via content-hash groupBy. The corpus is doubled
     * (doc_id+100000) so the dedup actually collapses something: keep the
@@ -56,10 +67,17 @@ object Dedup {
     * self-join on shingle (the shuffle key), count common, Jaccard =
     * |∩| / (|A|+|B|-|∩|), threshold 0.8. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = withShingles(Tables.documents(spark, dir))
-      .select(col("doc_id"), explode(col("shingles")).as("s"))
+    GraftFunctions.register(spark)
+    // join on the 60-bit shingle hash, not the shingle string — long
+    // keys keep the (skewed) self-join cheap and the result identical
+    // (distinct strings ⇒ distinct md5-derived hashes in practice)
+    val sh = withShingleHashes(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(col("hs")).as("s"))
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val common = sh.as("a").join(sh.as("b"),
+    // hash join beats sort-merge here: the shingle side is small enough
+    // to hash-partition but the pair fan-out (df² per shingle) makes the
+    // SMJ sort a pure tax
+    val common = sh.as("a").hint("shuffle_hash").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("c"))
@@ -73,16 +91,13 @@ object Dedup {
   }
 
   /** MinHash signatures (k=16, h_i(s) = (a_i·H(s) mod p + b_i) mod p)
-    * computed as one map-side array expression, then LSH banding
-    * (4 bands × 4 rows): docs sharing any band bucket are candidate
-    * pairs. The band join is the only shuffle. */
+    * computed as one map-side array expression over pre-hashed shingles,
+    * then LSH banding (4 bands × 4 rows): docs sharing any band bucket
+    * are candidate pairs. The band join is the only shuffle. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sigSql =
-      s"""transform(sequence(0, 15), i ->
-            array_min(transform(shingles, s ->
-              ((1 + 2*i) * (${h60("s")} % 2147483647) + 7 + 11*i) % 2147483647)))"""
+    GraftFunctions.register(spark)
     val sig = withShingles(Tables.documents(spark, dir))
-      .select(col("doc_id"), expr(sigSql).as("sig"))
+      .select(col("doc_id"), expr("graft_minhash_sig(shingles)").as("sig"))
     val bands = sig.select(col("doc_id"),
         explode(expr(
           """transform(sequence(0, 3), j ->
@@ -97,23 +112,32 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** 60-bit SimHash per doc (map-side nested fold over distinct tokens),
-    * then near-dup pairs by Hamming distance ≤ 2 (the testdata vocabulary is tiny, so token-set simhashes are close; real corpora use a larger radius). Pairing here is a
-    * self-join restricted by doc_id order; at 100 TB you'd band the
-    * simhash into 4×15-bit chunks first (same LSH shape as minhash). */
+  /** 60-bit SimHash per doc (map-side fold over pre-hashed distinct
+    * tokens), then near-dup pairs by Hamming distance ≤ 2 (the testdata
+    * vocabulary is tiny, so token-set simhashes are close; real corpora
+    * use a larger radius). Pairing here is a self-join restricted by
+    * doc_id order; at 100 TB you'd band the simhash into 4×15-bit
+    * chunks first (same LSH shape as minhash). */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val simSql =
-      s"""aggregate(sequence(0, 59), CAST(0 AS BIGINT), (acc, j) ->
-            acc + CASE WHEN aggregate(toks, 0, (a2, s) ->
-                a2 + CASE WHEN shiftright(${h60("s")}, j) % 2 = 1 THEN 1 ELSE -1 END) > 0
-              THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END)"""
+    GraftFunctions.register(spark)
     val sim = Tables.documents(spark, dir)
       .select(col("doc_id"),
         expr(raw"array_distinct(regexp_extract_all(text, '\\S+', 0))").as("toks"))
-      .select(col("doc_id"), expr(simSql).as("sim"))
-    sim.as("a").join(sim.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("doc_id"), expr("graft_simhash60(toks)").as("sim"))
+    // pigeonhole band pre-filter: hamming ≤ 2 over 60 bits ⇒ at least
+    // one of the three 20-bit chunks is identical, so candidates come
+    // from an equi-join on (chunk, value) instead of an O(n²)
+    // nested-loop pair scan; exact hamming then verifies.
+    val chunks = sim.select(col("doc_id"), col("sim"),
+        explode(expr("""transform(sequence(0, 2), c ->
+          struct(c AS chunk, shiftright(sim, c*20) % 1048576 AS cval))""")).as("ch"))
+      .select(col("doc_id"), col("sim"), col("ch.chunk").as("chunk"), col("ch.cval").as("cval"))
+    chunks.as("a").join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval") &&
+          col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).cast("long").as("hamming"))
+      .distinct()
       .filter(col("hamming") <= 2)
       .orderBy(col("doc_a"), col("doc_b"))
   }
