@@ -1,0 +1,41 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.debug._
+
+/** Dumps the formatted physical plan of every SparkEntry query so plan
+  * regressions (lost pushdown, surprise shuffles, missing broadcasts,
+  * codegen gaps) are visible in review. Findings live in EXPLAINS.md.
+  *
+  *   runMain graft.PlanAudit <sfDir> <outDir>
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
+    val outDir = if (args.length > 1) args(1) else "target/plans"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Files.createDirectories(Paths.get(outDir))
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, sfDir)
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        Files.writeString(Paths.get(s"$outDir/$name.txt"), plan)
+      } catch {
+        case e: Throwable =>
+          Files.writeString(Paths.get(s"$outDir/$name.txt"), s"ERROR: ${e.getMessage}")
+      }
+    }
+    println(s"plans written to $outDir")
+    spark.stop()
+  }
+}

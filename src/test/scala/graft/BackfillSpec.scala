@@ -1,0 +1,71 @@
+package graft
+
+import graft.etl.Backfill
+import graft.streaming.RideState
+
+class BackfillSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("expected snapshot ids: one per minute, inclusive bounds, reference id format") {
+    val ids = Backfill.expectedSnapshotIds(spark, "2023/03/10/08/00", "2023/03/10/08/05")
+      .as[String].collect()
+    assert(ids.length == 6)
+    assert(ids.head == "2023/03/10/08/00" && ids.last == "2023/03/10/08/05")
+  }
+
+  test("pending = expected minus tracked; errored snapshots re-enter the backlog") {
+    val status = Seq(
+      ("2023/03/10/08/00", "loaded"),
+      ("2023/03/10/08/01", "error"),
+      ("2023/03/10/08/03", "loaded")).toDF("snapshot_id", "etl_status")
+    val pending = Backfill.pendingSnapshots(spark, "2023/03/10/08/00", "2023/03/10/08/04", status)
+      .select("snapshot_id").as[String].collect().sorted
+    assert(pending.toSeq == Seq("2023/03/10/08/02", "2023/03/10/08/04"))
+
+    val raw = Seq(
+      ("2023/03/10/08/01", SiriFixtures.snapA), // errored → reprocessed
+      ("2023/03/10/08/02", SiriFixtures.snapB), // missing → processed
+      ("2023/03/10/08/03", SiriFixtures.snapA)  // loaded → skipped
+    ).toDF("snapshot_id", "json")
+    val result = Backfill.processBacklog(spark, "2023/03/10/08/00", "2023/03/10/08/04", status, raw)
+    val processed = result.snapshotStats.select("snapshot_id").as[String].collect().sorted
+    assert(processed.toSeq == Seq("2023/03/10/08/01", "2023/03/10/08/02"))
+  }
+}
+
+class RideStateSpec extends SparkSpec {
+  import org.apache.spark.api.java.Optional
+  import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+
+  test("state fold accumulates visits across batches (updateRide)") {
+    val s1 = TestGroupState.create[RideState.RideProgress](
+      optionalState = Optional.empty(), timeoutConf = GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 1000L, eventTimeWatermarkMs = Optional.empty(), hasTimedOut = false)
+    val out1 = RideState.updateRide("ride-1",
+      Iterator(RideState.VisitEvent("ride-1", 1000L, 34.7, 31.8, 10, 100)), s1).toSeq
+    assert(out1.head.nVisits == 1 && out1.head.maxDistance == 100)
+    assert(s1.exists)
+
+    val s2 = TestGroupState.create[RideState.RideProgress](
+      optionalState = Optional.of(out1.head), timeoutConf = GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 2000L, eventTimeWatermarkMs = Optional.empty(), hasTimedOut = false)
+    val out2 = RideState.updateRide("ride-1",
+      Iterator(
+        RideState.VisitEvent("ride-1", 3000L, 34.9, 31.95, 20, 700),
+        RideState.VisitEvent("ride-1", 2000L, 34.8, 31.9, 30, 900)), s2).toSeq
+    assert(out2.head.nVisits == 3)
+    assert(out2.head.maxDistance == 900 && out2.head.maxVelocity == 30)
+    assert(out2.head.lastLon == 34.9 && out2.head.lastMs == 3000L) // sorted by time
+    assert(out2.head.firstMs == 1000L)
+  }
+
+  test("timed-out ride is emitted closed and state removed") {
+    val prior = RideState.RideProgress("ride-9", 4, 100L, 900L, 35.0, 32.0, 1200, 60, closed = false)
+    val s = TestGroupState.create[RideState.RideProgress](
+      optionalState = Optional.of(prior), timeoutConf = GroupStateTimeout.ProcessingTimeTimeout,
+      batchProcessingTimeMs = 10000L, eventTimeWatermarkMs = Optional.empty(), hasTimedOut = true)
+    val out = RideState.updateRide("ride-9", Iterator.empty, s).toSeq
+    assert(out.head.closed && out.head.nVisits == 4)
+    assert(s.isRemoved)
+  }
+}
