@@ -48,6 +48,9 @@ object SparkEntry {
     "q14_cond_ratio"     -> Relational.q14CondRatio _,
     "q18_having_join"    -> Relational.q18HavingJoin _,
     "q_topk_global"      -> Relational.qTopkGlobal _,
+    "q16_distinct_count" -> Relational.q16DistinctCount _,
+    "q22_wealthy_inactive" -> Relational.q22WealthyInactive _,
+    "q_median_value"     -> Relational.qMedianValue _,
     // §2.3 training-data pipeline ops (documents / embeddings)
     "text_tokens"         -> TextAnalysis.tokens _,
     "text_quality"        -> TextAnalysis.quality _,
@@ -61,6 +64,7 @@ object SparkEntry {
     "ann_ivf"             -> Similarity.annIvf _,
     "embed_centroids"     -> Similarity.centroids _,
     "mm_binary_features"  -> Multimodal.binaryFeatures _,
+    "dedup_embed_cosine"  -> Similarity.dedupEmbedCosine _,
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. */
@@ -330,6 +334,27 @@ object SparkEntry {
         | round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid, count(*) AS n_vecs
         |FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q16_distinct_count" ->
+      """SELECT p_brand, p_type, count(DISTINCT p_size) AS size_cnt, count(*) AS part_cnt
+        |FROM part GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q22_wealthy_inactive" ->
+      """SELECT c_mktsegment, count(*) AS n_custs,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer) * 1.2
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_median_value" ->
+      """SELECT event_type, round(quantile_cont(value, 0.5), 6) AS median_value,
+        | round(quantile_cont(value, 0.9), 6) AS p90_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_embed_cosine" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM e),
+        |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |   round(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1]*z[2])) / (a.norm * b.norm), 6) AS cosine
+        |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.35 ORDER BY vec_a, vec_b""".stripMargin,
     "mm_binary_features" ->
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

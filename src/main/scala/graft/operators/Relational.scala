@@ -204,6 +204,49 @@ object Relational {
       .orderBy(col("sum_qty").desc, col("o_orderkey"))
   }
 
+  /** Distinct-count per group (TPC-H Q16 shape): supplier-size variety
+    * per (brand, type). count(distinct) plans a two-phase partial
+    * aggregate — no row explosion. */
+  def q16DistinctCount(spark: SparkSession, dir: String): DataFrame = {
+    Tables.part(spark, dir)
+      .groupBy(col("p_brand"), col("p_type"))
+      .agg(countDistinct(col("p_size")).as("size_cnt"),
+        count(lit(1)).as("part_cnt"))
+      .orderBy(col("p_brand"), col("p_type"))
+  }
+
+  /** Scalar subquery + anti join (TPC-H Q22 shape): wealthy customers
+    * (above 1.2× average balance) with no recent orders, summarized by
+    * segment. The scalar average is computed once and broadcast into
+    * the filter. */
+  def q22WealthyInactive(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val avgBal = cust.agg(avg(col("c_acctbal")).as("a"))
+    val ord0 = Tables.orders(spark, dir)
+    val recent = ord0
+      .filter(col("o_orderdate") >= Tables.tsLit(ord0, "o_orderdate", "2000-01-01"))
+      .select("o_custkey")
+    cust.join(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("a") * 1.2)
+      .join(recent, cust("c_custkey") === recent("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_custs"),
+        sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double").as("total_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Exact interpolated median per group — the percentile aggregate
+    * (exact, not approx_percentile, so the oracle agrees bit-for-bit).
+    * At 100 TB you'd switch to approx_percentile with a bounded error;
+    * the exact version is the correctness anchor. */
+  def qMedianValue(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("median_value"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** Global deterministic top-k: ORDER BY with unique-key tie-break then
     * LIMIT — Spark plans TakeOrderedAndProject (per-partition heaps, no
     * global sort materialization). */

