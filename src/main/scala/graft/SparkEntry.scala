@@ -35,6 +35,7 @@ object SparkEntry {
     "etl_star_join"      -> EventsEtl.starJoin _,
     "etl_validate_recon" -> EventsEtl.validateRecon _,
     "etl_retry_dedup"    -> EventsEtl.retryDedup _,
+    "etl_asof_join"      -> EventsEtl.asofLatestView _,
     // §2.2 relational core
     "q1_pricing_summary" -> Relational.q1PricingSummary _,
     "q3_top_unshipped"   -> Relational.q3TopUnshipped _,
@@ -144,6 +145,14 @@ object SparkEntry {
         | coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
         | coalesce(n_a, 0) = coalesce(n_b, 0) AS is_match
         |FROM a FULL OUTER JOIN b ON a.minute_epoch = b.minute_epoch ORDER BY 1""".stripMargin,
+    "etl_asof_join" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id AS view_id, user_id AS vuser, ts AS vts FROM events WHERE event_type = 'view')
+        |SELECT purchase_id, user_id,
+        | CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS purchase_sec,
+        | view_id, CAST(epoch(date_trunc('second', vts)) AS BIGINT) AS view_sec
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.vuser AND p.ts >= v.vts
+        |ORDER BY purchase_id""".stripMargin,
     "etl_retry_dedup" ->
       """SELECT event_type, count(*) AS n FROM (
         | SELECT DISTINCT * FROM (SELECT * FROM events UNION ALL SELECT * FROM events))

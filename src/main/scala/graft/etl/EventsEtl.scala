@@ -200,6 +200,23 @@ object EventsEtl {
       .orderBy(col("minute_epoch"))
   }
 
+  /** As-of join (custom whole-operator, graft.plans.AsOfJoin): for
+    * each purchase, the latest prior view by the same user — the
+    * "state as of time T" primitive (e.g. where was each vehicle as of
+    * a query timestamp). One shuffle per side, linear merge. */
+  def asofLatestView(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("vuser"), col("ts").as("vts"))
+    graft.plans.AsOf.join(purchases, views, Seq("user_id"), Seq("vuser"), "ts", "vts")
+      .select(col("purchase_id"), col("user_id"),
+        epochSec(col("ts")).as("purchase_sec"),
+        col("view_id"), epochSec(col("vts")).as("view_sec"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** Idempotent-reload invariance (retry loop, process_snapshot.py:370):
     * replaying a batch must not create duplicates — union the batch with
     * itself, dedup by full row, counts must equal the original's. */

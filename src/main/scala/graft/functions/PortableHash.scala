@@ -26,10 +26,14 @@ object PortableHashImpl {
     MessageDigest.getInstance("MD5"))
 
   /** top 60 bits of md5(s), as a non-negative long. */
-  def md5h60(s: UTF8String): Long = {
+  def md5h60(s: UTF8String): Long = md5h60(s.getBytes)
+
+  /** same, over raw bytes (SQL md5(string) arrives as Md5(Cast(s AS
+    * BINARY)) — the rewrite rule feeds us the binary child). */
+  def md5h60(bytes: Array[Byte]): Long = {
     val d = digest.get()
     d.reset()
-    val b = d.digest(s.getBytes)
+    val b = d.digest(bytes)
     var acc = 0L
     var i = 0
     while (i < 8) { acc = (acc << 8) | (b(i) & 0xff); i += 1 }
@@ -95,11 +99,13 @@ object PortableHashImpl {
   }
 }
 
-/** h60(string) → long. */
+/** h60(string|binary) → long. */
 case class H60(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
-  override protected def nullSafeEval(v: Any): Any =
-    PortableHashImpl.md5h60(v.asInstanceOf[UTF8String])
+  override protected def nullSafeEval(v: Any): Any = v match {
+    case s: UTF8String => PortableHashImpl.md5h60(s)
+    case b: Array[Byte] => PortableHashImpl.md5h60(b)
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.PortableHashImpl.md5h60($c)")
   override protected def withNewChildInternal(c: Expression): H60 = copy(child = c)

@@ -1,0 +1,148 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.expressions.RowOrdering
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.execution.SparkStrategy
+
+/** As-of join: for every left row, the single latest right row of the
+  * same key whose time is ≤ the left row's time (left-outer semantics —
+  * unmatched left rows keep nulls on the right).
+  *
+  * Spark has no native as-of join, and composing it from built-ins
+  * costs a row-multiplying range join + a window dedup. This is the
+  * whole-operator path: a LogicalPlan + Strategy + physical exec whose
+  * merge is a single forward pass over both children, co-partitioned by
+  * key (ClusteredDistribution) and sorted by (key, time) — exactly one
+  * shuffle per side and O(|L|+|R|) merge work per partition, the same
+  * plan shape a 1000-executor cluster wants.
+  *
+  * Domain use: "where was each vehicle as of time T" over
+  * siri_vehicle_location, or latest-view-before-purchase over events.
+  */
+case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+    (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] =
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val leftOut = left.output
+    val rightOut = right.output
+    val lKeys = leftKeys; val rKeys = rightKeys
+    val lTime = leftTime; val rTime = rightTime
+    val outAttrs = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeys, leftOut)
+      val rKeyProj = UnsafeProjection.create(rKeys, rightOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lTime), leftOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rTime), rightOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(lKeys.map(_.dataType))
+      val timeOrd = RowOrdering.createNaturalAscendingOrdering(Seq(lTime.dataType))
+      val nullRight = new GenericInternalRow(rightOut.length)
+      val joined = new JoinedRow
+      // bind against a nullable view of the right schema — BindReferences
+      // takes nullability from the input attrs, and unmatched rows carry
+      // nulls in primitive columns
+      val resultProj = UnsafeProjection.create(outAttrs,
+        leftOut ++ rightOut.map(_.withNullability(true)))
+
+      // lookahead right row (copied — sort iterators reuse row buffers)
+      var rRow: InternalRow = null
+      var rKey: InternalRow = null
+      var rTimeVal: InternalRow = null
+      def pullRight(): Unit = {
+        if (rIter.hasNext) {
+          val r = rIter.next()
+          rRow = r.copy()
+          rKey = rKeyProj(rRow).copy()
+          rTimeVal = rTimeProj(rRow).copy()
+        } else { rRow = null; rKey = null; rTimeVal = null }
+      }
+      pullRight()
+
+      var matchRow: InternalRow = null
+      var matchKey: InternalRow = null
+
+      lIter.map { l =>
+        val lKey = lKeyProj(l)
+        val lT = lTimeProj(l)
+        if (matchRow != null && keyOrd.compare(matchKey, lKey) != 0) {
+          matchRow = null; matchKey = null
+        }
+        var advance = true
+        while (advance && rRow != null) {
+          val c = keyOrd.compare(rKey, lKey)
+          if (c < 0) pullRight()
+          else if (c == 0 && timeOrd.compare(rTimeVal, lT) <= 0) {
+            matchRow = rRow; matchKey = rKey
+            pullRight()
+          } else advance = false
+        }
+        resultProj(joined(l, if (matchRow != null) matchRow else nullRight))
+      }
+    }
+  }
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+/** User-facing builder. */
+object AsOf {
+  /** left-outer as-of join: for each left row, latest right row with
+    * rightTime ≤ leftTime sharing `keys`. Column names must be disjoint
+    * apart from the join keys you select away afterwards. */
+  def join(leftDf: DataFrame, rightDf: DataFrame, leftKeys: Seq[String],
+      rightKeys: Seq[String], leftTimeCol: String, rightTimeCol: String): DataFrame = {
+    val spark = leftDf.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
+    val lPlan = leftDf.queryExecution.analyzed
+    val rPlan = rightDf.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found in ${p.output.map(_.name)}"))
+    val node = AsOfJoin(lPlan, rPlan,
+      leftKeys.map(attr(lPlan, _)), rightKeys.map(attr(rPlan, _)),
+      attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol))
+    org.apache.spark.sql.graft.GraftShim.ofRows(spark, node)
+  }
+}

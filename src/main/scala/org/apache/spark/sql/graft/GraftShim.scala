@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Minimal bridge into Spark's private[sql] surface: build a DataFrame
+  * from a custom LogicalPlan (needed to expose whole-operator nodes
+  * like graft.plans.AsOfJoin through the public Dataset API). This is
+  * the one place the library reaches into Spark internals; everything
+  * else uses public APIs.
+  */
+object GraftShim {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.plans.AsOf
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asof join picks latest right row at-or-before left time, nulls when none") {
+    val quotes = Seq( // (sym, qts, px)
+      ("A", 10L, 1.0), ("A", 20L, 2.0), ("A", 30L, 3.0),
+      ("B", 15L, 9.0),
+      ("C", 99L, 5.0)).toDF("sym", "qts", "px")
+    val trades = Seq( // (sym, ts, qty)
+      ("A", 5L, 100),  // before any quote → null
+      ("A", 20L, 200), // exactly at quote 20 → 2.0
+      ("A", 25L, 300), // between → 2.0
+      ("A", 99L, 400), // after all → 3.0
+      ("B", 14L, 500), // before B's quote → null
+      ("B", 16L, 600), // → 9.0
+      ("D", 50L, 700)  // key missing on right → null
+    ).toDF("sym", "ts", "qty")
+    val r = AsOf.join(trades, quotes.withColumnRenamed("sym", "qsym"),
+        Seq("sym"), Seq("qsym"), "ts", "qts")
+      .select($"sym", $"ts", $"qty", $"px")
+      .collect().map(x => (x.getString(0), x.getLong(1),
+        if (x.isNullAt(3)) None else Some(x.getDouble(3)))).toSet
+    assert(r == Set(
+      ("A", 5L, None), ("A", 20L, Some(2.0)), ("A", 25L, Some(2.0)), ("A", 99L, Some(3.0)),
+      ("B", 14L, None), ("B", 16L, Some(9.0)), ("D", 50L, None)))
+  }
+
+  test("asof join agrees with the composed range-join + window equivalent on real data") {
+    val ev = Tables.events(spark, sf0001)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"ts")
+    val views = ev.filter($"event_type" === "view")
+      .select($"event_id".as("view_id"), $"user_id".as("vuser"), $"ts".as("vts"))
+
+    val fast = AsOf.join(purchases, views, Seq("user_id"), Seq("vuser"), "ts", "vts")
+      .select($"purchase_id", $"view_id")
+
+    // reference composition: range join (row-multiplying) + window dedup
+    val w = Window.partitionBy($"purchase_id").orderBy($"vts".desc, $"view_id".desc)
+    val slow = purchases.join(views,
+        $"user_id" === $"vuser" && $"ts" >= $"vts", "left")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"purchase_id", $"view_id")
+
+    val fastSet = fast.collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    val slowSet = slow.collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(fastSet == slowSet)
+    assert(fastSet.nonEmpty)
+  }
+
+  test("optimizer rule rewrites portable hash spelling to the native kernel") {
+    GraftExtensions.install(spark)
+    val df = Tables.documents(spark, sf0001)
+      .selectExpr("CAST(conv(substr(md5(text), 1, 15), 16, 10) AS BIGINT) AS h")
+    assert(df.queryExecution.optimizedPlan.toString.contains("h60"),
+      s"expected H60 in:\n${df.queryExecution.optimizedPlan}")
+    // value parity with the native function
+    GraftFunctions(spark)
+    val direct = Tables.documents(spark, sf0001).selectExpr("graft_h60(text) AS h")
+    assert(df.collect().map(_.getLong(0)).toSeq == direct.collect().map(_.getLong(0)).toSeq)
+  }
+
+  private def GraftFunctions(s: org.apache.spark.sql.SparkSession): Unit =
+    graft.functions.GraftFunctions.register(s)
+}
