@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale techniques as code, not prose (SURVEY.md §5): bucketed
+  * co-located joins and salted skew joins. These are the knobs that
+  * matter at 100 TB — at small SF they're exercised by tests that
+  * assert the *plan shape* (no shuffle under bucketing; salt spreads a
+  * hot key across partitions).
+  */
+object Scale {
+
+  /** Write both sides bucketed by the join key into the session
+    * warehouse. Joins between them then co-locate: no Exchange on
+    * either side (tests assert this). At 100 TB this is how the
+    * fact⋈fact joins (e.g. vehicle_locations ⋈ ride_stops) avoid
+    * re-shuffling per query. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Join two bucketed tables on their bucket key — planner skips both
+    * exchanges when bucket specs line up. */
+  def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+      key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), key)
+
+  /** Salted join for skewed keys: the big (skewed) side gets a random-
+    * but-deterministic salt in [0, salts); the small side is exploded
+    * ×salts so every (key, salt) pair finds its match. Equivalent to
+    * the plain join, but the hot key's rows spread over `salts`
+    * reducers instead of one straggler.
+    *
+    * (AQE's skew-join handles sort-merge skew automatically; explicit
+    * salting is for aggregations-after-join and for engines/paths AQE
+    * doesn't cover — and it's deterministic, which AQE splitting need
+    * not be.) */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {
+    require(salts > 0)
+    // deterministic salt: stable under retries (a random salt would
+    // break idempotent reload semantics)
+    val saltedBig = big.withColumn("__salt",
+      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(salts)).cast("int"))
+    val saltedSmall = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedBig.join(saltedSmall, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Top-frequency keys of a column — the input to a targeted salting
+    * decision (salt only the hot keys, leave the long tail alone). */
+  def hotKeys(df: DataFrame, key: String, minCount: Long): DataFrame =
+    df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .orderBy(col("n").desc, col(key))
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Scale
+import graft.streaming.SnapshotStream
+
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed join co-locates: no shuffle exchange in the plan") {
+    val o = Tables.orders(spark, sf0001).select("o_orderkey", "o_totalprice")
+    val l = Tables.lineitem(spark, sf0001)
+      .groupBy($"l_orderkey".as("o_orderkey")).agg(sum($"l_quantity").as("qty"))
+    Seq("t_orders_b", "t_lines_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), t)
+      org.apache.commons.io.FileUtils.deleteQuietly(loc)
+    }
+    Scale.writeBucketed(o, "t_orders_b", "o_orderkey", 8)
+    Scale.writeBucketed(l, "t_lines_b", "o_orderkey", 8)
+    // disable broadcast so the planner actually uses the bucket layout
+    // (at real scale both sides are too big to broadcast anyway)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Scale.bucketedJoin(spark, "t_orders_b", "t_lines_b", "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange"), s"expected no shuffle:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"expected bucketed scans:\n$plan")
+      val expected = o.join(l, "o_orderkey").count()
+      assert(joined.count() == expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("salted join equals plain join and spreads the hot key") {
+    val big = Tables.lineitem(spark, sf0001).select($"l_orderkey".as("k"), $"l_quantity")
+    val small = Tables.orders(spark, sf0001)
+      .select($"o_orderkey".as("k"), $"o_orderpriority").limit(200)
+    val plain = big.join(small, "k")
+    val salted = Scale.saltedJoin(big, small, "k", salts = 4)
+    assert(salted.count() == plain.count())
+    val a = salted.groupBy("k").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = plain.groupBy("k").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
+  test("hot-key detection finds the heavy hitters") {
+    val hot = Scale.hotKeys(Tables.lineitem(spark, sf0001), "l_orderkey", minCount = 5L)
+    val manual = Tables.lineitem(spark, sf0001)
+      .groupBy("l_orderkey").count().filter($"count" >= 5).count()
+    assert(hot.count() == manual)
+  }
+
+  test("watermarked windowed stats stream (liveSnapshotStats) aggregates per minute") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val stream = MemoryStream[(String, String)]
+    stream.addData(("2023/03/10/08/01", SiriFixtures.snapA))
+    val visits = SnapshotStream.parsedVisits(stream.toDF().toDF("snapshot_id", "json"))
+    val q = SnapshotStream.liveSnapshotStats(visits)
+      .writeStream.format("memory").queryName("live_stats")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("live_stats").collect()
+      assert(rows.nonEmpty)
+      val r = rows.head
+      assert(r.getAs[Long]("num_successful_parse_vehicle_locations") == 3)
+      // the invalid visit has no recorded_at_time → excluded from the
+      // event-time window; parse errors are tracked on the batch path
+    } finally q.stop()
+  }
+}
