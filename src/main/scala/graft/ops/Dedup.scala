@@ -63,30 +63,44 @@ object Dedup {
       .orderBy(col("keep_doc_id"))
   }
 
-  /** n-gram Jaccard near-dup pairs: explode distinct 3-token shingles,
-    * self-join on shingle (the shuffle key), count common, Jaccard =
-    * |∩| / (|A|+|B|-|∩|), threshold 0.8. */
+  /** n-gram Jaccard near-dup pairs (exact): prefix-filtered all-pairs
+    * similarity join, Jaccard = |∩| / (|A|+|B|-|∩|), threshold 0.8. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
-    // join on the 60-bit shingle hash, not the shingle string — long
-    // keys keep the (skewed) self-join cheap and the result identical
-    // (distinct strings ⇒ distinct md5-derived hashes in practice)
-    val sh = withShingleHashes(Tables.documents(spark, dir))
-      .select(col("doc_id"), explode(col("hs")).as("s"))
-    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    // hash join beats sort-merge here: the shingle side is small enough
-    // to hash-partition but the pair fan-out (df² per shingle) makes the
-    // SMJ sort a pure tax
-    val common = sh.as("a").hint("shuffle_hash").join(sh.as("b"),
+    val threshold = 0.8
+    // Exact all-pairs similarity join with PPJoin-style prefix
+    // filtering: J(A,B) ≥ t requires |A∩B| ≥ t·|A|, so A and B must
+    // share at least one of the (⌊(1-t)·|A|⌋ + 1) globally-rarest
+    // shingles of each — joining only those prefixes yields an exact
+    // candidate superset at a fraction of the Σdf² pair explosion
+    // (19s → 13.7s at sf0.1 — the synthetic corpus's 31-word vocabulary
+    // keeps even "rare" shingles frequent, capping the win; on a real
+    // corpus the prefix join is orders of magnitude smaller).
+    // Verification is array_intersect over per-doc shingle-hash sets.
+    // keep the exploded relation narrow — carrying the hs array through
+    // the explode would shuffle every 90-element array 90 times
+    val sets = withShingleHashes(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("hs"))
+    val sh = sets.select(col("doc_id"), size(col("hs")).as("n"), explode(col("hs")).as("s"))
+    val freq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val ranked = sh.join(freq, "s")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
+      .filter(col("rn") <= floor(col("n") * (1 - threshold)).cast("int") + 1)
+      .select(col("doc_id"), col("s"))
+    val candidates = ranked.as("a").join(ranked.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("c"))
-    common
-      .join(counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    candidates
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6).as("jaccard"))
-      .filter(col("jaccard") >= 0.8)
+        round(size(array_intersect(col("ha"), col("hb"))).cast("double") /
+          (size(col("ha")) + size(col("hb")) - size(array_intersect(col("ha"), col("hb")))), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
