@@ -40,9 +40,18 @@ object SiriSnapshotEtl {
     val mvj = col("visit.MonitoredVehicleJourney")
     raw
       .select(col("snapshot_id"), from_json(col("json"), SiriSchema.root).as("doc"))
-      .select(col("snapshot_id"),
-        explode(col("doc.Siri.ServiceDelivery.StopMonitoringDelivery")).as("smd"))
-      .select(col("snapshot_id"), explode(col("smd.MonitoredStopVisit")).as("visit"))
+      // explode_outer + the filter below: a malformed document (doc or
+      // delivery null after from_json) must surface as ONE failed visit
+      // so the snapshot gets an error-status row (the reference marks
+      // the whole snapshot failed, process_snapshot.py:289) — a plain
+      // explode would silently drop it. A well-formed delivery with an
+      // empty visit list stays invisible (zero visits, zero failures).
+      .select(col("snapshot_id"), col("doc"),
+        explode_outer(col("doc.Siri.ServiceDelivery.StopMonitoringDelivery")).as("smd"))
+      .select(col("snapshot_id"), col("doc"), col("smd"),
+        explode_outer(col("smd.MonitoredStopVisit")).as("visit"))
+      .filter(col("visit").isNotNull || col("doc.Siri.ServiceDelivery").isNull ||
+        col("smd").isNull)
       .select(
         col("snapshot_id"),
         to_timestamp(col("visit.RecordedAtTime"), TsFmt).as("recorded_at_time"),
