@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.etl.{Backfill, SiriSnapshotEtl}
+import graft.sources.SnapshotStorage
 
 /** Command-line surface mirroring the reference's cli.py commands, each
   * dispatching to the library jobs:
@@ -29,30 +30,11 @@ object Cli {
       .getOrCreate()
   }
 
-  /** Read raw snapshot JSON files; snapshot_id derived from the path
-    * (YYYY/MM/DD/HH/MM.json) — no driver-side directory walking. */
   private def readRaw(spark: SparkSession, rawDir: String) =
-    spark.read.option("wholetext", "true").text(s"$rawDir/*/*/*/*/*.json")
-      .select(
-        regexp_extract(input_file_name(), raw"(\d{4}/\d{2}/\d{2}/\d{2}/\d{2})\.json", 1)
-          .as("snapshot_id"),
-        col("value").as("json"))
+    SnapshotStorage.readRaw(spark, rawDir)
 
-  private def writeResult(r: SiriSnapshotEtl.EtlResult, outDir: String): Unit = {
-    r.routes.write.mode("overwrite").parquet(s"$outDir/siri_routes")
-    r.stops.write.mode("overwrite").parquet(s"$outDir/siri_stops")
-    r.rides.write.mode("overwrite").parquet(s"$outDir/siri_rides")
-    r.rideStops.write.mode("overwrite").parquet(s"$outDir/siri_ride_stops")
-    // facts partitioned by snapshot id prefix (= date) → reloading one
-    // snapshot rewrites one partition, the reference's idempotent reload
-    r.vehicleLocations
-      .withColumn("snapshot_date",
-        translate(substring(col("snapshot_id"), 1, 10), "/", "-"))
-      .write.mode("overwrite").partitionBy("snapshot_date")
-      .parquet(s"$outDir/siri_vehicle_locations")
-    r.snapshotStats.write.mode("overwrite").parquet(s"$outDir/siri_snapshots")
-    r.parseErrors.write.mode("overwrite").parquet(s"$outDir/parse_errors")
-  }
+  private def writeResult(r: SiriSnapshotEtl.EtlResult, outDir: String): Unit =
+    SnapshotStorage.writeTables(r, outDir)
 
   def main(args: Array[String]): Unit = {
     val spark = session()

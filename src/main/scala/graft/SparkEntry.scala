@@ -52,11 +52,13 @@ object SparkEntry {
     "q16_distinct_count" -> Relational.q16DistinctCount _,
     "q22_wealthy_inactive" -> Relational.q22WealthyInactive _,
     "q_median_value"     -> Relational.qMedianValue _,
+    "q_approx_sketches"  -> Relational.qApproxSketches _,
     // §2.3 training-data pipeline ops (documents / embeddings)
     "text_tokens"         -> TextAnalysis.tokens _,
     "text_quality"        -> TextAnalysis.quality _,
     "text_langid"         -> TextAnalysis.langid _,
     "text_fingerprint"    -> TextAnalysis.fingerprint _,
+    "text_winnow"         -> TextAnalysis.winnow _,
     "dedup_exact"         -> Dedup.exact _,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccard _,
     "dedup_minhash_lsh"   -> Dedup.minhashLsh _,
@@ -271,6 +273,16 @@ object SparkEntry {
         | FROM documents)
         |SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n_same_fp
         |FROM f ORDER BY doc_id""".stripMargin,
+    "text_winnow" ->
+      """WITH g AS (SELECT doc_id,
+        |  CASE WHEN length(text) < 8 THEN [('0x' || substr(md5(text), 1, 15))::BIGINT]
+        |  ELSE list_transform(range(1, length(text) - 8 + 2),
+        |    i -> ('0x' || substr(md5(substr(text, i, 8)), 1, 15))::BIGINT) END AS h
+        | FROM documents),
+        |wins AS (SELECT doc_id, h, greatest(1, len(h) - 4 + 1) AS nw FROM g),
+        |fps AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, nw + 1),
+        |   j -> list_min(h[j:least(j + 4 - 1, len(h))])))) AS fp FROM wins)
+        |SELECT doc_id, fp FROM fps ORDER BY doc_id, fp""".stripMargin,
     "dedup_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -77,6 +77,40 @@ object PortableHashImpl {
     sim
   }
 
+  /** Winnowing fingerprints (MOSS-style): h60 of every k-char gram,
+    * then the minimum of each w-length window of those hashes; distinct
+    * mins, sorted. Portable spec — DuckDB reproduces it with
+    * substr+md5 list ops. Text shorter than k fingerprints as one
+    * whole-text hash. */
+  def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val t = text.toString
+    val n = t.length
+    if (n < k) return new GenericArrayData(Array(md5h60(text)))
+    val m = n - k + 1
+    val h = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      h(i) = md5h60(UTF8String.fromString(t.substring(i, i + k)))
+      i += 1
+    }
+    val nw = math.max(1, m - w + 1)
+    val mins = new java.util.TreeSet[java.lang.Long]()
+    var j = 0
+    while (j < nw) {
+      var mn = Long.MaxValue
+      var x = j
+      val end = math.min(j + w, m)
+      while (x < end) { if (h(x) < mn) mn = h(x); x += 1 }
+      mins.add(mn)
+      j += 1
+    }
+    val out = new Array[Long](mins.size)
+    var z = 0
+    val it = mins.iterator()
+    while (it.hasNext) { out(z) = it.next(); z += 1 }
+    new GenericArrayData(out)
+  }
+
   private val P = 2147483647L
 
   /** k-element MinHash signature over a shingle array:
@@ -141,6 +175,18 @@ case class MinHashSig(child: Expression, k: Int = 16) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
 }
 
+/** WinnowFingerprint(string, k, w) → sorted array<long> of distinct
+  * window-min k-gram hashes. */
+case class WinnowFingerprint(child: Expression, k: Int = 8, w: Int = 4)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    PortableHashImpl.winnow(v.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PortableHashImpl.winnow($c, $k, $w)")
+  override protected def withNewChildInternal(c: Expression): WinnowFingerprint = copy(child = c)
+}
+
 /** SQL registration so the expressions are usable from `expr(...)` and
   * spark.sql without depending on version-specific Column internals. */
 object GraftFunctions {
@@ -150,5 +196,6 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_h60_array", es => H60Array(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_simhash60", es => SimHash60(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_minhash_sig", es => MinHashSig(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_winnow", es => WinnowFingerprint(es.head), "scala_udf")
   }
 }

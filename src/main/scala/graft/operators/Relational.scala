@@ -247,6 +247,21 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** Sketch aggregates — the 100 TB path for distinct counts and
+    * quantiles (bounded-memory HLL / quantile sketch, map-side
+    * mergeable). No DuckDB oracle: sketch internals are
+    * engine-specific, so the driver records a rows-only check; the
+    * exact anchors are q16_distinct_count / q_median_value. */
+  def qApproxSketches(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+        expr("approx_percentile(value, array(0.5, 0.95), 10000)").as("approx_quantiles"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
   /** Global deterministic top-k: ORDER BY with unique-key tie-break then
     * LIMIT — Spark plans TakeOrderedAndProject (per-partition heaps, no
     * global sort materialization). */

@@ -66,6 +66,19 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Winnowing (rolling k-gram hash) fingerprints, MOSS-style: the
+    * plagiarism/near-dup fingerprint family — window-min over k-gram
+    * hashes selects a deterministic ~1/w sample of each document's
+    * hashes, robust to insertions. Native kernel
+    * (graft.functions.WinnowFingerprint); one row per (doc,
+    * fingerprint). */
+  def winnow(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(expr("graft_winnow(text)")).as("fp"))
+      .orderBy(col("doc_id"), col("fp"))
+  }
+
   /** Normalized-content fingerprint + duplicate-group size: md5 over
     * lowercased text with punctuation/whitespace collapsed. The window
     * count is the "how many share my fingerprint" signal dedup uses. */

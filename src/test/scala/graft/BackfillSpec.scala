@@ -69,3 +69,23 @@ class RideStateSpec extends SparkSpec {
     assert(s.isRemoved)
   }
 }
+
+class SnapshotStorageSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.sources.SnapshotStorage
+
+  test("status merge: fresh stats replace stale rows, others untouched") {
+    val existing = Seq(
+      ("2023/03/10/08/01", "error", 0L),
+      ("2023/03/10/08/02", "loaded", 5L)).toDF("snapshot_id", "etl_status", "n")
+    val fresh = Seq(
+      ("2023/03/10/08/01", "loaded", 3L),
+      ("2023/03/10/08/03", "loaded", 7L)).toDF("snapshot_id", "etl_status", "n")
+    val merged = SnapshotStorage.mergeStatus(existing, fresh)
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(merged == Map(
+      "2023/03/10/08/01" -> ("loaded", 3L),
+      "2023/03/10/08/02" -> ("loaded", 5L),
+      "2023/03/10/08/03" -> ("loaded", 7L)))
+  }
+}
