@@ -53,6 +53,8 @@ object SparkEntry {
     "q22_wealthy_inactive" -> Relational.q22WealthyInactive _,
     "q_median_value"     -> Relational.qMedianValue _,
     "q_approx_sketches"  -> Relational.qApproxSketches _,
+    "q2_min_within_group" -> Relational.q2MinWithinGroup _,
+    "q15_top_supplier"   -> Relational.q15TopSupplier _,
     // §2.3 training-data pipeline ops (documents / embeddings)
     "text_tokens"         -> TextAnalysis.tokens _,
     "text_quality"        -> TextAnalysis.quality _,
@@ -355,6 +357,38 @@ object SparkEntry {
         | round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid, count(*) AS n_vecs
         |FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q2_min_within_group" ->
+      """SELECT p_partkey, p_name, p_type, p_retailprice
+        |FROM part p
+        |WHERE p_retailprice = (SELECT min(p_retailprice) FROM part x WHERE x.p_type = p.p_type)
+        |ORDER BY p_type, p_partkey""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q2_min_within_group" ->
+      """SELECT p_partkey, p_name, p_type, p_retailprice
+        |FROM part p
+        |WHERE p_retailprice = (SELECT min(p_retailprice) FROM part x WHERE x.p_type = p.p_type)
+        |ORDER BY p_type, p_partkey""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
     "q16_distinct_count" ->
       """SELECT p_brand, p_type, count(DISTINCT p_size) AS size_cnt, count(*) AS part_cnt
         |FROM part GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
@@ -382,6 +416,12 @@ object SparkEntry {
         | hex(encode(substr(text, 1, 4))) AS header_hex,
         | md5(hex(encode(text))) AS content_hash,
         | CAST(octet_length(encode(text)) // 256 AS BIGINT) AS n_frames,
+        | CASE WHEN hex(encode(substr(text, 1, 4))) LIKE '89504E47%' THEN 'png'
+        |      WHEN hex(encode(substr(text, 1, 4))) LIKE 'FFD8FF%' THEN 'jpeg'
+        |      WHEN hex(encode(substr(text, 1, 4))) LIKE '47494638%' THEN 'gif'
+        |      WHEN hex(encode(substr(text, 1, 4))) LIKE '52494646%' THEN 'riff'
+        |      WHEN hex(encode(substr(text, 1, 4))) LIKE '664C6143%' THEN 'flac'
+        |      ELSE 'unknown' END AS detected_type,
         | 'stubbed-no-codec' AS decode_status
         |FROM documents ORDER BY doc_id""".stripMargin,
   )

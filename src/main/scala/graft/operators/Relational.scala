@@ -247,6 +247,37 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** Correlated min-within-group subquery (TPC-H Q2 shape): parts
+    * priced at their type's minimum. Planned as one aggregate +
+    * broadcast join back — the correlation never re-executes per row. */
+  def q2MinWithinGroup(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir)
+    val minPrice = part.groupBy(col("p_type").as("mt"))
+      .agg(min(col("p_retailprice")).as("min_price"))
+    part.join(broadcast(minPrice),
+        col("p_type") === col("mt") && col("p_retailprice") === col("min_price"))
+      .select(col("p_partkey"), col("p_name"), col("p_type"), col("p_retailprice"))
+      .orderBy(col("p_type"), col("p_partkey"))
+  }
+
+  /** Aggregate-equals-max view join (TPC-H Q15 shape): suppliers whose
+    * revenue equals the global maximum. The revenue "view" is computed
+    * once and reused for both the max and the final equality. */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val li0 = Tables.lineitem(spark, dir)
+    val rev = li0
+      .filter(col("l_shipdate") >= Tables.tsLit(li0, "l_shipdate", "1997-01-01") &&
+        col("l_shipdate") < Tables.tsLit(li0, "l_shipdate", "1997-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(revTerm(col("l_extendedprice"), col("l_discount"))).cast("double").as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("mx"))
+    val sup = Tables.supplier(spark, dir).select("s_suppkey", "s_name")
+    rev.join(broadcast(mx), col("total_revenue") === col("mx"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
   /** Sketch aggregates — the 100 TB path for distinct counts and
     * quantiles (bounded-memory HLL / quantile sketch, map-side
     * mergeable). No DuckDB oracle: sketch internals are

@@ -50,6 +50,19 @@ object Scale {
     saltedBig.join(saltedSmall, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Bloom-filter pre-filter for a semi-join-shaped reduction: build a
+    * compact bloom over the (small) key side, broadcast it, and drop
+    * non-matching fact rows BEFORE the shuffle. False positives pass
+    * through (the exact join after stays correct); true negatives — the
+    * overwhelming majority at 100 TB — never leave the scan stage. */
+  def bloomPrune(big: DataFrame, keys: DataFrame, keyCol: String,
+      expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val bloom = keys.stat.bloomFilter(keyCol, expectedItems, fpp)
+    val bc = big.sparkSession.sparkContext.broadcast(bloom)
+    val f = udf((v: Long) => bc.value.mightContainLong(v))
+    big.filter(f(col(keyCol)))
+  }
+
   /** Top-frequency keys of a column — the input to a targeted salting
     * decision (salt only the hot keys, leave the long tail alone). */
   def hotKeys(df: DataFrame, key: String, minCount: Long): DataFrame =

@@ -33,8 +33,20 @@ object Multimodal {
         hex(encode(substring(col("text"), 1, 4), "UTF-8")).as("header_hex"),
         md5(hex(col("payload"))).as("content_hash"),
         (length(col("payload")).cast("long") / 256).cast("long").as("n_frames"),
+        detectType(hex(encode(substring(col("text"), 1, 4), "UTF-8"))).as("detected_type"),
         lit("stubbed-no-codec").as("decode_status"))
       .orderBy(col("doc_id"))
+
+  /** Container-format sniffing from the 4-byte header (magic bytes) —
+    * the dispatch a real decode stage keys on. Text payloads land on
+    * "unknown"; the spec exercises real magic bytes. */
+  def detectType(headerHex: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(headerHex.startsWith("89504E47"), "png")
+      .when(headerHex.startsWith("FFD8FF"), "jpeg")
+      .when(headerHex.startsWith("47494638"), "gif")
+      .when(headerHex.startsWith("52494646"), "riff")
+      .when(headerHex.startsWith("664C6143"), "flac")
+      .otherwise("unknown")
 
   /** Deterministic stand-in for a codec: "decodes" a payload into one
     * scalar feature. A real deployment swaps this body for the codec

@@ -72,3 +72,33 @@ class ScaleSpec extends SparkSpec {
     } finally q.stop()
   }
 }
+
+class BloomAndMagicSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bloom pruning keeps every real match, drops most non-matches") {
+    val facts = Tables.lineitem(spark, sf0001).select($"l_orderkey", $"l_quantity")
+    val keys = Tables.orders(spark, sf0001)
+      .select($"o_orderkey".as("l_orderkey")).limit(50)
+    val pruned = graft.operators.Scale.bloomPrune(facts, keys, "l_orderkey",
+      expectedItems = 1000L, fpp = 0.01)
+    val exactAfterPrune = pruned.join(keys, "l_orderkey").count()
+    val exactDirect = facts.join(keys, "l_orderkey").count()
+    assert(exactAfterPrune == exactDirect)     // no true match lost
+    assert(pruned.count() < facts.count() / 2) // and pruning actually pruned
+  }
+
+  test("magic-byte sniffing dispatches real container headers") {
+    val df = Seq(
+      ("89504E470D0A1A0A", "png"),
+      ("FFD8FFE000104A46", "jpeg"),
+      ("474946383961AABB", "gif"),
+      ("52494646AAAAAAAA", "riff"),
+      ("664C614300000022", "flac"),
+      ("0001020304050607", "unknown")).toDF("header_hex", "expected")
+    val got = df.withColumn("detected",
+        graft.ops.Multimodal.detectType($"header_hex"))
+      .filter($"detected" =!= $"expected")
+    assert(got.count() == 0)
+  }
+}
