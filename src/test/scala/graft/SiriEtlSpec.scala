@@ -127,3 +127,41 @@ class SiriEtlSpec extends SparkSpec {
     assert(bySnap("2023/03/10/08/02") == 1) // only the new (30,9) route
   }
 }
+
+class SiriAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.etl.SiriSnapshotEtl
+  import graft.operators.SiriAnalytics
+
+  private lazy val result = SiriSnapshotEtl.run(Seq(
+    ("2023/03/10/08/01", SiriFixtures.snapA),
+    ("2023/03/10/08/02", SiriFixtures.snapB)).toDF("snapshot_id", "json"))
+
+  test("ride summaries roll up locations per ride with observed duration") {
+    val rs = SiriAnalytics.rideSummaries(result).collect()
+      .map(r => r.getAs[Long]("siri_ride_id") -> r).toMap
+    assert(rs.size == 3) // ride(1,25,veh-1), ride(3,25,veh-2), ride(9,30,veh-9)
+    val multi = rs.values.filter(_.getAs[Long]("n_locations") > 1)
+    assert(multi.size == 1) // veh-1's ride reports in both snapshots
+    assert(multi.head.getAs[Long]("observed_secs") == 60L)
+    assert(multi.head.getAs[Int]("max_velocity") == 42)
+  }
+
+  test("active vehicles per route per minute counts distinct vehicles") {
+    val av = SiriAnalytics.activeVehiclesPerRoute(result)
+    assert(av.agg(org.apache.spark.sql.functions.sum("n_reports")).head().getLong(0) == 5L)
+    assert(av.filter($"n_vehicles" < 1).count() == 0)
+  }
+
+  test("stop progression orders stops within a ride") {
+    val sp = SiriAnalytics.stopProgression(result).collect()
+    // 4 distinct ride-stops: snapB's order-13 visit repeats snapA's
+    assert(sp.length == 4)
+    val veh1 = sp.filter(_.getAs[Long]("secs_since_prev_stop") != null)
+    // veh-1 reported at order 13 (08:01) then order 14 is a different
+    // stop in snapB? no — snapB repeats order 13; progression rows with
+    // a prev stop exist only where a ride has 2+ distinct orders
+    assert(sp.count(r => !r.isNullAt(r.fieldIndex("prev_order"))) ==
+      sp.count(r => !r.isNullAt(r.fieldIndex("secs_since_prev_stop"))))
+  }
+}
