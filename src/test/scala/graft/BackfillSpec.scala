@@ -89,3 +89,19 @@ class SnapshotStorageSpec extends SparkSpec {
       "2023/03/10/08/03" -> ("loaded", 7L)))
   }
 }
+
+class MaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("compaction bin-packs many small files, preserving rows") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toFile.getAbsolutePath + "/facts"
+    val df = Tables.events(spark, sf0001)
+      .withColumn("d", org.apache.spark.sql.functions.to_date($"ts"))
+    // simulate daemon appends: many tiny files
+    df.repartition(40).write.partitionBy("d").parquet(dir)
+    val rows = spark.read.parquet(dir).count()
+    val (before, after) = graft.sources.Maintenance.compact(spark, dir, "d", targetFileMB = 256)
+    assert(before > after, s"$before -> $after")
+    assert(spark.read.parquet(dir + "_compacted").count() == rows)
+  }
+}
