@@ -70,6 +70,7 @@ object SparkEntry {
     "embed_centroids"     -> Similarity.centroids _,
     "mm_binary_features"  -> Multimodal.binaryFeatures _,
     "dedup_embed_cosine"  -> Similarity.dedupEmbedCosine _,
+    "ann_lsh_bucket"      -> Similarity.annLshBucket _,
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. */
@@ -352,6 +353,19 @@ object SparkEntry {
         |SELECT vec_id, cell, dist AS dist_to_cell, cell = CAST(label AS BIGINT) AS matches_label
         |FROM s QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1
         |ORDER BY vec_id""".stripMargin,
+    "ann_lsh_bucket" ->
+      """WITH planes AS (
+        |  SELECT b, list_transform(range(0, 64), j ->
+        |    ((('0x' || substr(md5(b::VARCHAR || '-' || j::VARCHAR), 1, 15))::BIGINT % 2001) - 1000) / 1000.0) AS plane
+        |  FROM (SELECT unnest(range(0, 8)) AS b)),
+        |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |bits AS (SELECT vec_id, b,
+        |   CASE WHEN list_sum(list_transform(list_zip(v, plane), z -> z[1]*z[2])) >= 0
+        |     THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+        |  FROM e CROSS JOIN planes),
+        |buck AS (SELECT vec_id, CAST(sum(bit * (CAST(1 AS BIGINT) << b)) AS BIGINT) AS bucket FROM bits GROUP BY 1)
+        |SELECT vec_id, bucket, count(*) OVER (PARTITION BY bucket) AS n_in_bucket
+        |FROM buck ORDER BY vec_id""".stripMargin,
     "embed_centroids" ->
       """SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS pos,
         | round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid, count(*) AS n_vecs

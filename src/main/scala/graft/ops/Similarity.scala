@@ -61,6 +61,30 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Random-hyperplane LSH bucketing — the other scale path for ANN
+    * (complementing IVF): 8 deterministic hash-derived hyperplanes map
+    * every vector to an 8-bit bucket; search happens within a bucket
+    * (expected n/256 of the corpus). Planes derive from H60 so the
+    * DuckDB oracle reproduces them exactly. */
+  def annLshBucket(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val planes = spark.range(8).select(col("id").cast("int").as("b"),
+      expr("""transform(sequence(0, 63), j ->
+        ((CAST(graft_h60(concat(CAST(id AS STRING), '-', CAST(j AS STRING))) AS BIGINT) % 2001) - 1000) / 1000.0)""")
+        .as("plane"))
+    val e = vecs(spark, dir).select(col("vec_id"), col("v"))
+    val buckets = e.crossJoin(broadcast(planes))
+      .withColumn("dot",
+        expr("aggregate(zip_with(v, plane, (x, p) -> x*p), CAST(0 AS DOUBLE), (acc, z) -> acc + z)"))
+      .withColumn("bit", when(col("dot") >= 0, 1L).otherwise(0L))
+      .groupBy(col("vec_id"))
+      .agg(sum(expr("bit * shiftleft(CAST(1 AS BIGINT), b)")).as("bucket"))
+    buckets
+      .withColumn("n_in_bucket", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))))
+      .orderBy(col("vec_id"))
+  }
+
   /** Per-label centroids (rounded to 6 so cross-engine float-sum order
     * can't flip anything downstream) + population stats. */
   def centroids(spark: SparkSession, dir: String): DataFrame =
