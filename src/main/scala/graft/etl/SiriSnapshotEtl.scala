@@ -57,8 +57,13 @@ object SiriSnapshotEtl {
         to_timestamp(col("visit.RecordedAtTime"), TsFmt).as("recorded_at_time"),
         mvj.getField("LineRef").cast("long").as("line_ref"),
         mvj.getField("OperatorRef").cast("long").as("operator_ref"),
-        concat_ws("-",
+        // null-propagating concat (NOT concat_ws, which skips nulls): the
+        // reference's '+' concatenation raises when either ref is missing
+        // and the visit goes to parse errors (process_snapshot.py:220) —
+        // a half-keyed journey_ref must never load.
+        concat(
           mvj.getField("FramedVehicleJourneyRef").getField("DataFrameRef"),
+          lit("-"),
           mvj.getField("FramedVehicleJourneyRef").getField("DatedVehicleJourneyRef"))
           .as("journey_ref"),
         to_timestamp(mvj.getField("OriginAimedDepartureTime"), TsFmt).as("scheduled_start_time"),
@@ -73,7 +78,7 @@ object SiriSnapshotEtl {
           .as("distance_from_journey_start"))
       .withColumn("parse_ok",
         col("recorded_at_time").isNotNull && col("line_ref").isNotNull &&
-          col("operator_ref").isNotNull && col("journey_ref") =!= "" &&
+          col("operator_ref").isNotNull && col("journey_ref").isNotNull &&
           col("scheduled_start_time").isNotNull && col("order").isNotNull &&
           col("stop_point_ref").isNotNull && col("lon").isNotNull && col("lat").isNotNull)
   }

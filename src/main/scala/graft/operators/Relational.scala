@@ -288,7 +288,10 @@ object Relational {
       .groupBy(col("event_type"))
       .agg(
         approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
-        expr("approx_percentile(value, array(0.5, 0.95), 10000)").as("approx_quantiles"),
+        // scalar columns (not an array) so the driver's rows-only
+        // comparator, which sorts every column, can handle the result
+        expr("approx_percentile(value, 0.5, 10000)").as("approx_p50"),
+        expr("approx_percentile(value, 0.95, 10000)").as("approx_p95"),
         count(lit(1)).as("n"))
       .orderBy(col("event_type"))
   }

@@ -79,6 +79,11 @@ object Dedup {
     // Verification is array_intersect over per-doc shingle-hash sets.
     // keep the exploded relation narrow — carrying the hs array through
     // the explode would shuffle every 90-element array 90 times
+    // the bound must be computed in EXACT decimal arithmetic: in double,
+    // 1-0.8 = 0.1999...96 and n*0.8 can round up past the true product,
+    // shortening the prefix below the correctness bound for n ≡ 0 (mod 5)
+    // and silently losing pairs sitting exactly at the threshold.
+    val tDec = lit(BigDecimal("0.8"))
     val sets = withShingleHashes(Tables.documents(spark, dir))
       .select(col("doc_id"), col("hs"))
     val sh = sets.select(col("doc_id"), size(col("hs")).as("n"), explode(col("hs")).as("s"))
@@ -87,10 +92,13 @@ object Dedup {
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
-      .filter(col("rn") <= floor(col("n") * (1 - threshold)).cast("int") + 1)
-      .select(col("doc_id"), col("s"))
+      .filter(col("rn") <= col("n") - ceil(col("n") * tDec) + 1)
+      .select(col("doc_id"), col("n"), col("s"))
+    // PPJoin length filter: J(A,B) ≥ t ⇒ min(|A|,|B|) ≥ t·max(|A|,|B|),
+    // so size-incompatible docs never become candidate pairs.
     val candidates = ranked.as("a").join(ranked.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") * tDec <= col("b.n") && col("b.n") * tDec <= col("a.n"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     candidates

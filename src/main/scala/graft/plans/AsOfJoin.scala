@@ -81,13 +81,25 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       var rRow: InternalRow = null
       var rKey: InternalRow = null
       var rTimeVal: InternalRow = null
+      // SQL equi-join semantics: null keys never match. The natural
+      // ordering sorts nulls first and compares them EQUAL, so without
+      // this skip a null-keyed left row would pair with a null-keyed
+      // right row (diverging from DuckDB ASOF JOIN). Null-keyed right
+      // rows are unreachable by any left row — drop them on pull.
       def pullRight(): Unit = {
-        if (rIter.hasNext) {
-          val r = rIter.next()
-          rRow = r.copy()
-          rKey = rKeyProj(rRow).copy()
-          rTimeVal = rTimeProj(rRow).copy()
-        } else { rRow = null; rKey = null; rTimeVal = null }
+        var done = false
+        while (!done) {
+          if (rIter.hasNext) {
+            val r = rIter.next()
+            val k = rKeyProj(r)
+            if (!k.anyNull) {
+              rRow = r.copy()
+              rKey = rKeyProj(rRow).copy()
+              rTimeVal = rTimeProj(rRow).copy()
+              done = true
+            }
+          } else { rRow = null; rKey = null; rTimeVal = null; done = true }
+        }
       }
       pullRight()
 
@@ -96,20 +108,25 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 
       lIter.map { l =>
         val lKey = lKeyProj(l)
-        val lT = lTimeProj(l)
-        if (matchRow != null && keyOrd.compare(matchKey, lKey) != 0) {
-          matchRow = null; matchKey = null
+        if (lKey.anyNull) {
+          // null join key matches nothing — emit the unmatched shape
+          resultProj(joined(l, nullRight))
+        } else {
+          val lT = lTimeProj(l)
+          if (matchRow != null && keyOrd.compare(matchKey, lKey) != 0) {
+            matchRow = null; matchKey = null
+          }
+          var advance = true
+          while (advance && rRow != null) {
+            val c = keyOrd.compare(rKey, lKey)
+            if (c < 0) pullRight()
+            else if (c == 0 && timeOrd.compare(rTimeVal, lT) <= 0) {
+              matchRow = rRow; matchKey = rKey
+              pullRight()
+            } else advance = false
+          }
+          resultProj(joined(l, if (matchRow != null) matchRow else nullRight))
         }
-        var advance = true
-        while (advance && rRow != null) {
-          val c = keyOrd.compare(rKey, lKey)
-          if (c < 0) pullRight()
-          else if (c == 0 && timeOrd.compare(rTimeVal, lT) <= 0) {
-            matchRow = rRow; matchKey = rKey
-            pullRight()
-          } else advance = false
-        }
-        resultProj(joined(l, if (matchRow != null) matchRow else nullRight))
       }
     }
   }

@@ -14,38 +14,50 @@ import org.apache.spark.sql.functions._
 object Maintenance {
 
   /** Rewrite `dir` (a parquet table partitioned by `partitionCol`)
-    * with ~`targetFileMB` files per partition. Returns files before →
-    * after for reporting. */
+    * bin-packed to ~`targetFileMB` files. Returns files before →
+    * after for reporting.
+    *
+    * Hash-partitioning by the partition column alone would send each
+    * date to ONE task (a 10 GB day → one 10 GB file), so each row gets
+    * a bounded deterministic salt: partition p with estimated size S
+    * gets ⌈S/target⌉ salt values, and the shuffle key is (p, salt).
+    * `maxRecordsPerFile` backstops salt-hash skew. */
   def compact(spark: SparkSession, dir: String, partitionCol: String,
       targetFileMB: Int = 256): (Long, Long) = {
-    def countFiles(): Long = {
+    def countFiles(root: String): Long = {
       def walk(f: java.io.File): Long =
         if (f.isDirectory) f.listFiles().map(walk).sum
         else if (f.getName.endsWith(".parquet")) 1L else 0L
-      walk(new java.io.File(dir))
+      walk(new java.io.File(root))
     }
-    val before = countFiles()
+    val before = countFiles(dir)
     val df = spark.read.parquet(dir)
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val targetFiles = math.max(1L,
-      (bytes / (targetFileMB.toLong * 1024 * 1024)).toLong).toInt
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      df.repartition(targetFiles, col(partitionCol))
-        .write.mode(SaveMode.Overwrite)
-        .partitionBy(partitionCol)
-        .parquet(dir + "_compacted")
-    } finally prev.foreach(
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+    val targetBytes = targetFileMB.toLong * 1024 * 1024
+    val totalBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // per-partition file counts from row counts × global avg row width —
+    // one small agg pass, no per-file driver listing
+    val perPart = df.groupBy(col(partitionCol)).agg(count(lit(1)).as("_rows"))
+    val totalRows = math.max(1L,
+      perPart.agg(sum(col("_rows"))).head().getLong(0))
+    val bytesPerRow = math.max(1L, (totalBytes / totalRows).toLong)
+    val rowsPerFile = math.max(1L, targetBytes / bytesPerRow)
+    val plan = perPart.withColumn("_nfiles",
+      greatest(lit(1L), ceil(col("_rows") / lit(rowsPerFile.toDouble))))
+    val totalFiles = math.max(1L,
+      plan.agg(sum(col("_nfiles"))).head().getLong(0)).toInt
+    val dataCols = df.columns.map(col).toSeq
+    val salted = df
+      .join(broadcast(plan.select(col(partitionCol), col("_nfiles"))), Seq(partitionCol))
+      .withColumn("_salt", pmod(xxhash64(dataCols: _*), col("_nfiles")))
+    salted
+      .repartition(totalFiles, col(partitionCol), col("_salt"))
+      .select(dataCols: _*)
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", rowsPerFile)
+      .partitionBy(partitionCol)
+      .parquet(dir + "_compacted")
     // atomically swap would be a filesystem rename in production; here
     // the compacted copy lives alongside for the caller to promote
-    val after = {
-      def walk(f: java.io.File): Long =
-        if (f.isDirectory) f.listFiles().map(walk).sum
-        else if (f.getName.endsWith(".parquet")) 1L else 0L
-      walk(new java.io.File(dir + "_compacted"))
-    }
-    (before, after)
+    (before, countFiles(dir + "_compacted"))
   }
 }

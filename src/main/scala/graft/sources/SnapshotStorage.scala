@@ -32,21 +32,64 @@ object SnapshotStorage {
   def readRawStream(spark: SparkSession, rootDir: String): DataFrame =
     spark.readStream.schema("snapshot_id STRING, json STRING").json(rootDir)
 
-  /** Write an ETL result as the star schema. Dims overwrite (they are
-    * the get-or-create union of everything seen); facts partition by
-    * snapshot date. */
-  def writeTables(r: SiriSnapshotEtl.EtlResult, outDir: String): Unit = {
-    r.routes.write.mode(SaveMode.Overwrite).parquet(s"$outDir/siri_routes")
-    r.stops.write.mode(SaveMode.Overwrite).parquet(s"$outDir/siri_stops")
-    r.rides.write.mode(SaveMode.Overwrite).parquet(s"$outDir/siri_rides")
-    r.rideStops.write.mode(SaveMode.Overwrite).parquet(s"$outDir/siri_ride_stops")
-    r.vehicleLocations
-      .withColumn("snapshot_date",
+  private def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Dimension write: append-only. Only keys not already on disk are
+    * appended (left_anti), so dims monotonically grow and a backlog
+    * rerun never loses previously-created rows — the reference's
+    * get-or-create contract (ObjectsMaker, process_snapshot.py:51). */
+  private def appendNewDimKeys(dim: DataFrame, path: String, keys: Seq[String]): Unit = {
+    val spark = dim.sparkSession
+    val fresh =
+      if (pathExists(spark, path))
+        dim.join(spark.read.parquet(path).select(keys.map(col).toSeq: _*), keys, "left_anti")
+      else dim
+    fresh.write.mode(SaveMode.Append).parquet(path)
+  }
+
+  /** `2021/07/05/12/34` → (`2021-07-05`, `1234`): date partition for
+    * scan pruning, minute partition so one snapshot = one leaf dir. */
+  private def withSnapshotPartitions(df: DataFrame): DataFrame =
+    df.withColumn("snapshot_date",
         translate(substring(col("snapshot_id"), 1, 10), "/", "-"))
-      .write.mode(SaveMode.Overwrite).partitionBy("snapshot_date")
-      .parquet(s"$outDir/siri_vehicle_locations")
-    r.snapshotStats.write.mode(SaveMode.Overwrite).parquet(s"$outDir/siri_snapshots")
-    r.parseErrors.write.mode(SaveMode.Overwrite).parquet(s"$outDir/parse_errors")
+      .withColumn("snapshot_minute",
+        translate(substring(col("snapshot_id"), 12, 5), "/", ""))
+
+  /** Write an ETL result as the star schema — idempotently.
+    *
+    * Facts / stats / parse errors partition by (snapshot_date,
+    * snapshot_minute) and overwrite DYNAMICALLY: reprocessing a
+    * snapshot replaces exactly its own leaf partition and nothing
+    * else (static overwrite would wipe every previously loaded
+    * partition on a backlog run). Dims append unseen keys only. */
+  def writeTables(r: SiriSnapshotEtl.EtlResult, outDir: String): Unit = {
+    val spark = r.routes.sparkSession
+    appendNewDimKeys(r.routes, s"$outDir/siri_routes", Seq("operator_ref", "line_ref"))
+    appendNewDimKeys(r.stops, s"$outDir/siri_stops", Seq("code"))
+    appendNewDimKeys(r.rides, s"$outDir/siri_rides",
+      Seq("operator_ref", "line_ref", "journey_ref", "vehicle_ref"))
+    appendNewDimKeys(r.rideStops, s"$outDir/siri_ride_stops",
+      Seq("operator_ref", "line_ref", "journey_ref", "vehicle_ref", "stop_point_ref", "order"))
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      Seq(
+        r.vehicleLocations -> s"$outDir/siri_vehicle_locations",
+        r.snapshotStats -> s"$outDir/siri_snapshots",
+        r.parseErrors -> s"$outDir/parse_errors",
+      ).foreach { case (df, path) =>
+        withSnapshotPartitions(df)
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy("snapshot_date", "snapshot_minute")
+          .parquet(path)
+      }
+    } finally {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+        prev.getOrElse("static"))
+    }
   }
 
   /** Merge fresh snapshot stats into a status table (last write wins

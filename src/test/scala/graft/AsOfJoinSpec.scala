@@ -31,6 +31,18 @@ class AsOfJoinSpec extends SparkSpec {
       ("B", 14L, None), ("B", 16L, Some(9.0)), ("D", 50L, None)))
   }
 
+  test("null join keys never match (SQL equi-join semantics, either side)") {
+    val right = Seq((Option("A"), 10L, 1.0), (Option.empty[String], 5L, 7.0))
+      .toDF("qsym", "qts", "px")
+    val left = Seq((Option("A"), 20L, 100), (Option.empty[String], 20L, 200))
+      .toDF("sym", "ts", "qty")
+    val r = AsOf.join(left, right, Seq("sym"), Seq("qsym"), "ts", "qts")
+      .select($"qty", $"px")
+      .collect().map(x => (x.getInt(0), if (x.isNullAt(1)) None else Some(x.getDouble(1)))).toSet
+    // the null-keyed left row must NOT pick up the null-keyed right row
+    assert(r == Set((100, Some(1.0)), (200, None)))
+  }
+
   test("asof join agrees with the composed range-join + window equivalent on real data") {
     val ev = Tables.events(spark, sf0001)
     val purchases = ev.filter($"event_type" === "purchase")

@@ -88,6 +88,31 @@ class SnapshotStorageSpec extends SparkSpec {
       "2023/03/10/08/02" -> ("loaded", 5L),
       "2023/03/10/08/03" -> ("loaded", 7L)))
   }
+
+  test("writeTables is idempotent per snapshot: a backlog rerun never loses other partitions") {
+    import graft.etl.SiriSnapshotEtl
+    val outDir = java.nio.file.Files.createTempDirectory("star").toFile.getAbsolutePath
+    // full load: two snapshots
+    SnapshotStorage.writeTables(SiriSnapshotEtl.run(Seq(
+      ("2023/03/10/08/01", SiriFixtures.snapA),
+      ("2023/03/10/08/02", SiriFixtures.snapB)).toDF("snapshot_id", "json")), outDir)
+    val facts0 = spark.read.parquet(s"$outDir/siri_vehicle_locations")
+    assert(facts0.count() == 5)
+    val routes0 = spark.read.parquet(s"$outDir/siri_routes").count()
+
+    // backlog rerun touching ONLY snapshot 08/02
+    SnapshotStorage.writeTables(SiriSnapshotEtl.run(Seq(
+      ("2023/03/10/08/02", SiriFixtures.snapB)).toDF("snapshot_id", "json")), outDir)
+    val facts1 = spark.read.parquet(s"$outDir/siri_vehicle_locations")
+    // 08/01's three facts survive; 08/02's two are replaced, not doubled
+    assert(facts1.count() == 5)
+    assert(facts1.filter($"snapshot_id" === "2023/03/10/08/01").count() == 3)
+    // dims keep every key ever seen, and gained no duplicates
+    assert(spark.read.parquet(s"$outDir/siri_routes").count() == routes0)
+    val stats = spark.read.parquet(s"$outDir/siri_snapshots")
+    assert(stats.select("snapshot_id").distinct().count() == 2)
+    assert(stats.count() == 2)
+  }
 }
 
 class MaintenanceSpec extends SparkSpec {
@@ -102,6 +127,26 @@ class MaintenanceSpec extends SparkSpec {
     val rows = spark.read.parquet(dir).count()
     val (before, after) = graft.sources.Maintenance.compact(spark, dir, "d", targetFileMB = 256)
     assert(before > after, s"$before -> $after")
+    assert(spark.read.parquet(dir + "_compacted").count() == rows)
+  }
+
+  test("a partition larger than the target splits into multiple files, not one giant file") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("compactbig").toFile.getAbsolutePath + "/facts"
+    // one big date (~3 MB of incompressible hex) + one tiny date
+    spark.range(30000)
+      .select(
+        when($"id" < 29900, lit("2023-03-10")).otherwise(lit("2023-03-11")).as("d"),
+        concat(md5($"id".cast("string")), md5(($"id" + 1).cast("string")),
+          md5(($"id" + 2).cast("string")), md5(($"id" + 3).cast("string"))).as("payload"))
+      .repartition(8).write.partitionBy("d").parquet(dir)
+    val rows = spark.read.parquet(dir).count()
+    val (_, after) = graft.sources.Maintenance.compact(spark, dir, "d", targetFileMB = 1)
+    def filesIn(p: String): Long =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(filesIn(s"${dir}_compacted/d=2023-03-10") >= 2,
+      s"big partition should bin-pack to >=2 files, got $after total")
+    assert(filesIn(s"${dir}_compacted/d=2023-03-11") == 1)
     assert(spark.read.parquet(dir + "_compacted").count() == rows)
   }
 }

@@ -80,6 +80,20 @@ class SiriEtlSpec extends SparkSpec {
     assert(stats.getAs[String]("etl_status") == "loaded")
   }
 
+  test("visit missing one journey ref component is a parse error, not a half-keyed load") {
+    // reference concatenates with '+' so a missing ref raises and the
+    // visit diverts to parse errors (process_snapshot.py:220)
+    val noDatedRef = SiriFixtures.snapshot(Seq(
+      SiriFixtures.visit(1, 25, "100001", "veh-1", 32043, 13, 34.749, 31.874)
+        .replace(""""DatedVehicleJourneyRef": "100001"""", """"Ignored": "x""""),
+      SiriFixtures.visit(3, 25, "100002", "veh-2", 37471, 1, 34.731, 31.890)))
+    val visits = SiriSnapshotEtl.parseVisits(raw("2023/03/10/08/01" -> noDatedRef))
+    assert(visits.count() == 2)
+    assert(visits.filter($"parse_ok").count() == 1)
+    val bad = visits.filter(!$"parse_ok").head()
+    assert(bad.isNullAt(bad.fieldIndex("journey_ref")))
+  }
+
   test("dimensions dedup on natural keys with stable hash surrogates (ObjectsMaker)") {
     val result = SiriSnapshotEtl.run(raw("2023/03/10/08/01" -> SiriFixtures.snapA))
     assert(result.routes.count() == 2)   // (25,1), (25,3); invalid visit's route excluded
