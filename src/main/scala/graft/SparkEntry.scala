@@ -53,6 +53,13 @@ object SparkEntry {
     "q22_wealthy_inactive" -> Relational.q22WealthyInactive _,
     "q_median_value"     -> Relational.qMedianValue _,
     "q_approx_sketches"  -> Relational.qApproxSketches _,
+    "q4_priority_exists" -> Relational.q4PriorityExists _,
+    "q11_value_concentration" -> Relational.q11ValueConcentration _,
+    "q13_cust_distribution" -> Relational.q13CustDistribution _,
+    "q17_small_qty_revenue" -> Relational.q17SmallQtyRevenue _,
+    "q19_disjunctive_join" -> Relational.q19DisjunctiveJoin _,
+    "q20_supplier_semi_chain" -> Relational.q20SupplierSemiChain _,
+    "q21_sole_returner"  -> Relational.q21SoleReturner _,
     "q2_min_within_group" -> Relational.q2MinWithinGroup _,
     "q15_top_supplier"   -> Relational.q15TopSupplier _,
     // §2.3 training-data pipeline ops (documents / embeddings)
@@ -417,6 +424,64 @@ object SparkEntry {
       """SELECT event_type, round(quantile_cont(value, 0.5), 6) AS median_value,
         | round(quantile_cont(value, 0.9), 6) AS p90_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q11_value_concentration" ->
+      """WITH pv AS (
+        |  SELECT l_partkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS v
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT l_partkey, CAST(v AS DOUBLE) AS part_value
+        |FROM pv WHERE v > (SELECT sum(v) * 0.0006 FROM pv)
+        |ORDER BY part_value DESC, l_partkey""".stripMargin,
+    "q13_cust_distribution" ->
+      """WITH c_orders AS (
+        |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM c_orders GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q17_small_qty_revenue" ->
+      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6) AS avg_yearly
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand = 'Brand#23'
+        |  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+        |                    WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin,
+    "q19_disjunctive_join" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q20_supplier_semi_chain" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE '%red%'
+        |  GROUP BY l_suppkey, l_partkey HAVING sum(l_quantity) > 100)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q21_sole_returner" ->
+      """WITH per_order AS (
+        |  SELECT l_orderkey AS po_orderkey,
+        |    count(DISTINCT l_suppkey) AS n_supp,
+        |    count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_r_supp
+        |  FROM lineitem GROUP BY 1)
+        |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait FROM (
+        |  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+        |  FROM lineitem l
+        |  JOIN per_order ON l.l_orderkey = po_orderkey
+        |  JOIN orders ON o_orderkey = l.l_orderkey
+        |  WHERE o_orderstatus = 'F' AND l.l_returnflag = 'R'
+        |    AND n_supp > 1 AND n_r_supp = 1) t
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
     "dedup_embed_cosine" ->
       """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |n AS (SELECT vec_id, label, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM e),

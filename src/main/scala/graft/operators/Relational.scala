@@ -296,6 +296,133 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** EXISTS over a date-ranged fact (TPC-H Q4 shape): filtered orders
+    * left_semi lineitem — the semi join never multiplies rows, and both
+    * sides' filters push to the scans. */
+  def q4PriorityExists(spark: SparkSession, dir: String): DataFrame = {
+    val ord0 = Tables.orders(spark, dir)
+    val ord = ord0
+      .filter(col("o_orderdate") >= Tables.tsLit(ord0, "o_orderdate", "1996-01-01") &&
+        col("o_orderdate") < Tables.tsLit(ord0, "o_orderdate", "1997-01-01"))
+      .select("o_orderkey", "o_orderpriority")
+    val returned = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R").select("l_orderkey")
+    ord.join(returned, ord("o_orderkey") === returned("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Group-value vs global-scalar threshold (TPC-H Q11 shape): per-part
+    * value, kept if above 0.06% of total (testdata spreads value near-
+    * uniformly over 2000 parts ≈ 0.05% each, so this keeps the heavy
+    * tail). The threshold is a 1-row broadcast (scalar subquery), and
+    * ALL arithmetic stays in exact decimal until output so the filter
+    * is reproducible. */
+  def q11ValueConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val pv = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(revTerm(col("l_extendedprice"), col("l_discount"))).as("v"))
+    val thr = pv.agg((sum(col("v")) * lit(BigDecimal("0.0006"))).as("thr"))
+    pv.crossJoin(broadcast(thr))
+      .filter(col("v") > col("thr"))
+      .select(col("l_partkey"), col("v").cast("double").as("part_value"))
+      .orderBy(col("part_value").desc, col("l_partkey"))
+  }
+
+  /** Distribution query (TPC-H Q13 shape): customers left-joined to
+    * orders so zero-order customers survive, then a histogram of order
+    * counts. Two shuffles: the outer join and the tiny re-agg. */
+  def q13CustDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select("c_custkey")
+    val ord = Tables.orders(spark, dir).select("o_custkey", "o_orderkey")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count")) // count(col) skips nulls
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** Correlated per-group average (TPC-H Q17 shape): lineitems of one
+    * brand's parts below 20% of that part's average quantity. The
+    * correlated subquery becomes a per-part agg + broadcast join back —
+    * no per-row rescans. */
+  def q17SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val brandParts = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#23").select("p_partkey")
+    val li = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+    // integral double quantities sum exactly → avg is order-independent
+    val avgQ = li.groupBy(col("l_partkey").as("ap")).agg(avg(col("l_quantity")).as("aq"))
+    li.join(broadcast(avgQ), col("l_partkey") === col("ap"))
+      .filter(col("l_quantity") < lit(0.2) * col("aq"))
+      .agg(round(sum(d2(col("l_extendedprice"))).cast("double") / 7.0, 6).as("avg_yearly"))
+  }
+
+  /** Disjunctive multi-attribute join predicate (TPC-H Q19 shape): the
+    * OR-of-ANDs stays a single broadcast-join filter — one lineitem
+    * scan, no union of three plans. */
+  def q19DisjunctiveJoin(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size")
+    val li = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30)))
+      .agg(sum(revTerm(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"))
+  }
+
+  /** Nested semi-join chain (TPC-H Q20 shape): suppliers who moved >100
+    * units of any 'red' part — part filter → fact agg → HAVING →
+    * distinct supplier keys → semi join. Each hop shrinks the data. */
+  def q20SupplierSemiChain(spark: SparkSession, dir: String): DataFrame = {
+    val redParts = Tables.part(spark, dir)
+      .filter(col("p_name").like("%red%")).select("p_partkey")
+    val movers = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey", "l_quantity")
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(col("l_quantity")).as("qty")) // integral doubles: exact
+      .filter(col("qty") > 100)
+      .select("l_suppkey").distinct()
+    val sup = Tables.supplier(spark, dir)
+    sup.join(movers, sup("s_suppkey") === movers("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+      .orderBy("s_suppkey")
+  }
+
+  /** Double-correlated EXISTS/NOT-EXISTS (TPC-H Q21 shape): suppliers
+    * who were the ONLY returning supplier in a multi-supplier finished
+    * order. Both correlated subqueries collapse into ONE per-order
+    * aggregate (distinct suppliers / distinct returning suppliers) —
+    * one extra shuffle instead of two correlated rescans of the fact. */
+  def q21SoleReturner(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey", "l_returnflag")
+    val perOrder = li.groupBy(col("l_orderkey").as("po_orderkey")).agg(
+      countDistinct(col("l_suppkey")).as("n_supp"),
+      countDistinct(when(col("l_returnflag") === "R", col("l_suppkey"))).as("n_r_supp"))
+    val fOrders = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F").select("o_orderkey")
+    val waiting = li.filter(col("l_returnflag") === "R")
+      .join(perOrder.filter(col("n_supp") > 1 && col("n_r_supp") === 1),
+        col("l_orderkey") === col("po_orderkey"))
+      .join(fOrders, col("l_orderkey") === col("o_orderkey"))
+      .select("l_orderkey", "l_suppkey").distinct()
+    val sup = Tables.supplier(spark, dir).select("s_suppkey", "s_name")
+    waiting.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
   /** Global deterministic top-k: ORDER BY with unique-key tie-break then
     * LIMIT — Spark plans TakeOrderedAndProject (per-partition heaps, no
     * global sort materialization). */
