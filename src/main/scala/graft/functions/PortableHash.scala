@@ -197,5 +197,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_simhash60", es => SimHash60(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_minhash_sig", es => MinHashSig(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_winnow", es => WinnowFingerprint(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_dot", es => DotProduct(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_l2sq", es => L2Squared(es(0), es(1)), "scala_udf")
   }
 }

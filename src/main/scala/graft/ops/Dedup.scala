@@ -84,8 +84,11 @@ object Dedup {
     // shortening the prefix below the correctness bound for n ≡ 0 (mod 5)
     // and silently losing pairs sitting exactly at the threshold.
     val tDec = lit(BigDecimal("0.8"))
+    // sets feeds three subtrees (prefix relation + both verification
+    // sides); without a cache the scan→shingle→md5 chain runs 3×
     val sets = withShingleHashes(Tables.documents(spark, dir))
       .select(col("doc_id"), col("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sh = sets.select(col("doc_id"), size(col("hs")).as("n"), explode(col("hs")).as("s"))
     val freq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val ranked = sh.join(freq, "s")
@@ -94,6 +97,9 @@ object Dedup {
           .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
       .filter(col("rn") <= col("n") - ceil(col("n") * tDec) + 1)
       .select(col("doc_id"), col("n"), col("s"))
+      // the self-join below evaluates its child twice; the prefix
+      // relation is ~0.2·Σ|doc| rows, so cache beats recompute
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // PPJoin length filter: J(A,B) ≥ t ⇒ min(|A|,|B|) ≥ t·max(|A|,|B|),
     // so size-incompatible docs never become candidate pairs.
     val candidates = ranked.as("a").join(ranked.as("b"),
@@ -101,9 +107,13 @@ object Dedup {
           col("a.n") * tDec <= col("b.n") && col("b.n") * tDec <= col("a.n"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    // the per-doc set side is ~|docs|·|shingles|·8B — small relative to
+    // the candidate stream, so broadcast it and keep verification
+    // map-side (exact all-pairs Jaccard is the small-corpus path by
+    // design; the 100 TB path is MinHash+LSH, SURVEY §5)
     candidates
-      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
+      .join(broadcast(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha"))), "doc_a")
+      .join(broadcast(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb"))), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         round(size(array_intersect(col("ha"), col("hb"))).cast("double") /
           (size(col("ha")) + size(col("hb")) - size(array_intersect(col("ha"), col("hb")))), 6)

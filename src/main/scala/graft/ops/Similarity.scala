@@ -20,12 +20,17 @@ import graft.Tables
   * agrees bit-for-bit.
   */
 object Similarity {
-  /** embeddings with double-vector, norm, and (rounded) self-norm. */
-  private def vecs(spark: SparkSession, dir: String): DataFrame =
+  /** embeddings with double-vector and self-norm. The float→double
+    * widening is a native array Cast (codegen'd, exact); the norm uses
+    * the graft_dot kernel — same index-order accumulation as the
+    * equivalent aggregate() lambda, minus the interpreter. */
+  private def vecs(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("norm", expr("sqrt(aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x*x))"))
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
+  }
 
   /** Exact cosine top-5 neighbors for each probe (vec_id < 5). */
   def annBruteforce(spark: SparkSession, dir: String): DataFrame = {
@@ -34,8 +39,7 @@ object Similarity {
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pnorm"))
     val scored = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
       .withColumn("cosine", round(
-        expr("aggregate(zip_with(pv, v, (x, y) -> x*y), CAST(0 AS DOUBLE), (acc, z) -> acc + z)") /
-          (col("pnorm") * col("norm")), 6))
+        expr("graft_dot(pv, v)") / (col("pnorm") * col("norm")), 6))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w).cast("long"))
@@ -55,8 +59,7 @@ object Similarity {
     pairs.select(
         col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(
-          expr("aggregate(zip_with(a.v, b.v, (x, y) -> x*y), CAST(0 AS DOUBLE), (acc, z) -> acc + z)") /
-            (col("a.norm") * col("b.norm")), 6).as("cosine"))
+          expr("graft_dot(a.v, b.v)") / (col("a.norm") * col("b.norm")), 6).as("cosine"))
       .filter(col("cosine") >= 0.35)
       .orderBy(col("vec_a"), col("vec_b"))
   }
@@ -68,14 +71,16 @@ object Similarity {
     * DuckDB oracle reproduces them exactly. */
   def annLshBucket(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    // the 1000.0 literal is DECIMAL in SQL, so the transform yields
+    // array<decimal> — cast to array<double> (same per-element value the
+    // old lambda multiplied with) for the type-strict dot kernel
     val planes = spark.range(8).select(col("id").cast("int").as("b"),
-      expr("""transform(sequence(0, 63), j ->
-        ((CAST(graft_h60(concat(CAST(id AS STRING), '-', CAST(j AS STRING))) AS BIGINT) % 2001) - 1000) / 1000.0)""")
+      expr("""CAST(transform(sequence(0, 63), j ->
+        ((CAST(graft_h60(concat(CAST(id AS STRING), '-', CAST(j AS STRING))) AS BIGINT) % 2001) - 1000) / 1000.0) AS ARRAY<DOUBLE>)""")
         .as("plane"))
     val e = vecs(spark, dir).select(col("vec_id"), col("v"))
     val buckets = e.crossJoin(broadcast(planes))
-      .withColumn("dot",
-        expr("aggregate(zip_with(v, plane, (x, p) -> x*p), CAST(0 AS DOUBLE), (acc, z) -> acc + z)"))
+      .withColumn("dot", expr("graft_dot(v, plane)"))
       .withColumn("bit", when(col("dot") >= 0, 1L).otherwise(0L))
       .groupBy(col("vec_id"))
       .agg(sum(expr("bit * shiftleft(CAST(1 AS BIGINT), b)")).as("bucket"))
@@ -104,8 +109,7 @@ object Similarity {
       .agg(expr("transform(array_sort(collect_list(struct(pos, centroid))), s -> s.centroid)").as("cv"))
     val e = vecs(spark, dir)
     val scored = e.join(broadcast(cent))
-      .withColumn("dist", round(
-        expr("sqrt(aggregate(zip_with(v, cv, (x, c) -> (x-c)*(x-c)), CAST(0 AS DOUBLE), (acc, z) -> acc + z))"), 6))
+      .withColumn("dist", round(sqrt(expr("graft_l2sq(v, cv)")), 6))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("dist"), col("cell"))
     scored.withColumn("rk", row_number().over(w))
