@@ -335,10 +335,14 @@ object Relational {
     * counts. Two shuffles: the outer join and the tiny re-agg. */
   def q13CustDistribution(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir).select("c_custkey")
-    val ord = Tables.orders(spark, dir).select("o_custkey", "o_orderkey")
-    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left")
-      .groupBy(col("c_custkey"))
-      .agg(count(col("o_orderkey")).as("c_count")) // count(col) skips nulls
+    // aggregate the fact FIRST (map-side partial -> one row per
+    // customer), then outer-join the shrunk result — joining raw orders
+    // to customers and counting after would move the whole fact through
+    // the join at 100 TB
+    val perCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    cust.join(perCust, cust("c_custkey") === perCust("o_custkey"), "left")
+      .select(coalesce(col("n_orders"), lit(0L)).as("c_count"))
       .groupBy(col("c_count"))
       .agg(count(lit(1)).as("custdist"))
       .orderBy(col("custdist").desc, col("c_count").desc)
@@ -393,7 +397,9 @@ object Relational {
       .filter(col("qty") > 100)
       .select("l_suppkey").distinct()
     val sup = Tables.supplier(spark, dir)
-    sup.join(movers, sup("s_suppkey") === movers("l_suppkey"), "left_semi")
+    // movers is a post-HAVING distinct key set (bounded by |supplier|)
+    // — broadcast it; the static planner can't know the agg output size
+    sup.join(broadcast(movers), sup("s_suppkey") === movers("l_suppkey"), "left_semi")
       .select("s_suppkey", "s_name")
       .orderBy("s_suppkey")
   }
