@@ -36,6 +36,8 @@ object SparkEntry {
     "etl_validate_recon" -> EventsEtl.validateRecon _,
     "etl_retry_dedup"    -> EventsEtl.retryDedup _,
     "etl_asof_join"      -> EventsEtl.asofLatestView _,
+    "etl_sliding_window" -> EventsEtl.slidingWindowStats _,
+    "etl_scd2_history"   -> EventsEtl.scd2History _,
     // §2.2 relational core
     "q1_pricing_summary" -> Relational.q1PricingSummary _,
     "q3_top_unshipped"   -> Relational.q3TopUnshipped _,
@@ -424,6 +426,32 @@ object SparkEntry {
       """SELECT event_type, round(quantile_cont(value, 0.5), 6) AS median_value,
         | round(quantile_cont(value, 0.9), 6) AS p90_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "etl_sliding_window" ->
+      """WITH e AS (
+        |  SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es, event_type, value
+        |  FROM events),
+        |w AS (
+        |  SELECT es - (es % 300) AS ws, event_type, value FROM e
+        |  UNION ALL
+        |  SELECT es - (es % 300) - 300 AS ws, event_type, value FROM e)
+        |SELECT ws AS window_start_epoch, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "etl_scd2_history" ->
+      """WITH chg AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |pts AS (
+        |  SELECT user_id, event_type, ts, event_id FROM chg
+        |  WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_type AS state,
+        |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS valid_from_sec,
+        |  COALESCE(lead(CAST(epoch(date_trunc('second', ts)) AS BIGINT))
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id), 0) AS valid_to_sec,
+        |  (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
+        |FROM pts ORDER BY user_id, valid_from_sec""".stripMargin,
     "q4_priority_exists" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
         |FROM orders

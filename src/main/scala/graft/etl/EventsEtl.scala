@@ -228,4 +228,41 @@ object EventsEtl {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("event_type"))
   }
+
+  /** Sliding-window aggregation (the Structured-Streaming windowed-agg
+    * shape in its batch form): 10-minute windows sliding every 5, so
+    * each event lands in exactly two windows. `window()` generates both
+    * assignments map-side (an Expand, no self-union of the scan), then
+    * it's an ordinary partial→final hash agg. */
+  def slidingWindowStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(epochSec(col("window.start")).as("window_start_epoch"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy(col("window_start_epoch"), col("event_type"))
+
+  /** SCD Type-2 history of each user's state (the dimension-versioning
+    * extension of the reference's create-only ObjectsMaker): consecutive
+    * runs of the same event_type collapse, each state change opens a
+    * versioned row with [valid_from, valid_to) and the open row is
+    * current. Two window passes over ONE (user_id) shuffle partitioning
+    * — Spark reuses the sort for lag and lead. */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("valid_to_sec", lead(epochSec(col("ts")), 1).over(byUser))
+      .select(col("user_id"), col("event_type").as("state"),
+        epochSec(col("ts")).as("valid_from_sec"),
+        // closed-world sentinel instead of NULL: the driver's comparator
+        // sorts column values and NULL vs NaT handling differs by engine
+        coalesce(col("valid_to_sec"), lit(0L)).as("valid_to_sec"),
+        col("valid_to_sec").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("valid_from_sec"))
+  }
 }

@@ -37,6 +37,32 @@ object SnapshotStream {
         sum(when(col("parse_ok"), 1L).otherwise(0L)).as("num_successful_parse_vehicle_locations"),
         sum(when(col("parse_ok"), 0L).otherwise(1L)).as("num_failed_parse_vehicle_locations"))
 
+  /** Streaming retry-dedup (the reference's idempotent reload in stream
+    * form): a snapshot re-delivered within the watermark horizon must
+    * not double-load its visits. dropDuplicatesWithinWatermark keys
+    * state by (snapshot, journey, order) and — unlike plain
+    * dropDuplicates — EVICTS state past the watermark, so state size is
+    * bounded by the horizon, not by stream lifetime. */
+  def dedupedVisits(visits: DataFrame): DataFrame =
+    visits
+      .withWatermark("recorded_at_time", "10 minutes")
+      .dropDuplicatesWithinWatermark("snapshot_id", "journey_ref", "order")
+
+  /** Production state-store configuration: RocksDB-backed state (the
+    * HDFS-backed default keeps every key on-heap — a national fleet's
+    * ride state at minute granularity OOMs executors), with changelog
+    * checkpointing so a commit uploads the delta, not the full SST set,
+    * and unload-on-commit so idle partitions release memory. Apply
+    * BEFORE the first stream starts (providers are instantiated per
+    * store at query start). */
+  val rocksDbStateConfs: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true",
+    "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage" -> "true",
+    "spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB" -> "512",
+  )
+
   /** foreachBatch upsert: each micro-batch runs the batch ETL and hands
     * the per-table DataFrames to `sink` (parquet append, JDBC upsert…).
     * Dims are append-only new-keys (get-or-create); facts append. */

@@ -27,6 +27,25 @@ class EventsEtlSpec extends SparkSpec {
     assert(sess.filter($"end_sec" < $"start_sec").count() == 0)
   }
 
+  test("sliding windows: every event lands in exactly two windows") {
+    val ev = Tables.events(spark, sf0001).count()
+    val win = graft.etl.EventsEtl.slidingWindowStats(spark, sf0001)
+    assert(win.agg(org.apache.spark.sql.functions.sum("n_events")).head().getLong(0) == 2 * ev)
+  }
+
+  test("scd2: versions chain (valid_to = next valid_from), one current row per user") {
+    import org.apache.spark.sql.functions._
+    val h = graft.etl.EventsEtl.scd2History(spark, sf0001)
+    val users = h.select("user_id").distinct().count()
+    assert(h.filter(col("is_current")).count() == users)
+    // non-current rows close exactly at the next version's start
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("valid_from_sec"))
+    val bad = h.withColumn("next_from", lead(col("valid_from_sec"), 1).over(w))
+      .filter(!col("is_current") && col("valid_to_sec") =!= col("next_from"))
+    assert(bad.count() == 0)
+  }
+
   test("missing minutes + observed minutes = full span") {
     val missing = EventsEtl.missingMinutes(spark, sf0001).count()
     val ev = Tables.events(spark, sf0001)

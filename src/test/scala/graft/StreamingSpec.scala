@@ -36,4 +36,25 @@ class StreamingSpec extends SparkSpec {
         ("2023/03/10/08/02", SiriFixtures.snapB)).toDF("snapshot_id", "json"))
     assert(batch.vehicleLocations.count() == 5)
   }
+
+  test("re-delivered snapshot dedups within the watermark on RocksDB state") {
+    implicit val sqlCtx = spark.sqlContext
+    SnapshotStream.rocksDbStateConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val stream = MemoryStream[(String, String)]
+      // same snapshot delivered twice (the reference's retry loop)
+      stream.addData(("2023/03/10/08/01", SiriFixtures.snapA))
+      stream.addData(("2023/03/10/08/01", SiriFixtures.snapA))
+
+      val deduped = SnapshotStream.dedupedVisits(
+        SnapshotStream.parsedVisits(stream.toDF().toDF("snapshot_id", "json")))
+      val q = deduped.writeStream.format("memory")
+        .queryName("dedup_out").outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      // 4 distinct visits in snapA (3 ok + 1 parse-failure), not 8
+      assert(spark.table("dedup_out").count() == 4)
+      assert(q.lastProgress.stateOperators.nonEmpty)
+    } finally SnapshotStream.rocksDbStateConfs.keys.foreach(spark.conf.unset)
+  }
 }
