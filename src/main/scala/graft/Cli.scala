@@ -37,11 +37,36 @@ object Cli {
     SnapshotStorage.writeTables(r, outDir)
 
   def main(args: Array[String]): Unit = {
+    // stop only a session we created — embedding callers (tests, other
+    // jobs) keep theirs alive across commands
+    val preexisting = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession).isDefined
     val spark = session()
     spark.sparkContext.setLogLevel("WARN")
     args.toList match {
       case "process-snapshots" :: rawDir :: outDir :: Nil =>
         writeResult(SiriSnapshotEtl.run(readRaw(spark, rawDir)), outDir)
+      case "process-snapshot" :: snapshotId :: rawDir :: outDir :: rest
+          if rest.isEmpty || rest == List("--force-reload") =>
+        // reference process_snapshot (process_snapshot.py:398): skip a
+        // snapshot already loaded unless --force-reload; reprocessing is
+        // idempotent (facts dynamic-overwrite their own partition)
+        val force = rest.nonEmpty
+        val statusPath = s"$outDir/siri_snapshots"
+        val alreadyLoaded = !force && {
+          try spark.read.parquet(statusPath)
+            .filter(col("snapshot_id") === snapshotId && col("etl_status") === "loaded")
+            .limit(1).count() > 0
+          catch { case _: org.apache.spark.sql.AnalysisException => false }
+        }
+        if (alreadyLoaded) println(s"snapshot $snapshotId already loaded, skipping")
+        else writeResult(SiriSnapshotEtl.run(
+          readRaw(spark, rawDir).filter(col("snapshot_id") === snapshotId)), outDir)
+      case "start-daemon" :: rawDir :: outDir :: checkpointDir :: Nil =>
+        // start_process_new_snapshots_daemon: minute-granular tail of the
+        // raw dir; ctrl-C / SIGTERM stops gracefully (shutdown hook)
+        val q = graft.streaming.SnapshotStream.daemon(spark, rawDir, outDir, checkpointDir)
+        q.awaitTermination()
       case "update-pending-snapshots" :: from :: to :: statusParquet :: Nil =>
         val status = spark.read.parquet(statusParquet)
         Backfill.pendingSnapshots(spark, from, to, status)
@@ -58,9 +83,10 @@ object Cli {
         if (n > 0) bad.show(50, truncate = false)
       case other =>
         System.err.println(s"unknown command: ${other.mkString(" ")}")
-        System.err.println("commands: process-snapshots | update-pending-snapshots | " +
+        System.err.println("commands: process-snapshots | process-snapshot | " +
+          "start-daemon | update-pending-snapshots | " +
           "process-old-missing-snapshots | validate-snapshots")
     }
-    spark.stop()
+    if (!preexisting) spark.stop()
   }
 }

@@ -187,7 +187,17 @@ object SiriSnapshotEtl {
         col("journey_ref"), col("vehicle_ref"), col("stop_point_ref"), col("order")).distinct(),
         "num_added_siri_ride_stops"), Seq("snapshot_id"), "left")
       .na.fill(0L)
-      .withColumn("etl_status", lit("loaded"))
+      // reference status semantics (process_snapshot.py:289,302): a
+      // snapshot that produced nothing but failures (e.g. an unparseable
+      // document) is `error` with a reason, and re-enters the backlog
+      // (Backfill.processBacklog picks error-status ids up); a loaded
+      // snapshot carries error='' even when some visits failed to parse.
+      .withColumn("etl_status",
+        when(col("num_successful_parse_vehicle_locations") > 0 ||
+          col("num_failed_parse_vehicle_locations") === 0, lit("loaded"))
+          .otherwise(lit("error")))
+      .withColumn("error",
+        when(col("etl_status") === "error", lit("no parseable visits")).otherwise(lit("")))
   }
 
   /** Reconciliation (validate_snapshots.py): join the star back together

@@ -1,11 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
-import org.apache.spark.sql.Row
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery, Trigger}
 
 import graft.etl.SiriSnapshotEtl
+import graft.sources.SnapshotStorage
 
 /** The reference's continuous daemon (process_new_snapshots +
   * start_process_new_snapshots_daemon, process_snapshot.py:485-547) as
@@ -36,6 +36,29 @@ object SnapshotStream {
       .agg(
         sum(when(col("parse_ok"), 1L).otherwise(0L)).as("num_successful_parse_vehicle_locations"),
         sum(when(col("parse_ok"), 0L).otherwise(1L)).as("num_failed_parse_vehicle_locations"))
+
+  /** The full daemon (start_process_new_snapshots_daemon): tail the raw
+    * snapshot dir, run the batch ETL per micro-batch, write the star
+    * schema idempotently (dims append new keys; facts dynamic-overwrite
+    * their own (date, minute) partitions — a retried batch rewrites, it
+    * never doubles). The checkpoint replaces the reference's
+    * last-loaded-snapshot bookkeeping; the shutdown hook is its
+    * GracefulKiller (SIGTERM finishes the in-flight batch, then stops).
+    */
+  def daemon(spark: SparkSession, rawDir: String, outDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery = {
+    val q = SnapshotStorage.readRawStream(spark, rawDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        SnapshotStorage.writeTables(SiriSnapshotEtl.run(batch), outDir)
+      }
+      .start()
+    sys.addShutdownHook { if (q.isActive) q.stop() }
+    q
+  }
 
   /** Streaming retry-dedup (the reference's idempotent reload in stream
     * form): a snapshot re-delivered within the watermark horizon must

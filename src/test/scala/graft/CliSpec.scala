@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** End-to-end command surface: raw snapshot files on disk → star
+  * schema, mirroring the reference cli.py workflows. */
+class CliSpec extends SparkSpec {
+
+  private def writeRaw(root: String, id: String, json: String): Unit = {
+    val p = Paths.get(s"$root/$id.json")
+    Files.createDirectories(p.getParent)
+    Files.write(p, json.getBytes("UTF-8"))
+  }
+
+  test("process-snapshot loads once, skips when loaded, reprocesses under --force-reload") {
+    val root = Files.createTempDirectory("cliraw").toString
+    val out = Files.createTempDirectory("cliout").toString
+    writeRaw(root, "2023/03/10/08/01", SiriFixtures.snapA)
+    writeRaw(root, "2023/03/10/08/02", SiriFixtures.snapB)
+
+    Cli.main(Array("process-snapshot", "2023/03/10/08/01", root, out))
+    assert(spark.read.parquet(s"$out/siri_vehicle_locations").count() == 3)
+
+    // snapshot 08/02 not yet processed; 08/01 skips (already loaded)
+    Cli.main(Array("process-snapshot", "2023/03/10/08/01", root, out))
+    assert(spark.read.parquet(s"$out/siri_vehicle_locations").count() == 3)
+
+    Cli.main(Array("process-snapshot", "2023/03/10/08/02", root, out))
+    assert(spark.read.parquet(s"$out/siri_vehicle_locations").count() == 5)
+
+    // force reload is idempotent: same partitions rewritten, no doubling
+    Cli.main(Array("process-snapshot", "2023/03/10/08/01", root, out, "--force-reload"))
+    assert(spark.read.parquet(s"$out/siri_vehicle_locations").count() == 5)
+    assert(spark.read.parquet(s"$out/siri_routes")
+      .select("operator_ref", "line_ref").distinct().count() ==
+      spark.read.parquet(s"$out/siri_routes").count())
+  }
+
+  test("daemon: streamed raw dir materializes the star schema and resumes from checkpoint") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("daemonraw").toString
+    val out = Files.createTempDirectory("daemonout").toString
+    val ckpt = Files.createTempDirectory("daemonckpt").toString
+    // the daemon's requester writes json-lines docs (snapshot_id, json)
+    Seq(("2023/03/10/08/01", SiriFixtures.snapA))
+      .toDF("snapshot_id", "json").write.mode("append").json(root)
+
+    val q1 = graft.streaming.SnapshotStream.daemon(
+      spark, root, out, ckpt, Trigger.AvailableNow())
+    q1.awaitTermination(120000)
+    assert(spark.read.parquet(s"$out/siri_vehicle_locations").count() == 3)
+
+    Seq(("2023/03/10/08/02", SiriFixtures.snapB))
+      .toDF("snapshot_id", "json").write.mode("append").json(root)
+    val q2 = graft.streaming.SnapshotStream.daemon(
+      spark, root, out, ckpt, Trigger.AvailableNow())
+    q2.awaitTermination(120000)
+    // checkpoint resume: only the new snapshot processed; both present
+    assert(spark.read.parquet(s"$out/siri_vehicle_locations").count() == 5)
+    assert(spark.read.parquet(s"$out/siri_snapshots")
+      .select("snapshot_id").distinct().count() == 2)
+  }
+
+  test("snapshot with zero parseable visits gets error status and a reason") {
+    import spark.implicits._
+    val r = graft.etl.SiriSnapshotEtl.run(Seq(
+      ("2023/03/10/09/00", "{ not json"),
+      ("2023/03/10/09/01", SiriFixtures.snapA)).toDF("snapshot_id", "json"))
+    val st = r.snapshotStats.collect()
+      .map(x => x.getAs[String]("snapshot_id") ->
+        (x.getAs[String]("etl_status"), x.getAs[String]("error"))).toMap
+    assert(st("2023/03/10/09/00") == ("error", "no parseable visits"))
+    assert(st("2023/03/10/09/01") == ("loaded", ""))
+  }
+}
