@@ -78,6 +78,7 @@ object SparkEntry {
     "ann_ivf"             -> Similarity.annIvf _,
     "embed_centroids"     -> Similarity.centroids _,
     "mm_binary_features"  -> Multimodal.binaryFeatures _,
+    "mm_frame_sample"     -> Multimodal.frameSample _,
     "dedup_embed_cosine"  -> Similarity.dedupEmbedCosine _,
     "ann_lsh_bucket"      -> Similarity.annLshBucket _,
   )
@@ -531,5 +532,14 @@ object SparkEntry {
         |      ELSE 'unknown' END AS detected_type,
         | 'stubbed-no-codec' AS decode_status
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, CAST(length(text) // 64 AS INT) AS n_frames, text
+        |  FROM documents WHERE length(text) >= 64),
+        |x AS (
+        |  SELECT doc_id, unnest(range(0, n_frames, 2)) AS frame_idx, text FROM f)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  md5(substr(text, CAST(frame_idx * 64 + 1 AS INT), 64)) AS frame_md5
+        |FROM x ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }

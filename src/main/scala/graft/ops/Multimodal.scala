@@ -76,6 +76,52 @@ object Multimodal {
     }
   }
 
+  /** Frame sampling in its declarative form (oracle-checked): the
+    * payload is a sequence of fixed-size frames; keep every 2nd. The
+    * fan-out is `sequence`+`explode` (an inline generator, map-side, no
+    * shuffle) and the per-frame slice is a codegen'd substring — the
+    * exact plan shape a real video sampler has, with the codec swapped
+    * for byte slicing. */
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        (length(col("text")) / 64).cast("int").as("n_frames"))
+      .filter(col("n_frames") > 0)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(2))).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        md5(expr("substr(text, frame_idx * 64 + 1, 64)")).as("frame_md5"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  case class ResizedMedia(doc_id: Long, media_type: String, orig_bytes: Long,
+      resized_bytes: Long, resized: Array[Byte])
+
+  /** Deterministic stand-in for an image resize: keep every `factor`-th
+    * byte. A real deployment swaps the body for the scaler call. */
+  private def resizeStub(payload: Array[Byte], factor: Int): Array[Byte] = {
+    val out = new Array[Byte]((payload.length + factor - 1) / factor)
+    var i = 0
+    while (i < out.length) { out(i) = payload(i * factor); i += 1 }
+    out
+  }
+
+  /** Batched resize over the typed path (same mapInPandas-shaped
+    * contract as decodePipeline): payload in, smaller payload out,
+    * peak memory bounded by batchSize × payload size per task. */
+  def resizePipeline(media: Dataset[MediaRecord], factor: Int = 4,
+      batchSize: Int = 64): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val small = resizeStub(r.payload, factor)
+          ResizedMedia(r.doc_id, r.media_type, r.payload.length.toLong,
+            small.length.toLong, small)
+        }
+      }
+    }
+  }
+
   /** Build a MediaRecord dataset from the documents table (text bytes as
     * the opaque payload; media_type cycles deterministically). */
   def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {

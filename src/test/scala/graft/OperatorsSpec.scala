@@ -127,4 +127,27 @@ class MultimodalSpec extends SparkSpec {
     val joined = bf.join(docs, "doc_id").filter($"n_bytes" =!= $"n")
     assert(joined.count() == 0)
   }
+
+  test("frame sample keeps every 2nd frame, frames reassemble from the source") {
+    val fs = Multimodal.frameSample(spark, sf0001)
+    // indices are even and bounded by the doc's frame count
+    assert(fs.filter($"frame_idx" % 2 =!= 0).count() == 0)
+    val bad = fs.join(Tables.documents(spark, sf0001), "doc_id")
+      .filter($"frame_md5" =!= md5(expr("substr(text, frame_idx * 64 + 1, 64)")))
+    assert(bad.count() == 0)
+    assert(fs.count() > 0)
+  }
+
+  test("resize pipeline shrinks payloads by the factor, invariant to batch size") {
+    val media = Multimodal.mediaFromDocuments(spark, sf0001)
+    val r1 = Multimodal.resizePipeline(media, factor = 4, batchSize = 1).collect()
+      .map(r => r.doc_id -> r).toMap
+    val r64 = Multimodal.resizePipeline(media, factor = 4, batchSize = 64).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(r1.keySet == r64.keySet)
+    r1.values.foreach { r =>
+      assert(r.resized_bytes == (r.orig_bytes + 3) / 4)
+      assert(java.util.Arrays.equals(r64(r.doc_id).resized, r.resized))
+    }
+  }
 }
