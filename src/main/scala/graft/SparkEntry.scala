@@ -70,6 +70,7 @@ object SparkEntry {
     "text_langid"         -> TextAnalysis.langid _,
     "text_fingerprint"    -> TextAnalysis.fingerprint _,
     "text_winnow"         -> TextAnalysis.winnow _,
+    "text_tfidf"          -> TextAnalysis.tfidf _,
     "dedup_exact"         -> Dedup.exact _,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccard _,
     "dedup_minhash_lsh"   -> Dedup.minhashLsh _,
@@ -296,6 +297,21 @@ object SparkEntry {
         |fps AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, nw + 1),
         |   j -> list_min(h[j:least(j + 4 - 1, len(h))])))) AS fp FROM wins)
         |SELECT doc_id, fp FROM fps ORDER BY doc_id, fp""".stripMargin,
+    "text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (
+        |  SELECT doc_id, tf.term,
+        |    round(tf * (ln((n + 1.0) / (df + 1.0)) + 1), 6) AS score
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+        |SELECT doc_id, term, score, rk FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term) AS BIGINT) AS rk FROM s) t
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
     "dedup_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -79,6 +79,31 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("fp"))
   }
 
+  /** TF-IDF top-3 terms per document. Term frequencies are one
+    * explode+groupBy (partial map-side); document frequencies reduce
+    * the tf relation again (tiny — bounded by |vocab|) and broadcast
+    * back, as does the 1-row corpus size. Scores round to 6 before
+    * ranking so cross-engine ln() ulp drift can't flip the order. */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(expr(raw"regexp_extract_all(lower(text), '\\S+', 0)")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n"))
+    val scored = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * (log((col("n") + lit(1.0)) / (col("df") + lit(1.0))) + 1), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("term"), col("score"), col("rk"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   /** Normalized-content fingerprint + duplicate-group size: md5 over
     * lowercased text with punctuation/whitespace collapsed. The window
     * count is the "how many share my fingerprint" signal dedup uses. */

