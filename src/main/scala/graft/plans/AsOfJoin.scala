@@ -27,7 +27,8 @@ import org.apache.spark.sql.execution.SparkStrategy
   */
 case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+    leftTime: Expression, rightTime: Expression,
+    toleranceMicros: Option[Long] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -37,13 +38,19 @@ case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
 
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    leftTime: Expression, rightTime: Expression) extends BinaryExecNode {
+    leftTime: Expression, rightTime: Expression,
+    toleranceMicros: Option[Long] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  // rows leave exactly as the left child was partitioned/sorted — a
+  // downstream groupBy/window on the same key plans zero extra exchanges
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    left.outputPartitioning
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
@@ -56,11 +63,25 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
 
+  /** read the single-field time row as long (micros for timestamps,
+    * native value for integral types) so tolerance can subtract. */
+  private def timeAsLong(dt: org.apache.spark.sql.types.DataType): InternalRow => Long = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | TimestampType | TimestampNTZType => r => r.getLong(0)
+      case IntegerType | DateType => r => r.getInt(0).toLong
+      case other => throw new IllegalArgumentException(
+        s"as-of tolerance unsupported for time type $other")
+    }
+  }
+
   override protected def doExecute(): RDD[InternalRow] = {
     val leftOut = left.output
     val rightOut = right.output
     val lKeys = leftKeys; val rKeys = rightKeys
     val lTime = leftTime; val rTime = rightTime
+    val tol = toleranceMicros
+    val toLong = if (tol.isDefined) timeAsLong(leftTime.dataType) else null
     val outAttrs = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeys, leftOut)
@@ -105,6 +126,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 
       var matchRow: InternalRow = null
       var matchKey: InternalRow = null
+      var matchTime: Long = 0L
 
       lIter.map { l =>
         val lKey = lKeyProj(l)
@@ -122,10 +144,13 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             if (c < 0) pullRight()
             else if (c == 0 && timeOrd.compare(rTimeVal, lT) <= 0) {
               matchRow = rRow; matchKey = rKey
+              if (tol.isDefined) matchTime = toLong(rTimeVal)
               pullRight()
             } else advance = false
           }
-          resultProj(joined(l, if (matchRow != null) matchRow else nullRight))
+          val withinTol = matchRow != null &&
+            (tol.isEmpty || toLong(lT) - matchTime <= tol.get)
+          resultProj(joined(l, if (withinTol) matchRow else nullRight))
         }
       }
     }
@@ -134,8 +159,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol) :: Nil
     case _ => Nil
   }
 }
@@ -144,9 +169,13 @@ object AsOfJoinStrategy extends SparkStrategy {
 object AsOf {
   /** left-outer as-of join: for each left row, latest right row with
     * rightTime ≤ leftTime sharing `keys`. Column names must be disjoint
-    * apart from the join keys you select away afterwards. */
+    * apart from the join keys you select away afterwards.
+    * `toleranceMicros` bounds the lookback (pandas merge_asof
+    * tolerance): a match older than leftTime − tolerance is discarded
+    * (micros for timestamp columns, native units for integral ones). */
   def join(leftDf: DataFrame, rightDf: DataFrame, leftKeys: Seq[String],
-      rightKeys: Seq[String], leftTimeCol: String, rightTimeCol: String): DataFrame = {
+      rightKeys: Seq[String], leftTimeCol: String, rightTimeCol: String,
+      toleranceMicros: Option[Long] = None): DataFrame = {
     val spark = leftDf.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
@@ -159,7 +188,7 @@ object AsOf {
         throw new IllegalArgumentException(s"column $n not found in ${p.output.map(_.name)}"))
     val node = AsOfJoin(lPlan, rPlan,
       leftKeys.map(attr(lPlan, _)), rightKeys.map(attr(rPlan, _)),
-      attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol))
+      attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol), toleranceMicros)
     org.apache.spark.sql.graft.GraftShim.ofRows(spark, node)
   }
 }

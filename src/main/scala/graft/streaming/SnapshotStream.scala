@@ -71,6 +71,22 @@ object SnapshotStream {
       .withWatermark("recorded_at_time", "10 minutes")
       .dropDuplicatesWithinWatermark("snapshot_id", "journey_ref", "order")
 
+  /** Watermarked stream-stream interval join: correlate two live
+    * streams on a key where the right event happened within the
+    * preceding `horizonMinutes` of the left event (e.g. match each
+    * vehicle alert to that vehicle's location reports just before it).
+    * Both sides carry watermarks so join state EVICTS once the
+    * interval can no longer match — state size is bounded by horizon ×
+    * arrival rate, never by stream lifetime. */
+  def streamIntervalJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, leftTime: String, rightTime: String,
+      horizonMinutes: Int = 10): DataFrame =
+    left.withWatermark(leftTime, s"$horizonMinutes minutes")
+      .join(right.withWatermark(rightTime, s"$horizonMinutes minutes"),
+        expr(s"""$leftKey = $rightKey AND
+                 $rightTime >= $leftTime - INTERVAL $horizonMinutes MINUTES AND
+                 $rightTime <= $leftTime"""))
+
   /** Production state-store configuration: RocksDB-backed state (the
     * HDFS-backed default keeps every key on-heap — a national fleet's
     * ride state at minute granularity OOMs executors), with changelog

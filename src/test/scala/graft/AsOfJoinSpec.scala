@@ -43,6 +43,35 @@ class AsOfJoinSpec extends SparkSpec {
     assert(r == Set((100, Some(1.0)), (200, None)))
   }
 
+  test("tolerance bounds the lookback (merge_asof tolerance semantics)") {
+    val quotes = Seq(("A", 10L, 1.0), ("A", 100L, 2.0)).toDF("qsym", "qts", "px")
+    val trades = Seq(
+      ("A", 12L, 1),   // 2 ticks after quote 10 → within tol 5
+      ("A", 50L, 2),   // 40 ticks after quote 10 → outside tol 5
+      ("A", 103L, 3)   // 3 ticks after quote 100 → within
+    ).toDF("sym", "ts", "qty")
+    val r = AsOf.join(trades, quotes, Seq("sym"), Seq("qsym"), "ts", "qts",
+        toleranceMicros = Some(5L))
+      .select($"qty", $"px")
+      .collect().map(x => (x.getInt(0), if (x.isNullAt(1)) None else Some(x.getDouble(1)))).toSet
+    assert(r == Set((1, Some(1.0)), (2, None), (3, Some(2.0))))
+  }
+
+  test("downstream agg on the join key plans no exchange after the as-of join") {
+    val ev = Tables.events(spark, sf0001)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"ts")
+    val views = ev.filter($"event_type" === "view")
+      .select($"event_id".as("view_id"), $"user_id".as("vuser"), $"ts".as("vts"))
+    val agged = AsOf.join(purchases, views, Seq("user_id"), Seq("vuser"), "ts", "vts")
+      .groupBy($"user_id").agg(count($"view_id").as("n"))
+    val exchanges = agged.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange"))
+    // one shuffle per join side, NONE for the downstream agg
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n${agged.queryExecution.executedPlan}")
+    assert(agged.count() > 0)
+  }
+
   test("asof join agrees with the composed range-join + window equivalent on real data") {
     val ev = Tables.events(spark, sf0001)
     val purchases = ev.filter($"event_type" === "purchase")

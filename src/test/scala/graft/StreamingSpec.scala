@@ -57,4 +57,27 @@ class StreamingSpec extends SparkSpec {
       assert(q.lastProgress.stateOperators.nonEmpty)
     } finally SnapshotStream.rocksDbStateConfs.keys.foreach(spark.conf.unset)
   }
+
+  test("stream-stream interval join matches right events in the preceding horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2023-03-10 08:$m%02d:00")
+    val alerts = MemoryStream[(String, Timestamp)]
+    val locs = MemoryStream[(String, Timestamp)]
+    alerts.addData(("veh-1", ts(20)), ("veh-2", ts(20)))
+    locs.addData(
+      ("veh-1", ts(15)), // within 10m before the alert → match
+      ("veh-1", ts(5)),  // too old → no match
+      ("veh-2", ts(25))) // after the alert → no match
+    val joined = SnapshotStream.streamIntervalJoin(
+      alerts.toDF().toDF("a_veh", "a_ts"), locs.toDF().toDF("l_veh", "l_ts"),
+      "a_veh", "l_veh", "a_ts", "l_ts")
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val rows = spark.table("ssjoin")
+      .collect().map(r => (r.getString(0), r.getString(2), r.getTimestamp(3)))
+    assert(rows.toSet == Set(("veh-1", "veh-1", ts(15))))
+  }
 }
