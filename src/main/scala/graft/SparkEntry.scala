@@ -64,6 +64,8 @@ object SparkEntry {
     "q21_sole_returner"  -> Relational.q21SoleReturner _,
     "q2_min_within_group" -> Relational.q2MinWithinGroup _,
     "q15_top_supplier"   -> Relational.q15TopSupplier _,
+    "q_pivot_segment_status" -> Relational.qPivotSegmentStatus _,
+    "q_running_total"    -> Relational.qRunningTotal _,
     // §2.3 training-data pipeline ops (documents / embeddings)
     "text_tokens"         -> TextAnalysis.tokens _,
     "text_quality"        -> TextAnalysis.quality _,
@@ -469,6 +471,22 @@ object SparkEntry {
         |    OVER (PARTITION BY user_id ORDER BY ts, event_id), 0) AS valid_to_sec,
         |  (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
         |FROM pts ORDER BY user_id, valid_from_sec""".stripMargin,
+    "q_pivot_segment_status" ->
+      """SELECT c_mktsegment,
+        | CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        | CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        | CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch,
+        | o_totalprice,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6) AS running_spend
+        |FROM orders WHERE o_custkey % 100 = 0
+        |ORDER BY o_custkey, order_epoch, o_orderkey""".stripMargin,
     "q4_priority_exists" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
         |FROM orders

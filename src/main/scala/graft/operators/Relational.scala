@@ -411,9 +411,15 @@ object Relational {
     * one extra shuffle instead of two correlated rescans of the fact. */
   def q21SoleReturner(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey", "l_returnflag")
-    val perOrder = li.groupBy(col("l_orderkey").as("po_orderkey")).agg(
-      countDistinct(col("l_suppkey")).as("n_supp"),
-      countDistinct(when(col("l_returnflag") === "R", col("l_suppkey"))).as("n_r_supp"))
+    // two-level agg instead of two countDistincts: a double distinct
+    // plans an Expand that doubles every fact row before the shuffle;
+    // collapsing to (order, supplier) grain first shuffles each pair once
+    val perOrder = li
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("has_r"))
+      .groupBy(col("l_orderkey").as("po_orderkey")).agg(
+        count(lit(1)).as("n_supp"),
+        sum(col("has_r")).as("n_r_supp"))
     val fOrders = Tables.orders(spark, dir)
       .filter(col("o_orderstatus") === "F").select("o_orderkey")
     val waiting = li.filter(col("l_returnflag") === "R")
@@ -427,6 +433,43 @@ object Relational {
       .agg(count(lit(1)).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
       .limit(20)
+  }
+
+  /** Pivot (long→wide reshape): order counts by market segment × order
+    * status. Spark's `pivot` with explicit values compiles to one
+    * hash-agg with conditional buffers — a single scan, no per-column
+    * rescans, same plan DuckDB reaches with CASE aggregates. */
+  def qPivotSegmentStatus(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
+    Tables.orders(spark, dir).select("o_custkey", "o_orderstatus")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("c_mktsegment"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Running total per customer (order-sensitive window aggregation):
+    * cumulative spend over order history. One shuffle on the partition
+    * key; the running sum is a single sort-based window pass. */
+  def qRunningTotal(spark: SparkSession, dir: String): DataFrame = {
+    // epoch ordering ≡ o_orderdate ordering (monotone transform), and
+    // the epoch column survives the projection below
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("order_epoch"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") % 100 === 0) // a deterministic slice keeps output bounded
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("order_epoch"),
+        col("o_totalprice"))
+      .withColumn("running_spend",
+        round(sum(d2(col("o_totalprice"))).over(w).cast("double"), 6))
+      .orderBy(col("o_custkey"), col("order_epoch"), col("o_orderkey"))
   }
 
   /** Global deterministic top-k: ORDER BY with unique-key tie-break then
