@@ -37,6 +37,7 @@ object SparkEntry {
     "etl_retry_dedup"    -> EventsEtl.retryDedup _,
     "etl_asof_join"      -> EventsEtl.asofLatestView _,
     "etl_sliding_window" -> EventsEtl.slidingWindowStats _,
+    "etl_session_window" -> EventsEtl.sessionWindow _,
     "etl_scd2_history"   -> EventsEtl.scd2History _,
     // §2.2 relational core
     "q1_pricing_summary" -> Relational.q1PricingSummary _,
@@ -445,6 +446,19 @@ object SparkEntry {
       """SELECT event_type, round(quantile_cont(value, 0.5), 6) AS median_value,
         | round(quantile_cont(value, 0.9), 6) AS p90_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "etl_session_window" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |t AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+        |        THEN 1 ELSE 0 END AS new_sess FROM s),
+        |u AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sn FROM t)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  min(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) AS start_sec,
+        |  max(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) AS end_sec
+        |FROM u GROUP BY user_id, sn ORDER BY user_id, start_sec""".stripMargin,
     "etl_sliding_window" ->
       """WITH e AS (
         |  SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es, event_type, value

@@ -229,6 +229,21 @@ object EventsEtl {
       .orderBy(col("event_type"))
   }
 
+  /** Gap-based sessionization via Spark's NATIVE session operator
+    * (`session_window` — the streaming-capable path, vs the lag+cumsum
+    * formulation in [[sessionize]]): events within 30 minutes of each
+    * other merge into one session per user. One shuffle on the key;
+    * the session merge is the operator's own state logic, which is
+    * exactly what runs under a watermark in streaming mode. */
+  def sessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        min(epochSec(col("ts"))).as("start_sec"),
+        max(epochSec(col("ts"))).as("end_sec"))
+      .select(col("user_id"), col("n_events"), col("start_sec"), col("end_sec"))
+      .orderBy(col("user_id"), col("start_sec"))
+
   /** Sliding-window aggregation (the Structured-Streaming windowed-agg
     * shape in its batch form): 10-minute windows sliding every 5, so
     * each event lands in exactly two windows. `window()` generates both

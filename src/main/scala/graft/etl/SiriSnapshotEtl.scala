@@ -224,6 +224,47 @@ object SiriSnapshotEtl {
       .unionAll(expected.exceptAll(reassembled).withColumn("side", lit("parse_only")))
   }
 
+  /** Field-level reconciliation report (validate_snapshots.py:100 emits
+    * one row per mismatching FIELD, keyed by the vehicle-location
+    * natural key, with expected vs actual): both derivations join on
+    * the location key, then each compared field contributes its own
+    * mismatch row. Rows present on only one side report field
+    * 'presence'. Empty result ⇒ valid. */
+  def validateFields(visits: DataFrame, facts: DataFrame, rideStopDim: DataFrame,
+      rideDim: DataFrame, stopDim: DataFrame): DataFrame = {
+    val locKey = Seq("snapshot_id", "recorded_at_time", "lon", "lat",
+      "bearing", "velocity", "distance_from_journey_start")
+    val fields = Seq("journey_ref", "vehicle_ref", "scheduled_start_time", "code", "order")
+    def sided(df: DataFrame, side: String): DataFrame =
+      fields.foldLeft(df)((d, f) => d.withColumnRenamed(f, s"${side}_$f"))
+        .withColumn(s"${side}_present", lit(true))
+    val reassembled = sided(facts
+      .join(broadcast(rideStopDim.select(col("siri_ride_stop_id"), col("siri_ride_id"),
+        col("siri_stop_id"), col("order"))), Seq("siri_ride_stop_id"))
+      .join(broadcast(rideDim.select(col("siri_ride_id"), col("journey_ref"),
+        col("vehicle_ref"), col("scheduled_start_time"))), Seq("siri_ride_id"))
+      .join(broadcast(stopDim.select(col("siri_stop_id"), col("code"))), Seq("siri_stop_id"))
+      .select((locKey ++ fields).map(col): _*), "db")
+    val expected = sided(visits.filter(col("parse_ok"))
+      .withColumnRenamed("stop_point_ref", "code")
+      .select((locKey ++ fields).map(col): _*), "parse")
+    val joined = expected.join(reassembled, locKey, "full_outer")
+    val presence = joined
+      .filter(col("parse_present").isNull || col("db_present").isNull)
+      .select(locKey.map(col) :+ lit("presence").as("field") :+
+        when(col("parse_present").isNotNull, lit("parsed row")).otherwise(lit("")).as("expected") :+
+        when(col("db_present").isNotNull, lit("db row")).otherwise(lit("")).as("actual"): _*)
+    val fieldMismatches = fields.map { f =>
+      joined
+        .filter(col("parse_present").isNotNull && col("db_present").isNotNull &&
+          !(col(s"parse_$f") <=> col(s"db_$f")))
+        .select(locKey.map(col) :+ lit(f).as("field") :+
+          col(s"parse_$f").cast("string").as("expected") :+
+          col(s"db_$f").cast("string").as("actual"): _*)
+    }
+    fieldMismatches.foldLeft(presence)(_ unionByName _)
+  }
+
   /** Whole-batch ETL result. */
   case class EtlResult(visits: DataFrame, routes: DataFrame, stops: DataFrame,
       rides: DataFrame, rideStops: DataFrame, vehicleLocations: DataFrame,

@@ -85,11 +85,14 @@ object TextAnalysis {
     * back, as does the 1-row corpus size. Scores round to 6 before
     * ranking so cross-engine ln() ulp drift can't flip the order. */
   def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    // tf feeds both the score join and the df reduction — persist, or
+    // the scan→regexp→explode→agg chain runs twice
     val tf = Tables.documents(spark, dir)
       .select(col("doc_id"),
         explode(expr(raw"regexp_extract_all(lower(text), '\\S+', 0)")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n"))
     val scored = tf.join(broadcast(dfreq), "term")

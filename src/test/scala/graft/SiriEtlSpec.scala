@@ -132,6 +132,22 @@ class SiriEtlSpec extends SparkSpec {
     assert(mismatches.count() == 0)
   }
 
+  test("field-level validation pinpoints the corrupted field, clean data reports none") {
+    val r = SiriSnapshotEtl.run(raw("2023/03/10/08/01" -> SiriFixtures.snapA))
+    assert(SiriSnapshotEtl.validateFields(r.visits, r.vehicleLocations,
+      r.rideStops, r.rides, r.stops).count() == 0)
+    // corrupt one ride's journey_ref in the "db" side
+    val corruptedRides = r.rides.withColumn("journey_ref",
+      org.apache.spark.sql.functions.when($"journey_ref" === "2023-03-10-100002",
+        "CORRUPT").otherwise($"journey_ref"))
+    val report = SiriSnapshotEtl.validateFields(r.visits, r.vehicleLocations,
+      r.rideStops, corruptedRides, r.stops).collect()
+    assert(report.length == 1)
+    assert(report.head.getAs[String]("field") == "journey_ref")
+    assert(report.head.getAs[String]("expected") == "2023-03-10-100002")
+    assert(report.head.getAs[String]("actual") == "CORRUPT")
+  }
+
   test("snapshot stats attribute dim creation to the first snapshot that saw the key") {
     val r = SiriSnapshotEtl.run(raw("2023/03/10/08/01" -> SiriFixtures.snapA,
       "2023/03/10/08/02" -> SiriFixtures.snapB))
