@@ -85,6 +85,8 @@ object SparkEntry {
     "mm_frame_sample"     -> Multimodal.frameSample _,
     "dedup_embed_cosine"  -> Similarity.dedupEmbedCosine _,
     "ann_lsh_bucket"      -> Similarity.annLshBucket _,
+    "ann_ivf_topk"        -> Similarity.annIvfTopk _,
+    "embed_quantize"      -> Similarity.quantize _,
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. */
@@ -359,6 +361,40 @@ object SparkEntry {
         |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sim, b.sim)) <= 2
         |ORDER BY 1, 2""".stripMargin,
+    "ann_ivf_topk" ->
+      """WITH pe AS (SELECT label, i AS pos, embedding[i] AS x
+        |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
+        |c AS (SELECT CAST(label AS BIGINT) AS label, CAST(pos - 1 AS BIGINT) AS pos,
+        |   round(avg(CAST(x AS DOUBLE)), 6) AS centroid FROM pe GROUP BY 1, 2),
+        |cent AS (SELECT label AS cell, list(centroid ORDER BY pos) AS cv FROM c GROUP BY 1),
+        |e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM e),
+        |p AS (SELECT vec_id AS probe_id, v AS pv, norm AS pnorm FROM n WHERE vec_id < 5),
+        |routed AS (
+        |  SELECT probe_id, pv, pnorm, cell FROM (
+        |    SELECT p.probe_id, p.pv, p.pnorm, cent.cell,
+        |      round(sqrt(list_sum(list_transform(list_zip(p.pv, cent.cv),
+        |        z -> (z[1]-z[2])*(z[1]-z[2])))), 6) AS cdist
+        |    FROM p CROSS JOIN cent) t
+        |  QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cdist, cell) <= 2),
+        |s AS (SELECT routed.probe_id, n.vec_id,
+        |   round(list_sum(list_transform(list_zip(routed.pv, n.v), z -> z[1]*z[2]))
+        |     / (routed.pnorm * n.norm), 6) AS cosine
+        |  FROM routed JOIN n ON n.label = routed.cell
+        |  WHERE n.vec_id <> routed.probe_id)
+        |SELECT probe_id, vec_id, cosine,
+        | CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rk
+        |FROM s QUALIFY rk <= 5 ORDER BY probe_id, rk""".stripMargin,
+    "embed_quantize" ->
+      """WITH pe AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
+        |    CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
+        |st AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM pe GROUP BY 1)
+        |SELECT vec_id, pe.pos,
+        |  CAST(CASE WHEN mx = mn THEN 0
+        |       ELSE floor((x - mn) / (mx - mn) * 255) END AS BIGINT) AS q
+        |FROM pe JOIN st ON pe.pos = st.pos ORDER BY vec_id, pe.pos""".stripMargin,
     "ann_bruteforce" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM e),

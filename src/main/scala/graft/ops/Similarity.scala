@@ -100,6 +100,57 @@ object Similarity {
         count(lit(1)).as("n_vecs"))
       .orderBy(col("label"), col("pos"))
 
+  /** Full IVF search: per probe, rank the coarse cells by centroid
+    * distance, search ONLY the nearest nprobe=2 cells, exact cosine
+    * top-5 within them. The probe→cell routing is a broadcast cross of
+    * |probes|×|cells| (tiny); the candidate join restricts the scan to
+    * nprobe/|cells| of the corpus — the access-path shape that makes
+    * ANN sublinear at 100 TB. */
+  def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
+    val cent = centroids(spark, dir)
+      .groupBy(col("label").as("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, centroid))), s -> s.centroid)").as("cv"))
+    val e = vecs(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"), col("v"), col("norm"))
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pnorm"))
+    val wCell = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("cdist"), col("cell"))
+    val routed = probes.crossJoin(broadcast(cent))
+      .withColumn("cdist", round(sqrt(expr("graft_l2sq(pv, cv)")), 6))
+      .withColumn("crk", row_number().over(wCell))
+      .filter(col("crk") <= 2)
+      .select(col("probe_id"), col("pv"), col("pnorm"), col("cell"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("vec_id"))
+    routed.join(e, col("cell") === col("label"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine",
+        round(expr("graft_dot(pv, v)") / (col("pnorm") * col("norm")), 6))
+      .withColumn("rk", row_number().over(wTop).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("probe_id"), col("vec_id"), col("cosine"), col("rk"))
+      .orderBy(col("probe_id"), col("rk"))
+  }
+
+  /** Scalar quantization (the PQ/SQ compression step an IVF index pairs
+    * with): global per-dimension min/max (a 64-row broadcast), each
+    * value maps to a byte code. Min/max aggregate exactly, so the
+    * codes are reproducible across engines. */
+  def quantize(spark: SparkSession, dir: String): DataFrame = {
+    val pe = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"),
+        col("xf").cast("double").as("x"))
+    val stats = pe.groupBy(col("pos")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    pe.join(broadcast(stats), "pos")
+      .select(col("vec_id"), col("pos"),
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(floor((col("x") - col("mn")) / (col("mx") - col("mn")) * 255))
+          .cast("long").as("q"))
+      .orderBy(col("vec_id"), col("pos"))
+  }
+
   /** IVF-style assignment: nearest (L2) per-label centroid for every
     * vector. The centroid table is tiny → broadcast; the scan side never
     * shuffles. `matches_label` measures cluster purity. */
