@@ -44,8 +44,27 @@ object Cli {
     val spark = session()
     spark.sparkContext.setLogLevel("WARN")
     args.toList match {
-      case "process-snapshots" :: rawDir :: outDir :: Nil =>
-        writeResult(SiriSnapshotEtl.run(readRaw(spark, rawDir)), outDir)
+      // process-snapshots <rawDir> <outDir> [<fromId> <toId>] [--only-missing]
+      // (siri-etl-process-snapshots DAG: range-bounded, only_missing
+      // skips snapshots already loaded — snapshot ids sort
+      // chronologically so the range is a lexicographic between)
+      case "process-snapshots" :: rawDir :: outDir :: rest
+          if rest.forall(a => a == "--only-missing" || !a.startsWith("--")) &&
+            rest.filterNot(_ == "--only-missing").length % 2 == 0 =>
+        var raw = readRaw(spark, rawDir)
+        rest.filterNot(_ == "--only-missing") match {
+          case from :: to :: Nil =>
+            raw = raw.filter(col("snapshot_id").between(from, to))
+          case _ => ()
+        }
+        if (rest.contains("--only-missing")) {
+          val loaded =
+            try Some(spark.read.parquet(s"$outDir/siri_snapshots")
+              .filter(col("etl_status") === "loaded").select("snapshot_id"))
+            catch { case _: org.apache.spark.sql.AnalysisException => None }
+          loaded.foreach(l => raw = raw.join(l, Seq("snapshot_id"), "left_anti"))
+        }
+        writeResult(SiriSnapshotEtl.run(raw), outDir)
       case "process-snapshot" :: snapshotId :: rawDir :: outDir :: rest
           if rest.isEmpty || rest == List("--force-reload") =>
         // reference process_snapshot (process_snapshot.py:398): skip a
@@ -74,13 +93,28 @@ object Cli {
       case "process-old-missing-snapshots" :: from :: to :: statusParquet :: rawDir :: outDir :: Nil =>
         val status = spark.read.parquet(statusParquet)
         writeResult(Backfill.processBacklog(spark, from, to, status, readRaw(spark, rawDir)), outDir)
-      case "validate-snapshots" :: rawDir :: Nil =>
-        val r = SiriSnapshotEtl.run(readRaw(spark, rawDir))
-        val bad = SiriSnapshotEtl.validate(r.visits, r.vehicleLocations,
+      // validate-snapshots <rawDir> [<fromId> <toId>] [--csv <path>]
+      // (siri-etl-validate-snapshots DAG: range-bounded field-level
+      // mismatch report, one row per mismatching field, CSV out)
+      case "validate-snapshots" :: rawDir :: rest =>
+        val csvOut = rest.dropWhile(_ != "--csv").drop(1).headOption
+        val range = rest.takeWhile(_ != "--csv")
+        var raw = readRaw(spark, rawDir)
+        range match {
+          case from :: to :: Nil =>
+            raw = raw.filter(col("snapshot_id").between(from, to))
+          case Nil => ()
+          case other =>
+            System.err.println(s"expected [<fromId> <toId>], got: $other"); sys.exit(2)
+        }
+        val r = SiriSnapshotEtl.run(raw)
+        val bad = SiriSnapshotEtl.validateFields(r.visits, r.vehicleLocations,
           r.rideStops, r.rides, r.stops)
         val n = bad.count()
         println(s"validation mismatches: $n")
-        if (n > 0) bad.show(50, truncate = false)
+        csvOut.foreach(p =>
+          bad.coalesce(1).write.mode("overwrite").option("header", "true").csv(p))
+        if (n > 0 && csvOut.isEmpty) bad.show(50, truncate = false)
       case other =>
         System.err.println(s"unknown command: ${other.mkString(" ")}")
         System.err.println("commands: process-snapshots | process-snapshot | " +

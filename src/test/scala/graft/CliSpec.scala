@@ -39,6 +39,33 @@ class CliSpec extends SparkSpec {
       spark.read.parquet(s"$out/siri_routes").count())
   }
 
+  test("process-snapshots range + --only-missing skips loaded ids (DAG semantics)") {
+    val root = Files.createTempDirectory("cliraw2").toString
+    val out = Files.createTempDirectory("cliout2").toString
+    writeRaw(root, "2023/03/10/08/01", SiriFixtures.snapA)
+    writeRaw(root, "2023/03/10/08/02", SiriFixtures.snapB)
+    writeRaw(root, "2023/03/10/08/03", SiriFixtures.snapA)
+    // load only 08/01..08/02
+    Cli.main(Array("process-snapshots", root, out, "2023/03/10/08/01", "2023/03/10/08/02"))
+    assert(spark.read.parquet(s"$out/siri_snapshots")
+      .select("snapshot_id").distinct().count() == 2)
+    // full-range only-missing run picks up exactly the remaining 08/03
+    Cli.main(Array("process-snapshots", root, out, "--only-missing"))
+    val stats = spark.read.parquet(s"$out/siri_snapshots")
+    assert(stats.select("snapshot_id").distinct().count() == 3)
+    assert(stats.count() == 3) // no snapshot written twice
+  }
+
+  test("validate-snapshots writes a field-level csv report") {
+    val root = Files.createTempDirectory("cliraw3").toString
+    val csv = Files.createTempDirectory("clicsv").toString + "/report"
+    writeRaw(root, "2023/03/10/08/01", SiriFixtures.snapA)
+    Cli.main(Array("validate-snapshots", root, "--csv", csv))
+    val report = spark.read.option("header", "true").csv(csv)
+    assert(report.count() == 0) // clean pipeline → empty report, header-only csv
+    assert(report.columns.contains("field") && report.columns.contains("expected"))
+  }
+
   test("daemon: streamed raw dir materializes the star schema and resumes from checkpoint") {
     import spark.implicits._
     val root = Files.createTempDirectory("daemonraw").toString
