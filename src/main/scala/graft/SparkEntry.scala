@@ -78,6 +78,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.ngramJaccard _,
     "dedup_minhash_lsh"   -> Dedup.minhashLsh _,
     "dedup_simhash"       -> Dedup.simhash _,
+    "dedup_winnow_pairs"  -> Dedup.winnowPairs _,
     "ann_bruteforce"      -> Similarity.annBruteforce _,
     "ann_ivf"             -> Similarity.annIvf _,
     "embed_centroids"     -> Similarity.centroids _,
@@ -302,6 +303,28 @@ object SparkEntry {
         |fps AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, nw + 1),
         |   j -> list_min(h[j:least(j + 4 - 1, len(h))])))) AS fp FROM wins)
         |SELECT doc_id, fp FROM fps ORDER BY doc_id, fp""".stripMargin,
+    "dedup_winnow_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents),
+        |g AS (SELECT doc_id,
+        |  CASE WHEN length(text) < 8 THEN [('0x' || substr(md5(text), 1, 15))::BIGINT]
+        |  ELSE list_transform(range(1, length(text) - 8 + 2),
+        |    i -> ('0x' || substr(md5(substr(text, i, 8)), 1, 15))::BIGINT) END AS h
+        | FROM d),
+        |wins AS (SELECT doc_id, h, greatest(1, len(h) - 4 + 1) AS nw FROM g),
+        |fps AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, nw + 1),
+        |   j -> list_min(h[j:least(j + 4 - 1, len(h))])))) AS fp FROM wins),
+        |nfp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nfp FROM fps GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_shared
+        |FROM pairs
+        |JOIN nfp x ON x.doc_id = doc_a JOIN nfp y ON y.doc_id = doc_b
+        |WHERE n_shared * 5 >= least(x.nfp, y.nfp) * 4
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "text_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term

@@ -122,6 +122,35 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Winnowing near-dup pairs (MOSS-style plagiarism detection): docs
+    * whose shared winnow fingerprints cover ≥ 80% of the smaller doc's
+    * fingerprint set are flagged copies. The overlap test is integer
+    * arithmetic (5·shared ≥ 4·min) — no float thresholds to drift. The
+    * fingerprint explode is map-side (native graft_winnow kernel); the
+    * self-join shuffles on the fingerprint — fan-in bounded by
+    * collision rate, like every LSH-family candidate join. Doubled
+    * corpus (+100000) so the operator provably catches the planted
+    * exact copies. */
+  def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val doubled = docs.unionAll(
+      docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+    val fps = doubled
+      .select(col("doc_id"), explode(expr("graft_winnow(text)")).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nfp = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
+    fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(nfp.select(col("doc_id").as("doc_a"), col("nfp").as("na"))), "doc_a")
+      .join(broadcast(nfp.select(col("doc_id").as("doc_b"), col("nfp").as("nb"))), "doc_b")
+      .filter(col("n_shared") * 5 >= least(col("na"), col("nb")) * 4)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** MinHash signatures (k=16, h_i(s) = (a_i·H(s) mod p + b_i) mod p)
     * computed as one map-side array expression over pre-hashed shingles,
     * then LSH banding (4 bands × 4 rows): docs sharing any band bucket

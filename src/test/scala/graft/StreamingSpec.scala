@@ -58,6 +58,26 @@ class StreamingSpec extends SparkSpec {
     } finally SnapshotStream.rocksDbStateConfs.keys.foreach(spark.conf.unset)
   }
 
+  test("heartbeat listener records per-batch progress while a query loads") {
+    implicit val sqlCtx = spark.sqlContext
+    val hb = new graft.streaming.Heartbeat
+    spark.streams.addListener(hb)
+    try {
+      val stream = MemoryStream[(String, String)]
+      stream.addData(("2023/03/10/08/01", SiriFixtures.snapA))
+      val q = SnapshotStream.parsedVisits(stream.toDF().toDF("snapshot_id", "json"))
+        .writeStream.format("memory").queryName("hb_out").outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      // listener delivery is async — wait for the beat to land
+      val deadline = System.currentTimeMillis() + 30000
+      while (hb.beats.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(hb.beats.nonEmpty)
+      assert(hb.beats.exists(_.numInputRows > 0))
+      assert(hb.alive(System.currentTimeMillis(), staleAfterMs = 60000))
+    } finally spark.streams.removeListener(hb)
+  }
+
   test("stream-stream interval join matches right events in the preceding horizon") {
     implicit val sqlCtx = spark.sqlContext
     import java.sql.Timestamp
