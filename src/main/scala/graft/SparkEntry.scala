@@ -308,9 +308,9 @@ object SparkEntry {
         |  SELECT doc_id, text FROM documents
         |  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents),
         |g AS (SELECT doc_id,
-        |  CASE WHEN length(text) < 8 THEN [('0x' || substr(md5(text), 1, 15))::BIGINT]
-        |  ELSE list_transform(range(1, length(text) - 8 + 2),
-        |    i -> ('0x' || substr(md5(substr(text, i, 8)), 1, 15))::BIGINT) END AS h
+        |  CASE WHEN length(text) < 16 THEN [('0x' || substr(md5(text), 1, 15))::BIGINT]
+        |  ELSE list_transform(range(1, length(text) - 16 + 2),
+        |    i -> ('0x' || substr(md5(substr(text, i, 16)), 1, 15))::BIGINT) END AS h
         | FROM d),
         |wins AS (SELECT doc_id, h, greatest(1, len(h) - 4 + 1) AS nw FROM g),
         |fps AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, nw + 1),

@@ -197,6 +197,11 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_simhash60", es => SimHash60(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_minhash_sig", es => MinHashSig(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_winnow", es => WinnowFingerprint(es.head), "scala_udf")
+    // wider grams for pairwise copy detection: the 8-char gram space is
+    // tiny on a small vocabulary (huge df ⇒ quadratic candidate joins);
+    // 16 chars ≈ a 3-word shingle
+    reg.createOrReplaceTempFunction("graft_winnow16",
+      es => WinnowFingerprint(es.head, k = 16, w = 4), "scala_udf")
     reg.createOrReplaceTempFunction("graft_dot", es => DotProduct(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_l2sq", es => L2Squared(es(0), es(1)), "scala_udf")
   }

@@ -133,20 +133,41 @@ object Dedup {
     * exact copies. */
   def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
+    val tDec = lit(BigDecimal("0.8"))
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val doubled = docs.unionAll(
       docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
-    val fps = doubled
-      .select(col("doc_id"), explode(expr("graft_winnow(text)")).as("fp"))
+    // per-doc fingerprint ARRAY (sorted distinct, native kernel) — the
+    // unit of verification; exploded only for candidate generation
+    val fpArr = doubled
+      .select(col("doc_id"), expr("graft_winnow16(text)").as("fa"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nfp = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("nfp"))
-    fps.as("a").join(fps.as("b"),
-        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .join(broadcast(nfp.select(col("doc_id").as("doc_a"), col("nfp").as("na"))), "doc_a")
-      .join(broadcast(nfp.select(col("doc_id").as("doc_b"), col("nfp").as("nb"))), "doc_b")
-      .filter(col("n_shared") * 5 >= least(col("na"), col("nb")) * 4)
+    val sh = fpArr.select(col("doc_id"), size(col("fa")).as("n"), explode(col("fa")).as("fp"))
+    // EXACT min-side prefix filter: a pair overlapping ≥ ⌈0.8·min⌉ must
+    // share a fingerprint inside the smaller doc's (n-⌈0.8n⌉+1) rarest —
+    // so prefix×FULL catches every valid pair (prefix×prefix would not:
+    // the larger doc's own prefix bound is not safe for cross-size
+    // pairs). The naive full×full join is Θ(Σ df²) and took 315s at
+    // sf0.1 on this tiny-vocab corpus.
+    val freq = sh.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+    val ranked = sh.join(freq, "fp")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("df"), col("fp"))))
+      .filter(col("rn") <= col("n") - ceil(col("n") * tDec) + 1)
+      .select(col("doc_id"), col("fp"))
+    val candidates = ranked.as("a").join(sh.select(col("doc_id"), col("fp")).as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    candidates
+      .join(broadcast(fpArr.select(col("doc_id").as("doc_a"), col("fa"))), "doc_a")
+      .join(broadcast(fpArr.select(col("doc_id").as("doc_b"), col("fa").as("fb"))), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("fa"), col("fb"))).cast("long").as("n_shared"),
+        least(size(col("fa")), size(col("fb"))).cast("long").as("n_min"))
+      .filter(col("n_shared") * 5 >= col("n_min") * 4)
       .select(col("doc_a"), col("doc_b"), col("n_shared"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
