@@ -194,6 +194,38 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Near-dup clustering: connected components over the MinHash-LSH
+    * pair graph → one canonical id (the component's min doc_id) per
+    * involved doc. Iterative min-label propagation, each round ONE
+    * join+agg over the edge list; converges in O(diameter) rounds
+    * (near-dup components are shallow — a handful here). At 100 TB
+    * you'd switch to the large-star/small-star contraction, which is
+    * the same join shape with edge rewriting per round. */
+  def components(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(spark, dir)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = pairs.unionAll(pairs.select(col("v").as("u"), col("u").as("v")))
+    var labels = edges.select(col("u").as("node")).distinct()
+      .withColumn("comp", col("node"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("node", "v2"), col("v") === col("v2"))
+        .groupBy(col("u").as("node")).agg(min(col("comp")).as("ncomp"))
+      val next = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"), least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.join(labels.withColumnRenamed("comp", "old"), "node")
+        .filter(col("comp") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+    }
+    labels.select(col("node").as("doc_id"), col("comp").as("component"))
+      .orderBy(col("doc_id"))
+  }
+
   /** 60-bit SimHash per doc (map-side fold over pre-hashed distinct
     * tokens), then near-dup pairs by Hamming distance ≤ 2 (the testdata
     * vocabulary is tiny, so token-set simhashes are close; real corpora

@@ -75,6 +75,18 @@ class DedupSpec extends SparkSpec {
     assert(jac.subsetOf(cand), s"missed: ${jac.diff(cand)}")
   }
 
+  test("components: endpoints of every pair share a component; id is the min member") {
+    val comp = Dedup.components(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Dedup.minhashLsh(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) => assert(comp(a) == comp(b), s"$a,$b split") }
+    comp.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.keys.min == c, s"component $c id is not its min member")
+    }
+  }
+
   test("simhash hamming is symmetric-free (a<b) and within radius") {
     val r = Dedup.simhash(spark, sf0001)
     assert(r.filter($"doc_a" >= $"doc_b").count() == 0)
