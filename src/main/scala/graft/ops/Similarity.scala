@@ -69,7 +69,8 @@ object Similarity {
     * every vector to an 8-bit bucket; search happens within a bucket
     * (expected n/256 of the corpus). Planes derive from H60 so the
     * DuckDB oracle reproduces them exactly. */
-  def annLshBucket(spark: SparkSession, dir: String): DataFrame = {
+  /** (vec_id, bucket): 8 hash-derived hyperplanes → 8-bit bucket. */
+  private def lshBuckets(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     // the 1000.0 literal is DECIMAL in SQL, so the transform yields
     // array<decimal> — cast to array<double> (same per-element value the
@@ -78,16 +79,43 @@ object Similarity {
       expr("""CAST(transform(sequence(0, 63), j ->
         ((CAST(graft_h60(concat(CAST(id AS STRING), '-', CAST(j AS STRING))) AS BIGINT) % 2001) - 1000) / 1000.0) AS ARRAY<DOUBLE>)""")
         .as("plane"))
-    val e = vecs(spark, dir).select(col("vec_id"), col("v"))
-    val buckets = e.crossJoin(broadcast(planes))
+    vecs(spark, dir).select(col("vec_id"), col("v"))
+      .crossJoin(broadcast(planes))
       .withColumn("dot", expr("graft_dot(v, plane)"))
       .withColumn("bit", when(col("dot") >= 0, 1L).otherwise(0L))
       .groupBy(col("vec_id"))
       .agg(sum(expr("bit * shiftleft(CAST(1 AS BIGINT), b)")).as("bucket"))
-    buckets
+  }
+
+  def annLshBucket(spark: SparkSession, dir: String): DataFrame =
+    lshBuckets(spark, dir)
       .withColumn("n_in_bucket", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))))
       .orderBy(col("vec_id"))
+
+  /** LSH probe search (the third ANN access path, after brute force
+    * and IVF): each probe searches ONLY its own hyperplane bucket —
+    * expected |corpus|/256 of the data. Probes landing in sparse
+    * buckets return fewer than k results; production multi-probes
+    * neighboring buckets (hamming-1 flips) for recall. */
+  def annLshTopk(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = lshBuckets(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = vecs(spark, dir).select(col("vec_id"), col("v"), col("norm"))
+      .join(buckets, "vec_id")
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("norm").as("pnorm"), col("bucket").as("pbucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("vec_id"))
+    e.join(broadcast(probes),
+        col("bucket") === col("pbucket") && col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine",
+        round(expr("graft_dot(pv, v)") / (col("pnorm") * col("norm")), 6))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("probe_id"), col("vec_id"), col("cosine"), col("rk"))
+      .orderBy(col("probe_id"), col("rk"))
   }
 
   /** Per-label centroids (rounded to 6 so cross-engine float-sum order
