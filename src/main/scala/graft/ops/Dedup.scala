@@ -209,18 +209,22 @@ object Dedup {
     var labels = edges.select(col("u").as("node")).distinct()
       .withColumn("comp", col("node"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cached = labels // the persisted handle backing `labels`
     var changed = 1L
     while (changed > 0) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("node", "v2"), col("v") === col("v2"))
         .groupBy(col("u").as("node")).agg(min(col("comp")).as("ncomp"))
-      val next = labels.join(neighborMin, Seq("node"), "left")
-        .select(col("node"), least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+      // old and new labels in one relation: the convergence count and
+      // the next labels share a single join + cache materialization
+      val step = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"), col("comp").as("old"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      changed = next.join(labels.withColumnRenamed("comp", "old"), "node")
-        .filter(col("comp") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
+      changed = step.filter(col("comp") =!= col("old")).count()
+      cached.unpersist()
+      cached = step
+      labels = step.select(col("node"), col("comp"))
     }
     labels.select(col("node").as("doc_id"), col("comp").as("component"))
       .orderBy(col("doc_id"))
