@@ -74,6 +74,7 @@ object SparkEntry {
     "text_fingerprint"    -> TextAnalysis.fingerprint _,
     "text_winnow"         -> TextAnalysis.winnow _,
     "text_tfidf"          -> TextAnalysis.tfidf _,
+    "text_lm_score"       -> TextAnalysis.lmScore _,
     "dedup_exact"         -> Dedup.exact _,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccard _,
     "dedup_minhash_lsh"   -> Dedup.minhashLsh _,
@@ -327,6 +328,19 @@ object SparkEntry {
         |JOIN nfp x ON x.doc_id = doc_a JOIN nfp y ON y.doc_id = doc_b
         |WHERE n_shared * 5 >= least(x.nfp, y.nfp) * 4
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "text_lm_score" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> {'w1': toks[i], 'w2': toks[i+1]})) AS b
+        |  FROM t WHERE len(toks) >= 2),
+        |bs AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+        |uc AS (SELECT w1, count(*) AS uc FROM (SELECT unnest(toks) AS w1 FROM t) GROUP BY 1),
+        |bc AS (SELECT w1, w2, count(*) AS bc FROM bs GROUP BY 1, 2),
+        |v AS (SELECT count(*) AS v FROM uc)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(avg(ln((bc + 1.0) / (uc.uc + v.v))), 6) AS lm_score
+        |FROM bs JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term

@@ -107,6 +107,39 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** Bigram language-model quality score (the LM-perplexity-style
+    * filter a training-data pipeline runs): per doc, the mean add-one-
+    * smoothed conditional log-likelihood ln((c(w1,w2)+1)/(c(w1)+V))
+    * of its bigrams under corpus-wide counts. Counts are exact
+    * integers (one explode+agg each), V is a 1-row broadcast, so the
+    * only float op is the final ln — rounded before output. Lower
+    * scores ⇒ atypical word sequences ⇒ filter candidates. */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr(raw"regexp_extract_all(lower(text), '\\S+', 0)").as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bigrams = toks.select(col("doc_id"), explode(expr(
+        """CASE WHEN size(toks) >= 2 THEN
+             transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))
+           ELSE array() END""")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uniC = toks.select(explode(col("toks")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("uc"))
+    val bgC = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("bc"))
+    val vocab = uniC.agg(count(lit(1)).as("v"))
+    bigrams
+      .join(broadcast(bgC), Seq("w1", "w2"))
+      .join(broadcast(uniC), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(log((col("bc") + lit(1.0)) / (col("uc") + col("v")))), 6).as("lm_score"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Normalized-content fingerprint + duplicate-group size: md5 over
     * lowercased text with punctuation/whitespace collapsed. The window
     * count is the "how many share my fingerprint" signal dedup uses. */
