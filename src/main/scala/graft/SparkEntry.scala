@@ -29,6 +29,7 @@ object SparkEntry {
     "etl_dim_firstseen"  -> EventsEtl.dimFirstSeen _,
     "etl_dim_surrogate"  -> EventsEtl.dimSurrogate _,
     "etl_upsert_newkeys" -> EventsEtl.upsertNewKeys _,
+    "etl_upsert_bloom"   -> EventsEtl.upsertNewKeysBloom _,
     "etl_latest_state"   -> EventsEtl.latestState _,
     "etl_missing_minutes" -> EventsEtl.missingMinutes _,
     "etl_sessionize"     -> EventsEtl.sessionize _,
@@ -126,6 +127,11 @@ object SparkEntry {
         |FROM (SELECT DISTINCT user_id, event_type FROM events)
         |ORDER BY surrogate_id""".stripMargin,
     "etl_upsert_newkeys" ->
+      """SELECT DISTINCT user_id, event_type FROM events WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+        |EXCEPT
+        |SELECT DISTINCT user_id, event_type FROM events WHERE ts < TIMESTAMP '2024-01-05 00:00:00'
+        |ORDER BY user_id, event_type""".stripMargin,
+    "etl_upsert_bloom" ->
       """SELECT DISTINCT user_id, event_type FROM events WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
         |EXCEPT
         |SELECT DISTINCT user_id, event_type FROM events WHERE ts < TIMESTAMP '2024-01-05 00:00:00'

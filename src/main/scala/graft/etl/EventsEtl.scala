@@ -114,6 +114,35 @@ object EventsEtl {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** The 100 TB get-or-create path, oracle-checked: a bloom filter
+    * built over the existing dim's hashed keys routes the batch —
+    * rows the bloom REJECTS are definitely new (no join needed at
+    * all), only the mightContain remainder pays the exact anti-join.
+    * False positives cost one extra probe, never correctness, so the
+    * result is identical to [[upsertNewKeys]] while the shuffle input
+    * shrinks by the true-new fraction (at 100 TB most of the batch). */
+  def upsertNewKeysBloom(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val cut = Tables.tsLit(ev, "ts", "2024-01-05")
+    val hk = xxhash64(col("user_id"), col("event_type"))
+    val existing = ev.filter(col("ts") < cut)
+      .select(col("user_id"), col("event_type")).distinct()
+      .withColumn("hk", hk)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val batch = ev.filter(col("ts") >= cut)
+      .select(col("user_id"), col("event_type")).distinct()
+      .withColumn("hk", hk)
+    val bloom = existing.stat.bloomFilter("hk", 1000000L, 0.01)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((v: Long) => bc.value.mightContainLong(v))
+    val definitelyNew = batch.filter(!mightContain(col("hk")))
+    val needExactCheck = batch.filter(mightContain(col("hk")))
+      .join(existing.select("user_id", "event_type"), Seq("user_id", "event_type"), "left_anti")
+    definitelyNew.select("user_id", "event_type")
+      .unionByName(needExactCheck.select("user_id", "event_type"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   /** Last-write-wins compaction (snapshot reload semantics,
     * process_snapshot.py:269): latest record per user key. */
   def latestState(spark: SparkSession, dir: String): DataFrame = {
