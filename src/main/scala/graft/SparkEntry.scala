@@ -91,6 +91,7 @@ object SparkEntry {
     "ann_lsh_bucket"      -> Similarity.annLshBucket _,
     "ann_ivf_topk"        -> Similarity.annIvfTopk _,
     "ann_lsh_topk"        -> Similarity.annLshTopk _,
+    "ann_lsh_multiprobe"  -> Similarity.annLshMultiprobe _,
     "embed_quantize"      -> Similarity.quantize _,
   )
 
@@ -499,6 +500,32 @@ object SparkEntry {
         |buck AS (SELECT vec_id, CAST(sum(bit * (CAST(1 AS BIGINT) << b)) AS BIGINT) AS bucket FROM bits GROUP BY 1)
         |SELECT vec_id, bucket, count(*) OVER (PARTITION BY bucket) AS n_in_bucket
         |FROM buck ORDER BY vec_id""".stripMargin,
+    "ann_lsh_multiprobe" ->
+      """WITH planes AS (
+        |  SELECT b, list_transform(range(0, 64), j ->
+        |    ((('0x' || substr(md5(b::VARCHAR || '-' || j::VARCHAR), 1, 15))::BIGINT % 2001) - 1000) / 1000.0) AS plane
+        |  FROM (SELECT unnest(range(0, 8)) AS b)),
+        |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |bits AS (SELECT vec_id, b,
+        |   CASE WHEN list_sum(list_transform(list_zip(v, plane), z -> z[1]*z[2])) >= 0
+        |     THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+        |  FROM e CROSS JOIN planes),
+        |buck AS (SELECT vec_id, CAST(sum(bit * (CAST(1 AS BIGINT) << b)) AS BIGINT) AS bucket FROM bits GROUP BY 1),
+        |n AS (SELECT e.vec_id, buck.bucket, e.v,
+        |   sqrt(list_sum(list_transform(e.v, x -> x*x))) AS norm
+        |  FROM e JOIN buck ON e.vec_id = buck.vec_id),
+        |p AS (SELECT vec_id AS probe_id, v AS pv, norm AS pnorm, bucket AS pbucket
+        |  FROM n WHERE vec_id < 5),
+        |px AS (SELECT probe_id, pv, pnorm, unnest(list_transform(range(0, 9),
+        |   i -> CASE WHEN i = 0 THEN pbucket
+        |        ELSE xor(pbucket, (CAST(1 AS BIGINT) << (i - 1))) END)) AS sbucket FROM p),
+        |s AS (SELECT px.probe_id, n.vec_id,
+        |   round(list_sum(list_transform(list_zip(px.pv, n.v), z -> z[1]*z[2]))
+        |     / (px.pnorm * n.norm), 6) AS cosine
+        |  FROM px JOIN n ON n.bucket = px.sbucket AND n.vec_id <> px.probe_id)
+        |SELECT probe_id, vec_id, cosine,
+        | CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rk
+        |FROM s QUALIFY rk <= 5 ORDER BY probe_id, rk""".stripMargin,
     "ann_lsh_topk" ->
       """WITH planes AS (
         |  SELECT b, list_transform(range(0, 64), j ->

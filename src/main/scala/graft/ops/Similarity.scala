@@ -118,6 +118,37 @@ object Similarity {
       .orderBy(col("probe_id"), col("rk"))
   }
 
+  /** Multiprobe LSH search: each probe searches its own bucket PLUS
+    * the 8 hamming-1 neighbors (one plane's verdict flipped) — the
+    * standard recall dial for hyperplane LSH: 9× the candidates,
+    * still a tiny fraction of the corpus, no recomputation of planes.
+    * The expanded buckets are distinct values, so no candidate dedup
+    * is needed. */
+  def annLshMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = lshBuckets(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = vecs(spark, dir).select(col("vec_id"), col("v"), col("norm"))
+      .join(buckets, "vec_id")
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("norm").as("pnorm"), col("bucket").as("pbucket"))
+      .select(col("probe_id"), col("pv"), col("pnorm"),
+        explode(expr("""transform(sequence(0, 8), i ->
+          CASE WHEN i = 0 THEN pbucket
+               ELSE CAST(pbucket AS BIGINT) ^ shiftleft(CAST(1 AS BIGINT), i - 1) END)"""))
+          .as("sbucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("vec_id"))
+    e.join(broadcast(probes),
+        col("bucket") === col("sbucket") && col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine",
+        round(expr("graft_dot(pv, v)") / (col("pnorm") * col("norm")), 6))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("probe_id"), col("vec_id"), col("cosine"), col("rk"))
+      .orderBy(col("probe_id"), col("rk"))
+  }
+
   /** Per-label centroids (rounded to 6 so cross-engine float-sum order
     * can't flip anything downstream) + population stats. */
   def centroids(spark: SparkSession, dir: String): DataFrame =
