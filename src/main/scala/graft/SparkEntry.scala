@@ -30,6 +30,7 @@ object SparkEntry {
     "etl_dim_surrogate"  -> EventsEtl.dimSurrogate _,
     "etl_upsert_newkeys" -> EventsEtl.upsertNewKeys _,
     "etl_upsert_bloom"   -> EventsEtl.upsertNewKeysBloom _,
+    "etl_cdc_apply"      -> EventsEtl.cdcApply _,
     "etl_latest_state"   -> EventsEtl.latestState _,
     "etl_missing_minutes" -> EventsEtl.missingMinutes _,
     "etl_sessionize"     -> EventsEtl.sessionize _,
@@ -137,6 +138,13 @@ object SparkEntry {
         |EXCEPT
         |SELECT DISTINCT user_id, event_type FROM events WHERE ts < TIMESTAMP '2024-01-05 00:00:00'
         |ORDER BY user_id, event_type""".stripMargin,
+    "etl_cdc_apply" ->
+      """SELECT user_id, event_type AS final_type, value AS final_value,
+        | CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS updated_sec
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        |  AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
     "etl_latest_state" ->
       """SELECT user_id, event_type AS last_event_type, value AS last_value,
         | CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS last_sec

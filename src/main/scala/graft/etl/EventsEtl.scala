@@ -143,6 +143,22 @@ object EventsEtl {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** CDC apply with tombstones: the change stream's last operation per
+    * key decides — an `error` event is the key's DELETE marker, so a
+    * key whose latest change is a tombstone vanishes from the final
+    * state (vs [[latestState]], which keeps every key). One window
+    * pass, same shuffle as any last-write-wins compaction. */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("event_type") =!= "error")
+      .select(col("user_id"), col("event_type").as("final_type"),
+        col("value").as("final_value"), epochSec(col("ts")).as("updated_sec"))
+      .orderBy(col("user_id"))
+  }
+
   /** Last-write-wins compaction (snapshot reload semantics,
     * process_snapshot.py:269): latest record per user key. */
   def latestState(spark: SparkSession, dir: String): DataFrame = {
