@@ -69,6 +69,8 @@ object SparkEntry {
     "q15_top_supplier"   -> Relational.q15TopSupplier _,
     "q_pivot_segment_status" -> Relational.qPivotSegmentStatus _,
     "q_running_total"    -> Relational.qRunningTotal _,
+    "q_trailing_spend"   -> Relational.qTrailingSpend _,
+    "ann_knn_graph"      -> Similarity.annKnnGraph _,
     // §2.3 training-data pipeline ops (documents / embeddings)
     "text_tokens"         -> TextAnalysis.tokens _,
     "text_quality"        -> TextAnalysis.quality _,
@@ -663,6 +665,26 @@ object SparkEntry {
         |         ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6) AS running_spend
         |FROM orders WHERE o_custkey % 100 = 0
         |ORDER BY o_custkey, order_epoch, o_orderkey""".stripMargin,
+    "q_trailing_spend" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch,
+        | o_totalprice,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |   OVER (PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+        |         RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS trailing_30d_spend
+        |FROM orders WHERE o_custkey % 100 = 0
+        |ORDER BY o_custkey, order_epoch, o_orderkey""".stripMargin,
+    "ann_knn_graph" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM e),
+        |s AS (SELECT a.vec_id, b.vec_id AS nbr_id,
+        |   round(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1]*z[2]))
+        |     / (a.norm * b.norm), 6) AS cosine
+        |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id)
+        |SELECT vec_id, nbr_id, cosine,
+        | CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id) AS BIGINT) AS rk
+        |FROM s QUALIFY rk <= 3 ORDER BY vec_id, rk""".stripMargin,
     "q4_priority_exists" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
         |FROM orders

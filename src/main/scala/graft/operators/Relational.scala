@@ -472,6 +472,23 @@ object Relational {
       .orderBy(col("o_custkey"), col("order_epoch"), col("o_orderkey"))
   }
 
+  /** RANGE-framed window (trailing 30-day spend): the frame is bound
+    * by VALUE distance on the ordering key, not row count — a
+    * different window frame machinery than ROWS (running total). One
+    * shuffle on the key, one sort-based window pass. */
+  def qTrailingSpend(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("order_epoch"))
+      .rangeBetween(-2592000L, Window.currentRow) // 30 days of seconds
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") % 100 === 0)
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("order_epoch"),
+        col("o_totalprice"))
+      .withColumn("trailing_30d_spend",
+        round(sum(d2(col("o_totalprice"))).over(w).cast("double"), 6))
+      .orderBy(col("o_custkey"), col("order_epoch"), col("o_orderkey"))
+  }
+
   /** Global deterministic top-k: ORDER BY with unique-key tie-break then
     * LIMIT — Spark plans TakeOrderedAndProject (per-partition heaps, no
     * global sort materialization). */

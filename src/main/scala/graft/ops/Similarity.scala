@@ -149,6 +149,26 @@ object Similarity {
       .orderBy(col("probe_id"), col("rk"))
   }
 
+  /** k-NN graph construction (the all-vectors neighbor list embedding
+    * dedup/clustering consumes): every vector's top-3 cosine neighbors
+    * WITHIN ITS CELL — the blocked form: Θ(Σ cell²) pairs instead of
+    * n², and each cell's pairs co-locate in one shuffle partition.
+    * At 100 TB cells come from IVF/LSH; here the label field serves. */
+  def annKnnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+      .select(col("vec_id"), col("label"), col("v"), col("norm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("nbr_id"))
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"),
+        col("b.vec_id").as("nbr_id"),
+        round(expr("graft_dot(a.v, b.v)") / (col("a.norm") * col("b.norm")), 6).as("cosine"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .orderBy(col("vec_id"), col("rk"))
+  }
+
   /** Per-label centroids (rounded to 6 so cross-engine float-sum order
     * can't flip anything downstream) + population stats. */
   def centroids(spark: SparkSession, dir: String): DataFrame =
