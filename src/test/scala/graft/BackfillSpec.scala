@@ -59,6 +59,27 @@ class RideStateSpec extends SparkSpec {
     assert(out2.head.firstMs == 1000L)
   }
 
+  test("ride tracking end-to-end: state accumulates across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val stream = MemoryStream[RideState.VisitEvent]
+    stream.addData(RideState.VisitEvent("ride-1", 1000L, 34.7, 31.8, 10, 100))
+    stream.addData(
+      RideState.VisitEvent("ride-1", 2000L, 34.8, 31.9, 30, 900),
+      RideState.VisitEvent("ride-2", 1500L, 35.0, 32.0, 20, 50))
+    val q = RideState.track(stream.toDS())
+      .writeStream.format("memory").queryName("ride_track").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    if (q.isActive) q.stop()
+    val rows = spark.table("ride_track").as[RideState.RideProgress].collect()
+    // the latest emitted progress per ride carries the accumulated state
+    val last1 = rows.filter(_.rideKey == "ride-1").maxBy(_.nVisits)
+    assert(last1.nVisits == 2 && last1.maxDistance == 900 && last1.maxVelocity == 30)
+    assert(rows.exists(r => r.rideKey == "ride-2" && r.nVisits == 1))
+  }
+
   test("timed-out ride is emitted closed and state removed") {
     val prior = RideState.RideProgress("ride-9", 4, 100L, 900L, 35.0, 32.0, 1200, 60, closed = false)
     val s = TestGroupState.create[RideState.RideProgress](
