@@ -31,6 +31,7 @@ object SparkEntry {
     "etl_upsert_newkeys" -> EventsEtl.upsertNewKeys _,
     "etl_upsert_bloom"   -> EventsEtl.upsertNewKeysBloom _,
     "etl_cdc_apply"      -> EventsEtl.cdcApply _,
+    "etl_star_join_salted" -> EventsEtl.starJoinSalted _,
     "etl_latest_state"   -> EventsEtl.latestState _,
     "etl_missing_minutes" -> EventsEtl.missingMinutes _,
     "etl_sessionize"     -> EventsEtl.sessionize _,
@@ -172,6 +173,14 @@ object SparkEntry {
         | min(sec) AS start_sec, max(sec) AS end_sec
         |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "etl_star_join" ->
+      """WITH dim AS (
+        |  SELECT CAST(dense_rank() OVER (ORDER BY user_id, event_type) AS BIGINT) AS dim_id, user_id, event_type
+        |  FROM (SELECT DISTINCT user_id, event_type FROM events))
+        |SELECT d.dim_id, d.user_id, d.event_type, count(*) AS n_facts,
+        | CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN dim d USING (user_id, event_type)
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    "etl_star_join_salted" ->
       """WITH dim AS (
         |  SELECT CAST(dense_rank() OVER (ORDER BY user_id, event_type) AS BIGINT) AS dim_id, user_id, event_type
         |  FROM (SELECT DISTINCT user_id, event_type FROM events))

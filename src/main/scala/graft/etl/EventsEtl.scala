@@ -226,6 +226,28 @@ object EventsEtl {
       .orderBy(col("dim_id"))
   }
 
+  /** The star join under SKEW: same result as [[starJoin]], but the
+    * fact→dim join runs through Scale.saltedJoin — the plan you need
+    * when the dim is too big to broadcast AND a handful of keys carry
+    * most of the facts (one route's vehicles dominating a batch). The
+    * salt splits each hot key across `salts` shuffle partitions;
+    * results are provably identical (same oracle as etl_star_join). */
+  def starJoinSalted(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val dim = ev.select(col("user_id"), col("event_type")).distinct()
+      .withColumn("dim_id",
+        dense_rank().over(Window.orderBy(col("user_id"), col("event_type"))).cast("long"))
+      .withColumn("k", concat_ws("|", col("user_id"), col("event_type")))
+    val facts = ev
+      .withColumn("k", concat_ws("|", col("user_id"), col("event_type")))
+      .select(col("k"), col("value"))
+    graft.operators.Scale.saltedJoin(facts, dim, "k", salts = 8)
+      .groupBy(col("dim_id"), col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_facts"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .orderBy(col("dim_id"))
+  }
+
   /** Field-level reconciliation report (validate_snapshot,
     * validate_snapshots.py:100): two independent derivations of the
     * per-minute stats, full-outer joined, mismatches flagged. */
