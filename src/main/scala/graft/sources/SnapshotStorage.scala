@@ -76,13 +76,26 @@ object SnapshotStorage {
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
+      // facts: zstd (scan-bound table, best ratio at similar decode
+      // speed), a parquet bloom filter on the surrogate join key
+      // (validation joins probe it point-wise), and rows sorted by
+      // recorded time within each file so time-range scans prune on
+      // page min/max instead of reading whole row groups
+      withSnapshotPartitions(r.vehicleLocations)
+        .sortWithinPartitions(col("snapshot_date"), col("snapshot_minute"),
+          col("recorded_at_time"))
+        .write.mode(SaveMode.Overwrite)
+        .option("compression", "zstd")
+        .option("parquet.bloom.filter.enabled#siri_ride_stop_id", "true")
+        .partitionBy("snapshot_date", "snapshot_minute")
+        .parquet(s"$outDir/siri_vehicle_locations")
       Seq(
-        r.vehicleLocations -> s"$outDir/siri_vehicle_locations",
         r.snapshotStats -> s"$outDir/siri_snapshots",
         r.parseErrors -> s"$outDir/parse_errors",
       ).foreach { case (df, path) =>
         withSnapshotPartitions(df)
           .write.mode(SaveMode.Overwrite)
+          .option("compression", "zstd")
           .partitionBy("snapshot_date", "snapshot_minute")
           .parquet(path)
       }
