@@ -71,6 +71,7 @@ object SparkEntry {
     "q_pivot_segment_status" -> Relational.qPivotSegmentStatus _,
     "q_running_total"    -> Relational.qRunningTotal _,
     "q_trailing_spend"   -> Relational.qTrailingSpend _,
+    "q_cube_priority_status" -> Relational.qCubePriorityStatus _,
     "ann_knn_graph"      -> Similarity.annKnnGraph _,
     // §2.3 training-data pipeline ops (documents / embeddings)
     "text_tokens"         -> TextAnalysis.tokens _,
@@ -674,6 +675,13 @@ object SparkEntry {
         |         ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6) AS running_spend
         |FROM orders WHERE o_custkey % 100 = 0
         |ORDER BY o_custkey, order_epoch, o_orderkey""".stripMargin,
+    "q_cube_priority_status" ->
+      """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+        | coalesce(o_orderstatus, 'ALL') AS status,
+        | CAST(count(*) AS BIGINT) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        |ORDER BY priority, status""".stripMargin,
     "q_trailing_spend" ->
       """SELECT o_custkey, o_orderkey,
         | CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch,

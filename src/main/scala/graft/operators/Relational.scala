@@ -472,6 +472,21 @@ object Relational {
       .orderBy(col("o_custkey"), col("order_epoch"), col("o_orderkey"))
   }
 
+  /** CUBE aggregation (all 4 grouping sets of priority × status in one
+    * pass): Spark plans a single Expand + hash agg — no per-set rescans.
+    * Null grouping cells are labeled 'ALL' so the cross-engine compare
+    * never sees ambiguous NULL-vs-value rows. */
+  def qCubePriorityStatus(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(d2(col("o_totalprice"))).cast("double").as("sum_price"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("n_orders"), col("sum_price"))
+      .orderBy(col("priority"), col("status"))
+
   /** RANGE-framed window (trailing 30-day spend): the frame is bound
     * by VALUE distance on the ordering key, not row count — a
     * different window frame machinery than ROWS (running total). One
