@@ -72,6 +72,7 @@ object SparkEntry {
     "q_running_total"    -> Relational.qRunningTotal _,
     "q_trailing_spend"   -> Relational.qTrailingSpend _,
     "q_cube_priority_status" -> Relational.qCubePriorityStatus _,
+    "q_repeat_customers" -> Relational.qRepeatCustomers _,
     "ann_knn_graph"      -> Similarity.annKnnGraph _,
     // §2.3 training-data pipeline ops (documents / embeddings)
     "text_tokens"         -> TextAnalysis.tokens _,
@@ -675,6 +676,15 @@ object SparkEntry {
         |         ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6) AS running_spend
         |FROM orders WHERE o_custkey % 100 = 0
         |ORDER BY o_custkey, order_epoch, o_orderkey""".stripMargin,
+    "q_repeat_customers" ->
+      """SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |INTERSECT
+        |SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |ORDER BY o_custkey""".stripMargin,
     "q_cube_priority_status" ->
       """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
         | coalesce(o_orderstatus, 'ALL') AS status,

@@ -472,6 +472,20 @@ object Relational {
       .orderBy(col("o_custkey"), col("order_epoch"), col("o_orderkey"))
   }
 
+  /** Set intersection (INTERSECT): customers who ordered in BOTH 1996
+    * and 1997. Spark plans a left-semi join over distincts — no row
+    * multiplication; the year filters push to both scans. */
+  def qRepeatCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    def activeIn(from: String, to: String) = ord
+      .filter(col("o_orderdate") >= Tables.tsLit(ord, "o_orderdate", from) &&
+        col("o_orderdate") < Tables.tsLit(ord, "o_orderdate", to))
+      .select("o_custkey")
+    activeIn("1996-01-01", "1997-01-01")
+      .intersect(activeIn("1997-01-01", "1998-01-01"))
+      .orderBy("o_custkey")
+  }
+
   /** CUBE aggregation (all 4 grouping sets of priority × status in one
     * pass): Spark plans a single Expand + hash agg — no per-set rescans.
     * Null grouping cells are labeled 'ALL' so the cross-engine compare
