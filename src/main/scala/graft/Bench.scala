@@ -1,13 +1,24 @@
 package graft
 
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: times every SparkEntry query at
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
   *
-  * A warmup action runs first so JVM/codegen/classloading cost isn't
-  * attributed to whichever query happens to run first; queries then run
-  * in sorted-name order for stable cross-round comparison.
+  * - A warmup action runs first so JVM/codegen/classloading cost isn't
+  *   attributed to whichever query happens to run first; queries then
+  *   run in sorted-name order for stable cross-round comparison.
+  * - Every operator's tracked caches are released after its timing so
+  *   one query's persisted intermediates can't put the next under GC
+  *   pressure (measured: 18s on a ~1s query with the dedup family's
+  *   blocks resident — BENCH r2 q18 regression).
+  * - Query failures are recorded EXPLICITLY (an "errors" map + nonzero
+  *   exit), never as a plausible-looking wall time.
+  * - Results append to bench/history.jsonl and overwrite
+  *   bench/latest.json; regressions >1.5× vs the previous run are
+  *   reported on stderr so a slow round is loud, not archaeological.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -34,16 +45,68 @@ object Bench {
       SparkEntry.queries.get("etl_parse_props")
         .foreach(f => f(spark, "/root/testdata/sf0.001").count())
     } catch { case _: Throwable => () }
+    Caches.releaseAll()
+    spark.catalog.clearCache()
 
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName).take(300)
+          errors(name) = msg
+          System.err.println(s"[bench] FAILED $name: $msg")
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // release this query's tracked caches before the next one runs
+      Caches.releaseAll()
+      spark.catalog.clearCache()
+      name -> dt
     }
+
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}"""
+
+    // Regression report vs the previous persisted run (same machine,
+    // successive rounds): anything >1.5× slower and >0.5s absolute.
+    try {
+      val latest = Paths.get("bench", "latest.json")
+      if (Files.exists(latest)) {
+        val prevTxt = Files.readString(latest)
+        val pair = """"([A-Za-z0-9_]+)":([0-9.Ee+-]+)""".r
+        val inQueries = prevTxt.indexOf("\"queries\":")
+        val prev: Map[String, Double] =
+          if (inQueries < 0) Map.empty
+          else pair.findAllMatchIn(prevTxt.substring(inQueries))
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val regressions = results.filter { case (k, v) =>
+          prev.get(k).exists(p => v > p * 1.5 && v - p > 0.5)
+        }
+        regressions.foreach { case (k, v) =>
+          System.err.println(f"[bench] REGRESSION $k: ${prev(k)}%.2fs -> $v%.2fs")
+        }
+        if (regressions.isEmpty)
+          System.err.println(s"[bench] no >1.5x regressions vs previous run (${prev.size} queries compared)")
+      }
+      Files.createDirectories(Paths.get("bench"))
+      Files.writeString(Paths.get("bench", "latest.json"), line + "\n")
+      Files.writeString(Paths.get("bench", "history.jsonl"), line + "\n",
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] history bookkeeping failed: ${e.getMessage}")
+    }
+
+    println(line)
     spark.stop()
+    if (errors.nonEmpty) sys.exit(3)
   }
 }

@@ -1,0 +1,45 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.storage.StorageLevel
+
+/** Registry for persisted intermediates inside operators.
+  *
+  * Several operators persist a shared subtree (the LSH bucket relation,
+  * a per-doc fingerprint set, an existing-dim snapshot) because the
+  * returned plan consumes it from two or more branches. The operator
+  * cannot unpersist before returning — the consumer has not executed
+  * yet — so in a long-lived session those blocks would accumulate and
+  * put every later query under GC/eviction pressure (measured: an
+  * 18s wall-time on a ~1s query once the whole dedup family's caches
+  * were resident, BENCH r2).
+  *
+  * The contract: operators persist through [[persistTracked]]; hosts
+  * (Bench, Verify, the CLI, any long-lived session) call [[releaseAll]]
+  * once the results of the previous operator have been materialized.
+  * Unpersisting an already-unpersisted Dataset is a no-op, so iterative
+  * operators may still unpersist superseded steps eagerly themselves.
+  */
+object Caches {
+  private val tracked = mutable.ArrayBuffer.empty[Dataset[_]]
+
+  /** Persist MEMORY_AND_DISK and remember the handle for [[releaseAll]]. */
+  def persistTracked[T](ds: Dataset[T]): Dataset[T] = synchronized {
+    ds.persist(StorageLevel.MEMORY_AND_DISK)
+    tracked += ds
+    ds
+  }
+
+  /** Remember an already-persisted handle for [[releaseAll]]. */
+  def register(ds: Dataset[_]): Unit = synchronized { tracked += ds }
+
+  /** Unpersist every tracked handle (non-blocking) and forget them. */
+  def releaseAll(): Unit = synchronized {
+    tracked.foreach { ds =>
+      try ds.unpersist(blocking = false) catch { case _: Throwable => () }
+    }
+    tracked.clear()
+  }
+}

@@ -49,13 +49,15 @@ object Cli {
       // skips snapshots already loaded — snapshot ids sort
       // chronologically so the range is a lexicographic between)
       case "process-snapshots" :: rawDir :: outDir :: rest
-          if rest.forall(a => a == "--only-missing" || !a.startsWith("--")) &&
-            rest.filterNot(_ == "--only-missing").length % 2 == 0 =>
+          if rest.forall(a => a == "--only-missing" || !a.startsWith("--")) =>
         var raw = readRaw(spark, rawDir)
         rest.filterNot(_ == "--only-missing") match {
           case from :: to :: Nil =>
             raw = raw.filter(col("snapshot_id").between(from, to))
-          case _ => ()
+          case Nil => ()
+          case other =>
+            // a typo'd range must NOT silently process the whole raw dir
+            System.err.println(s"expected [<fromId> <toId>], got: $other"); sys.exit(2)
         }
         if (rest.contains("--only-missing")) {
           val loaded =
@@ -81,6 +83,21 @@ object Cli {
         if (alreadyLoaded) println(s"snapshot $snapshotId already loaded, skipping")
         else writeResult(SiriSnapshotEtl.run(
           readRaw(spark, rawDir).filter(col("snapshot_id") === snapshotId)), outDir)
+      // copy-snapshots <srcRoot> <dstRoot> [<fromId> <toId>] [--force]
+      // (download-latest-snapshots / download-snapshot parity: pull a
+      // snapshot-id range from a source storage root into the raw dir;
+      // idempotent unless --force re-copies existing files)
+      case "copy-snapshots" :: srcRoot :: dstRoot :: rest
+          if rest.forall(a => a == "--force" || !a.startsWith("--")) =>
+        val (fromId, toId) = rest.filterNot(_ == "--force") match {
+          case from :: to :: Nil => (Some(from), Some(to))
+          case Nil => (None, None)
+          case other =>
+            System.err.println(s"expected [<fromId> <toId>], got: $other"); sys.exit(2)
+        }
+        val n = SnapshotStorage.copySnapshots(spark, srcRoot, dstRoot,
+          fromId, toId, force = rest.contains("--force"))
+        println(s"copied $n snapshots")
       case "start-daemon" :: rawDir :: outDir :: checkpointDir :: Nil =>
         // start_process_new_snapshots_daemon: minute-granular tail of the
         // raw dir; ctrl-C / SIGTERM stops gracefully (shutdown hook)
@@ -118,7 +135,7 @@ object Cli {
       case other =>
         System.err.println(s"unknown command: ${other.mkString(" ")}")
         System.err.println("commands: process-snapshots | process-snapshot | " +
-          "start-daemon | update-pending-snapshots | " +
+          "copy-snapshots | start-daemon | update-pending-snapshots | " +
           "process-old-missing-snapshots | validate-snapshots")
     }
     if (!preexisting) spark.stop()

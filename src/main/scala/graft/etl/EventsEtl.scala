@@ -125,18 +125,20 @@ object EventsEtl {
     val ev = Tables.events(spark, dir)
     val cut = Tables.tsLit(ev, "ts", "2024-01-05")
     val hk = xxhash64(col("user_id"), col("event_type"))
-    val existing = ev.filter(col("ts") < cut)
+    val existing = graft.Caches.persistTracked(ev.filter(col("ts") < cut)
       .select(col("user_id"), col("event_type")).distinct()
-      .withColumn("hk", hk)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("hk", hk))
     val batch = ev.filter(col("ts") >= cut)
       .select(col("user_id"), col("event_type")).distinct()
       .withColumn("hk", hk)
-    val bloom = existing.stat.bloomFilter("hk", 1000000L, 0.01)
-    val bc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((v: Long) => bc.value.mightContainLong(v))
-    val definitelyNew = batch.filter(!mightContain(col("hk")))
-    val needExactCheck = batch.filter(mightContain(col("hk")))
+    // sized from the true dim cardinality (an undersized bloom degrades
+    // toward fpp→1 and routes the whole batch to the exact join); the
+    // count() also materializes `existing` into its cache for the
+    // anti-join below. Probe is Spark's codegen'd might_contain — no UDF.
+    val bloomBytes = graft.functions.BloomSupport.buildLong(existing, "hk")
+    val contains = graft.functions.BloomSupport.mightContain(bloomBytes, col("hk"))
+    val definitelyNew = batch.filter(!contains)
+    val needExactCheck = batch.filter(contains)
       .join(existing.select("user_id", "event_type"), Seq("user_id", "event_type"), "left_anti")
     definitelyNew.select("user_id", "event_type")
       .unionByName(needExactCheck.select("user_id", "event_type"))

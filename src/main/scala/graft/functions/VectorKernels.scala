@@ -20,7 +20,10 @@ import org.apache.spark.sql.types._
   */
 object VectorKernels {
   /** both children must be array<double> — getDouble on any other
-    * element encoding (e.g. decimal) reads garbage bits. */
+    * element encoding (e.g. decimal) reads garbage bits. containsNull
+    * schemas are accepted (parquet list elements are near-always
+    * `optional`); an ACTUAL null element errors at runtime below
+    * instead of silently reading as 0.0. */
   def checkDoubleArrays(name: String, es: Seq[Expression]): TypeCheckResult = {
     val ok = es.forall(_.dataType match {
       case ArrayType(DoubleType, _) => true
@@ -32,9 +35,25 @@ object VectorKernels {
         es.map(_.dataType.simpleString).mkString(", "))
   }
 
+  /** Ragged pairs and null elements fail fast — the alternative is a
+    * silent truncation / read-as-0.0 that would corrupt similarity
+    * scores without any visible error. */
+  private def checkedLength(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    if (n != b.numElements()) throw new IllegalArgumentException(
+      s"graft vector kernels require equal-length arrays, got $n vs ${b.numElements()}")
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) throw new IllegalArgumentException(
+        s"graft vector kernels require non-null elements (null at index $i)")
+      i += 1
+    }
+    n
+  }
+
   /** Σ aᵢ·bᵢ in index order. */
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = a.numElements()
+    val n = checkedLength(a, b)
     var acc = 0.0
     var i = 0
     while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
@@ -43,7 +62,7 @@ object VectorKernels {
 
   /** Σ (aᵢ-bᵢ)² in index order. */
   def l2sq(a: ArrayData, b: ArrayData): Double = {
-    val n = a.numElements()
+    val n = checkedLength(a, b)
     var acc = 0.0
     var i = 0
     while (i < n) { val d = a.getDouble(i) - b.getDouble(i); acc += d * d; i += 1 }

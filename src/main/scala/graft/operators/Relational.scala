@@ -261,8 +261,12 @@ object Relational {
   }
 
   /** Aggregate-equals-max view join (TPC-H Q15 shape): suppliers whose
-    * revenue equals the global maximum. The revenue "view" is computed
-    * once and reused for both the max and the final equality. */
+    * revenue equals the global maximum. The max comes from an
+    * unpartitioned window over the ALREADY-AGGREGATED per-supplier
+    * relation (|suppliers| rows, not |lineitem|), so the whole query is
+    * one fact scan — a separate `rev.agg(max)` branch re-executes the
+    * scan+agg subtree unless it's persisted (Spark reuses exchanges,
+    * not arbitrary subtrees; measured 3.3s vs 0.8s at sf0.1). */
   def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
     val li0 = Tables.lineitem(spark, dir)
     val rev = li0
@@ -270,9 +274,10 @@ object Relational {
         col("l_shipdate") < Tables.tsLit(li0, "l_shipdate", "1997-04-01"))
       .groupBy(col("l_suppkey"))
       .agg(sum(revTerm(col("l_extendedprice"), col("l_discount"))).cast("double").as("total_revenue"))
-    val mx = rev.agg(max(col("total_revenue")).as("mx"))
     val sup = Tables.supplier(spark, dir).select("s_suppkey", "s_name")
-    rev.join(broadcast(mx), col("total_revenue") === col("mx"))
+    rev.withColumn("mx",
+        max(col("total_revenue")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .filter(col("total_revenue") === col("mx"))
       .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
       .orderBy(col("s_suppkey"))

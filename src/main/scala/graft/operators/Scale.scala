@@ -56,11 +56,9 @@ object Scale {
     * through (the exact join after stays correct); true negatives — the
     * overwhelming majority at 100 TB — never leave the scan stage. */
   def bloomPrune(big: DataFrame, keys: DataFrame, keyCol: String,
-      expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
-    val bloom = keys.stat.bloomFilter(keyCol, expectedItems, fpp)
-    val bc = big.sparkSession.sparkContext.broadcast(bloom)
-    val f = udf((v: Long) => bc.value.mightContainLong(v))
-    big.filter(f(col(keyCol)))
+      expectedItems: Option[Long] = None, fpp: Double = 0.01): DataFrame = {
+    val bytes = graft.functions.BloomSupport.buildLong(keys, keyCol, expectedItems, fpp)
+    big.filter(graft.functions.BloomSupport.mightContain(bytes, col(keyCol)))
   }
 
   /** Top-frequency keys of a column — the input to a targeted salting

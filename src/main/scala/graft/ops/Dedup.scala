@@ -86,20 +86,19 @@ object Dedup {
     val tDec = lit(BigDecimal("0.8"))
     // sets feeds three subtrees (prefix relation + both verification
     // sides); without a cache the scan→shingle→md5 chain runs 3×
-    val sets = withShingleHashes(Tables.documents(spark, dir))
-      .select(col("doc_id"), col("hs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sets = graft.Caches.persistTracked(
+      withShingleHashes(Tables.documents(spark, dir))
+        .select(col("doc_id"), col("hs")))
     val sh = sets.select(col("doc_id"), size(col("hs")).as("n"), explode(col("hs")).as("s"))
     val freq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val ranked = sh.join(freq, "s")
+    // the self-join below evaluates its child twice; the prefix
+    // relation is ~0.2·Σ|doc| rows, so cache beats recompute
+    val ranked = graft.Caches.persistTracked(sh.join(freq, "s")
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
       .filter(col("rn") <= col("n") - ceil(col("n") * tDec) + 1)
-      .select(col("doc_id"), col("n"), col("s"))
-      // the self-join below evaluates its child twice; the prefix
-      // relation is ~0.2·Σ|doc| rows, so cache beats recompute
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("doc_id"), col("n"), col("s")))
     // PPJoin length filter: J(A,B) ≥ t ⇒ min(|A|,|B|) ≥ t·max(|A|,|B|),
     // so size-incompatible docs never become candidate pairs.
     val candidates = ranked.as("a").join(ranked.as("b"),
@@ -139,9 +138,8 @@ object Dedup {
       docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
     // per-doc fingerprint ARRAY (sorted distinct, native kernel) — the
     // unit of verification; exploded only for candidate generation
-    val fpArr = doubled
-      .select(col("doc_id"), expr("graft_winnow16(text)").as("fa"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fpArr = graft.Caches.persistTracked(doubled
+      .select(col("doc_id"), expr("graft_winnow16(text)").as("fa")))
     val sh = fpArr.select(col("doc_id"), size(col("fa")).as("n"), explode(col("fa")).as("fp"))
     // EXACT min-side prefix filter: a pair overlapping ≥ ⌈0.8·min⌉ must
     // share a fingerprint inside the smaller doc's (n-⌈0.8n⌉+1) rarest —
@@ -202,13 +200,12 @@ object Dedup {
     * you'd switch to the large-star/small-star contraction, which is
     * the same join shape with edge rewriting per round. */
   def components(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashLsh(spark, dir)
-      .select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = graft.Caches.persistTracked(minhashLsh(spark, dir)
+      .select(col("doc_a").as("u"), col("doc_b").as("v")))
     val edges = pairs.unionAll(pairs.select(col("v").as("u"), col("u").as("v")))
-    var labels = edges.select(col("u").as("node")).distinct()
-      .withColumn("comp", col("node"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = graft.Caches.persistTracked(
+      edges.select(col("u").as("node")).distinct()
+        .withColumn("comp", col("node")))
     var cached = labels // the persisted handle backing `labels`
     var changed = 1L
     while (changed > 0) {
@@ -217,10 +214,10 @@ object Dedup {
         .groupBy(col("u").as("node")).agg(min(col("comp")).as("ncomp"))
       // old and new labels in one relation: the convergence count and
       // the next labels share a single join + cache materialization
-      val step = labels.join(neighborMin, Seq("node"), "left")
-        .select(col("node"), col("comp").as("old"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val step = graft.Caches.persistTracked(
+        labels.join(neighborMin, Seq("node"), "left")
+          .select(col("node"), col("comp").as("old"),
+            least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp")))
       changed = step.filter(col("comp") =!= col("old")).count()
       cached.unpersist()
       cached = step

@@ -99,8 +99,7 @@ object Similarity {
     * buckets return fewer than k results; production multi-probes
     * neighboring buckets (hamming-1 flips) for recall. */
   def annLshTopk(spark: SparkSession, dir: String): DataFrame = {
-    val buckets = lshBuckets(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = graft.Caches.persistTracked(lshBuckets(spark, dir))
     val e = vecs(spark, dir).select(col("vec_id"), col("v"), col("norm"))
       .join(buckets, "vec_id")
     val probes = e.filter(col("vec_id") < 5)
@@ -125,8 +124,7 @@ object Similarity {
     * The expanded buckets are distinct values, so no candidate dedup
     * is needed. */
   def annLshMultiprobe(spark: SparkSession, dir: String): DataFrame = {
-    val buckets = lshBuckets(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = graft.Caches.persistTracked(lshBuckets(spark, dir))
     val e = vecs(spark, dir).select(col("vec_id"), col("v"), col("norm"))
       .join(buckets, "vec_id")
     val probes = e.filter(col("vec_id") < 5)

@@ -87,12 +87,11 @@ object TextAnalysis {
   def tfidf(spark: SparkSession, dir: String): DataFrame = {
     // tf feeds both the score join and the df reduction — persist, or
     // the scan→regexp→explode→agg chain runs twice
-    val tf = Tables.documents(spark, dir)
+    val tf = graft.Caches.persistTracked(Tables.documents(spark, dir)
       .select(col("doc_id"),
         explode(expr(raw"regexp_extract_all(lower(text), '\\S+', 0)")).as("term"))
       .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n"))
     val scored = tf.join(broadcast(dfreq), "term")
@@ -115,16 +114,15 @@ object TextAnalysis {
     * only float op is the final ln — rounded before output. Lower
     * scores ⇒ atypical word sequences ⇒ filter candidates. */
   def lmScore(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
+    val toks = graft.Caches.persistTracked(Tables.documents(spark, dir)
       .select(col("doc_id"),
-        expr(raw"regexp_extract_all(lower(text), '\\S+', 0)").as("toks"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bigrams = toks.select(col("doc_id"), explode(expr(
-        """CASE WHEN size(toks) >= 2 THEN
-             transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))
-           ELSE array() END""")).as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        expr(raw"regexp_extract_all(lower(text), '\\S+', 0)").as("toks")))
+    val bigrams = graft.Caches.persistTracked(
+      toks.select(col("doc_id"), explode(expr(
+          """CASE WHEN size(toks) >= 2 THEN
+               transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))
+             ELSE array() END""")).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2")))
     val uniC = toks.select(explode(col("toks")).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("uc"))
     val bgC = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("bc"))

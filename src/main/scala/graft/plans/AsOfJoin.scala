@@ -81,6 +81,13 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val lKeys = leftKeys; val rKeys = rightKeys
     val lTime = leftTime; val rTime = rightTime
     val tol = toleranceMicros
+    // one reader serves both sides, so the physical encodings must
+    // agree — getLong on an int-backed row would read wrong bytes and
+    // silently mis-filter instead of erroring
+    if (tol.isDefined && leftTime.dataType != rightTime.dataType)
+      throw new IllegalArgumentException(
+        s"as-of tolerance requires matching time types, got " +
+          s"${leftTime.dataType.simpleString} vs ${rightTime.dataType.simpleString}")
     val toLong = if (tol.isDefined) timeAsLong(leftTime.dataType) else null
     val outAttrs = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>

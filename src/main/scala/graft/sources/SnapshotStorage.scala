@@ -105,6 +105,46 @@ object SnapshotStorage {
     }
   }
 
+  /** Copy raw snapshots from one storage root into another — the
+    * reference's `download-latest-snapshots` / `download-snapshot`
+    * surface (cli.py:18–29, backed by the requester's remote storage)
+    * as a storage adapter: both roots are Hadoop-filesystem URIs, so
+    * the same command serves local dirs, HDFS, or any object store the
+    * classpath mounts. Range is the reference's lexicographic
+    * `<fromId> <toId>` between over `YYYY/MM/DD/HH/MM` ids (they sort
+    * chronologically). Already-present destination files are skipped
+    * (idempotent re-runs) unless `force`.
+    *
+    * This is driver-side FILE orchestration, not data processing — the
+    * per-minute document copy loop mirrors the reference requester; the
+    * distributed engine only ever reads the destination dir. */
+  def copySnapshots(spark: SparkSession, srcRoot: String, dstRoot: String,
+      fromId: Option[String] = None, toId: Option[String] = None,
+      force: Boolean = false): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcFs = new org.apache.hadoop.fs.Path(srcRoot).getFileSystem(conf)
+    val dstFs = new org.apache.hadoop.fs.Path(dstRoot).getFileSystem(conf)
+    val glob = new org.apache.hadoop.fs.Path(s"$srcRoot/*/*/*/*/*.json")
+    val idRe = idFromPath.r
+    val found = Option(srcFs.globStatus(glob)).getOrElse(Array.empty)
+    var copied = 0L
+    found.foreach { st =>
+      idRe.findFirstMatchIn(st.getPath.toString).map(_.group(1)).foreach { id =>
+        val inRange = fromId.forall(id >= _) && toId.forall(id <= _)
+        if (inRange) {
+          val dst = new org.apache.hadoop.fs.Path(s"$dstRoot/$id.json")
+          if (force || !dstFs.exists(dst)) {
+            dstFs.mkdirs(dst.getParent)
+            org.apache.hadoop.fs.FileUtil.copy(
+              srcFs, st.getPath, dstFs, dst, false, true, conf)
+            copied += 1
+          }
+        }
+      }
+    }
+    copied
+  }
+
   /** Merge fresh snapshot stats into a status table (last write wins
     * per snapshot_id) — the siri_snapshot upsert. */
   def mergeStatus(existing: DataFrame, fresh: DataFrame): DataFrame = {

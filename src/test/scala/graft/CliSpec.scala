@@ -56,6 +56,28 @@ class CliSpec extends SparkSpec {
     assert(stats.count() == 3) // no snapshot written twice
   }
 
+  test("copy-snapshots pulls an id range from a source root, idempotently") {
+    val src = Files.createTempDirectory("copysrc").toString
+    val dst = Files.createTempDirectory("copydst").toString
+    writeRaw(src, "2023/03/10/08/01", SiriFixtures.snapA)
+    writeRaw(src, "2023/03/10/08/02", SiriFixtures.snapB)
+    writeRaw(src, "2023/03/10/08/03", SiriFixtures.snapA)
+    // range copy: lexicographic between over snapshot ids
+    Cli.main(Array("copy-snapshots", src, dst, "2023/03/10/08/01", "2023/03/10/08/02"))
+    assert(Files.exists(Paths.get(s"$dst/2023/03/10/08/01.json")))
+    assert(Files.exists(Paths.get(s"$dst/2023/03/10/08/02.json")))
+    assert(!Files.exists(Paths.get(s"$dst/2023/03/10/08/03.json")))
+    // no-range copy picks up the remainder; existing files are skipped
+    val n = graft.sources.SnapshotStorage.copySnapshots(spark, src, dst)
+    assert(n == 1)
+    // --force recopies everything
+    assert(graft.sources.SnapshotStorage.copySnapshots(
+      spark, src, dst, force = true) == 3)
+    // and the copied dir is processable as a raw root
+    val raw = graft.sources.SnapshotStorage.readRaw(spark, dst)
+    assert(raw.count() == 3)
+  }
+
   test("validate-snapshots writes a field-level csv report") {
     val root = Files.createTempDirectory("cliraw3").toString
     val csv = Files.createTempDirectory("clicsv").toString + "/report"

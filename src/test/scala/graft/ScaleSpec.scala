@@ -81,11 +81,17 @@ class BloomAndMagicSpec extends SparkSpec {
     val keys = Tables.orders(spark, sf0001)
       .select($"o_orderkey".as("l_orderkey")).limit(50)
     val pruned = graft.operators.Scale.bloomPrune(facts, keys, "l_orderkey",
-      expectedItems = 1000L, fpp = 0.01)
+      expectedItems = Some(1000L), fpp = 0.01)
     val exactAfterPrune = pruned.join(keys, "l_orderkey").count()
     val exactDirect = facts.join(keys, "l_orderkey").count()
     assert(exactAfterPrune == exactDirect)     // no true match lost
     assert(pruned.count() < facts.count() / 2) // and pruning actually pruned
+    // the probe is the codegen'd native expression, not a Scala UDF
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"expected native bloom probe:\n$plan")
+    // auto-sized variant (expectedItems from keys.count()) prunes too
+    val autoPruned = graft.operators.Scale.bloomPrune(facts, keys, "l_orderkey")
+    assert(autoPruned.join(keys, "l_orderkey").count() == exactDirect)
   }
 
   test("magic-byte sniffing dispatches real container headers") {
