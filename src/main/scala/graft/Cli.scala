@@ -44,6 +44,25 @@ object Cli {
     val spark = session()
     spark.sparkContext.setLogLevel("WARN")
     args.toList match {
+      // zero-arg variants resolve every path from Config (env-driven,
+      // reference config.py semantics) — the daemon/DAG deployment
+      // needs no per-command path wiring
+      case "process-snapshots" :: Nil =>
+        writeResult(SiriSnapshotEtl.run(readRaw(spark, Config.rawRoot)), Config.etlRoot)
+      case "start-daemon" :: Nil =>
+        graft.streaming.SnapshotStream
+          .daemon(spark, Config.rawRoot, Config.etlRoot, Config.checkpointRoot)
+          .awaitTermination()
+      case "copy-snapshots" :: Nil =>
+        Config.snapshotSourceRoot match {
+          case Some(src) =>
+            val n = SnapshotStorage.copySnapshots(spark, src, Config.rawRoot)
+            println(s"copied $n snapshots")
+          case None =>
+            System.err.println(
+              "copy-snapshots with no args needs GRAFT_SNAPSHOT_SOURCE_ROOTPATH")
+            sys.exit(2)
+        }
       // process-snapshots <rawDir> <outDir> [<fromId> <toId>] [--only-missing]
       // (siri-etl-process-snapshots DAG: range-bounded, only_missing
       // skips snapshots already loaded — snapshot ids sort

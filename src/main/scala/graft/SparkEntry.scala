@@ -88,6 +88,7 @@ object SparkEntry {
     "dedup_simhash"       -> Dedup.simhash _,
     "dedup_winnow_pairs"  -> Dedup.winnowPairs _,
     "dedup_components"    -> Dedup.components _,
+    "dedup_components_star" -> Dedup.componentsStar _,
     "ann_bruteforce"      -> Similarity.annBruteforce _,
     "ann_ivf"             -> Similarity.annIvf _,
     "embed_centroids"     -> Similarity.centroids _,
@@ -102,6 +103,32 @@ object SparkEntry {
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. */
+  /** Transitive-closure clustering oracle, shared by the min-label and
+    * star-contraction execution paths (identical semantics). */
+  private val componentsOracleSql: String =
+    """WITH RECURSIVE t AS (SELECT doc_id, text, regexp_extract_all(text, '\S+') AS toks FROM documents),
+      |shl AS (SELECT doc_id, list_distinct(
+      |   CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1),
+      |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE [text] END) AS shingles FROM t),
+      |sig AS (SELECT doc_id, list_transform(range(0, 16), i ->
+      |   list_min(list_transform(shingles, s ->
+      |     ((1 + 2*i) * (('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) + 7 + 11*i) % 2147483647))) AS sg
+      |  FROM shl),
+      |bands AS (SELECT doc_id, j AS band,
+      |   md5(concat_ws(',', sg[4*j+1], sg[4*j+2], sg[4*j+3], sg[4*j+4])) AS bkey
+      |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS j)),
+      |pairs AS (
+      |  SELECT x.doc_id AS u, y.doc_id AS v
+      |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2),
+      |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+      |walk(node, reach) AS (
+      |  SELECT u, u FROM edges
+      |  UNION
+      |  SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.reach)
+      |SELECT node AS doc_id, min(reach) AS component
+      |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "etl_parse_props" ->
       """SELECT event_id, user_id, event_type,
@@ -417,29 +444,10 @@ object SparkEntry {
         |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
         |FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "dedup_components" ->
-      """WITH RECURSIVE t AS (SELECT doc_id, text, regexp_extract_all(text, '\S+') AS toks FROM documents),
-        |shl AS (SELECT doc_id, list_distinct(
-        |   CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1),
-        |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE [text] END) AS shingles FROM t),
-        |sig AS (SELECT doc_id, list_transform(range(0, 16), i ->
-        |   list_min(list_transform(shingles, s ->
-        |     ((1 + 2*i) * (('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) + 7 + 11*i) % 2147483647))) AS sg
-        |  FROM shl),
-        |bands AS (SELECT doc_id, j AS band,
-        |   md5(concat_ws(',', sg[4*j+1], sg[4*j+2], sg[4*j+3], sg[4*j+4])) AS bkey
-        |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS j)),
-        |pairs AS (
-        |  SELECT x.doc_id AS u, y.doc_id AS v
-        |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
-        |  GROUP BY 1, 2),
-        |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
-        |walk(node, reach) AS (
-        |  SELECT u, u FROM edges
-        |  UNION
-        |  SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.reach)
-        |SELECT node AS doc_id, min(reach) AS component
-        |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_components" -> componentsOracleSql,
+    // same clustering semantics, star-contraction execution path — the
+    // oracle (transitive closure) is identical by construction
+    "dedup_components_star" -> componentsOracleSql,
     "dedup_simhash" ->
       """WITH t AS (SELECT doc_id, list_distinct(regexp_extract_all(text, '\S+')) AS toks FROM documents),
         |sims AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), j ->

@@ -61,6 +61,19 @@ object Scale {
     big.filter(graft.functions.BloomSupport.mightContain(bytes, col(keyCol)))
   }
 
+  /** Broadcast hint, gated on the optimizer's size estimate: under the
+    * limit the small side ships to every executor (no shuffle); over it
+    * the hint is withheld and the planner falls back to a shuffle join.
+    * This is the guard rail for joins whose build side is *usually*
+    * bounded (a vocabulary, a per-doc fingerprint set) but can explode
+    * on a real web corpus — an unconditional broadcast() there is an
+    * executor-OOM cliff at 100 TB, and AQE never overrides an explicit
+    * hint. Estimates come from file sizes / cached-relation stats, so
+    * the gate is meaningful wherever the input is a scan or a
+    * materialized cache. */
+  def maybeBroadcast(df: DataFrame, maxBytes: Long = 256L << 20): DataFrame =
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBytes) broadcast(df) else df
+
   /** Top-frequency keys of a column — the input to a targeted salting
     * decision (salt only the hot keys, leave the long tail alone). */
   def hotKeys(df: DataFrame, key: String, minCount: Long): DataFrame =

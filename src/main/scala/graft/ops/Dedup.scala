@@ -108,11 +108,14 @@ object Dedup {
       .distinct()
     // the per-doc set side is ~|docs|·|shingles|·8B — small relative to
     // the candidate stream, so broadcast it and keep verification
-    // map-side (exact all-pairs Jaccard is the small-corpus path by
-    // design; the 100 TB path is MinHash+LSH, SURVEY §5)
+    // map-side; SIZE-GATED so a corpus whose set table outgrows
+    // executor memory degrades to a shuffle join instead of an OOM
+    // (exact all-pairs Jaccard is the small-corpus path by design; the
+    // 100 TB path is MinHash+LSH, SURVEY §5)
+    import graft.operators.Scale.maybeBroadcast
     candidates
-      .join(broadcast(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha"))), "doc_a")
-      .join(broadcast(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb"))), "doc_b")
+      .join(maybeBroadcast(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha"))), "doc_a")
+      .join(maybeBroadcast(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb"))), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         round(size(array_intersect(col("ha"), col("hb"))).cast("double") /
           (size(col("ha")) + size(col("hb")) - size(array_intersect(col("ha"), col("hb")))), 6)
@@ -159,9 +162,12 @@ object Dedup {
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .distinct()
+    // size-gated: per-doc fingerprint sets normally broadcast, but fall
+    // back to a shuffle join rather than OOM on an oversized corpus
+    import graft.operators.Scale.maybeBroadcast
     candidates
-      .join(broadcast(fpArr.select(col("doc_id").as("doc_a"), col("fa"))), "doc_a")
-      .join(broadcast(fpArr.select(col("doc_id").as("doc_b"), col("fa").as("fb"))), "doc_b")
+      .join(maybeBroadcast(fpArr.select(col("doc_id").as("doc_a"), col("fa"))), "doc_a")
+      .join(maybeBroadcast(fpArr.select(col("doc_id").as("doc_b"), col("fa").as("fb"))), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("fa"), col("fb"))).cast("long").as("n_shared"),
         least(size(col("fa")), size(col("fb"))).cast("long").as("n_min"))
@@ -196,9 +202,10 @@ object Dedup {
     * pair graph → one canonical id (the component's min doc_id) per
     * involved doc. Iterative min-label propagation, each round ONE
     * join+agg over the edge list; converges in O(diameter) rounds
-    * (near-dup components are shallow — a handful here). At 100 TB
-    * you'd switch to the large-star/small-star contraction, which is
-    * the same join shape with edge rewriting per round. */
+    * (near-dup components are shallow — a handful here). For deep
+    * graphs, [[componentsStar]] runs the large-star/small-star
+    * contraction instead: same join shape per round, O(log²n) rounds
+    * worst-case. */
   def components(spark: SparkSession, dir: String): DataFrame = {
     val pairs = graft.Caches.persistTracked(minhashLsh(spark, dir)
       .select(col("doc_a").as("u"), col("doc_b").as("v")))
@@ -224,6 +231,83 @@ object Dedup {
       labels = step.select(col("node"), col("comp"))
     }
     labels.select(col("node").as("doc_id"), col("comp").as("component"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Connected components by alternating large-star/small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14 — public algorithm): each round rewrites the
+    * edge list so every node's neighbors attach to the minimum of its
+    * neighborhood. Converges to per-component star graphs rooted at the
+    * component minimum in O(log²|V|) rounds worst-case — this is the
+    * 100 TB path for DEEP graphs, where min-label propagation
+    * ([[components]]) needs O(diameter) rounds. Each round is two
+    * agg+join passes over the edge list; only a convergence count
+    * reaches the driver.
+    *
+    * Returns (labels, rounds): labels = (node → component minimum) for
+    * every node appearing in `pairs` (columns u, v). */
+  def connectedComponentsStar(pairs: DataFrame, maxRounds: Int = 64): (DataFrame, Int) = {
+    var e = graft.Caches.persistTracked(
+      pairs.select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v")).distinct())
+    var cached = e
+    var eCount = e.count()
+    var rounds = 0
+    var stable = false
+    while (!stable && rounds < maxRounds) {
+      // large-star: node u attaches every LARGER neighbor to
+      // m = min(Γ(u) ∪ {u})
+      val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = sym.join(mins, "u").filter(col("v") > col("u"))
+        .select(least(col("v"), col("m")).as("u"), greatest(col("v"), col("m")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // small-star: node hi attaches its SMALLER neighbors (and itself)
+      // to the minimum among them
+      val minsS = large.groupBy(col("v").as("hi")).agg(min(col("u")).as("m"))
+      val withMin = large.join(minsS, col("v") === col("hi"))
+      // localCheckpoint truncates lineage: each round's plan embeds the
+      // previous round's SEVERAL times (sym union + joins), so without
+      // truncation the logical plan grows exponentially with rounds —
+      // analysis itself becomes the bottleneck long before 100 TB does.
+      // Eager: the round runs exactly once, here.
+      val newE = withMin.select(col("u"), col("m"))
+        .unionAll(withMin.select(col("hi").as("u"), col("m")))
+        .filter(col("u") =!= col("m"))
+        .select(least(col("u"), col("m")).as("u"), greatest(col("u"), col("m")).as("v"))
+        .distinct()
+        .localCheckpoint(true)
+      val newCount = newE.count()
+      // distinct sets of equal size are equal iff one-sided difference
+      // is empty — one anti-join, not two
+      stable = newCount == eCount &&
+        newE.join(e, Seq("u", "v"), "left_anti").limit(1).count() == 0
+      // the initial persisted edge set is superseded after round 1
+      // (checkpoint blocks from later rounds are freed by the context
+      // cleaner once their Dataset handles go out of scope)
+      cached.unpersist()
+      e = newE
+      eCount = newCount
+      rounds += 1
+    }
+    if (!stable) throw new IllegalStateException(
+      s"star contraction did not converge in $maxRounds rounds")
+    // fixed points are stars rooted at the component min: u = root
+    val labels = e.select(col("v").as("node"), col("u").as("component"))
+      .unionAll(e.select(col("u")).distinct()
+        .select(col("u").as("node"), col("u").as("component")))
+    (labels, rounds)
+  }
+
+  /** [[components]] semantics (same output, same oracle) via
+    * [[connectedComponentsStar]] on the MinHash-LSH pair graph. */
+  def componentsStar(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(spark, dir)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val (labels, _) = connectedComponentsStar(pairs)
+    labels.select(col("node").as("doc_id"), col("component"))
       .orderBy(col("doc_id"))
   }
 

@@ -127,9 +127,13 @@ object TextAnalysis {
       .groupBy(col("w1")).agg(count(lit(1)).as("uc"))
     val bgC = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("bc"))
     val vocab = uniC.agg(count(lit(1)).as("v"))
+    // vocab-bounded counts normally broadcast; the gate falls back to a
+    // shuffle join when a real web corpus pushes the bigram table past
+    // executor memory (vocab² worst case)
+    import graft.operators.Scale.maybeBroadcast
     bigrams
-      .join(broadcast(bgC), Seq("w1", "w2"))
-      .join(broadcast(uniC), Seq("w1"))
+      .join(maybeBroadcast(bgC), Seq("w1", "w2"))
+      .join(maybeBroadcast(uniC), Seq("w1"))
       .crossJoin(broadcast(vocab))
       .groupBy(col("doc_id"))
       .agg(

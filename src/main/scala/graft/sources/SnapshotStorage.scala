@@ -67,12 +67,18 @@ object SnapshotStorage {
     * partition on a backlog run). Dims append unseen keys only. */
   def writeTables(r: SiriSnapshotEtl.EtlResult, outDir: String): Unit = {
     val spark = r.routes.sparkSession
-    appendNewDimKeys(r.routes, s"$outDir/siri_routes", Seq("operator_ref", "line_ref"))
-    appendNewDimKeys(r.stops, s"$outDir/siri_stops", Seq("code"))
-    appendNewDimKeys(r.rides, s"$outDir/siri_rides",
-      Seq("operator_ref", "line_ref", "journey_ref", "vehicle_ref"))
-    appendNewDimKeys(r.rideStops, s"$outDir/siri_ride_stops",
-      Seq("operator_ref", "line_ref", "journey_ref", "vehicle_ref", "stop_point_ref", "order"))
+    // per-stage timed sections on the batch path (reference logs.py
+    // debug_time around each process_snapshot phase) — each section
+    // wraps the Spark ACTION that materializes that table
+    import graft.Logs.debugTime
+    debugTime("write-dims", "outDir" -> outDir) {
+      appendNewDimKeys(r.routes, s"$outDir/siri_routes", Seq("operator_ref", "line_ref"))
+      appendNewDimKeys(r.stops, s"$outDir/siri_stops", Seq("code"))
+      appendNewDimKeys(r.rides, s"$outDir/siri_rides",
+        Seq("operator_ref", "line_ref", "journey_ref", "vehicle_ref"))
+      appendNewDimKeys(r.rideStops, s"$outDir/siri_ride_stops",
+        Seq("operator_ref", "line_ref", "journey_ref", "vehicle_ref", "stop_point_ref", "order"))
+    }
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
@@ -81,23 +87,27 @@ object SnapshotStorage {
       // (validation joins probe it point-wise), and rows sorted by
       // recorded time within each file so time-range scans prune on
       // page min/max instead of reading whole row groups
-      withSnapshotPartitions(r.vehicleLocations)
-        .sortWithinPartitions(col("snapshot_date"), col("snapshot_minute"),
-          col("recorded_at_time"))
-        .write.mode(SaveMode.Overwrite)
-        .option("compression", "zstd")
-        .option("parquet.bloom.filter.enabled#siri_ride_stop_id", "true")
-        .partitionBy("snapshot_date", "snapshot_minute")
-        .parquet(s"$outDir/siri_vehicle_locations")
-      Seq(
-        r.snapshotStats -> s"$outDir/siri_snapshots",
-        r.parseErrors -> s"$outDir/parse_errors",
-      ).foreach { case (df, path) =>
-        withSnapshotPartitions(df)
+      debugTime("write-vehicle-locations", "outDir" -> outDir) {
+        withSnapshotPartitions(r.vehicleLocations)
+          .sortWithinPartitions(col("snapshot_date"), col("snapshot_minute"),
+            col("recorded_at_time"))
           .write.mode(SaveMode.Overwrite)
           .option("compression", "zstd")
+          .option("parquet.bloom.filter.enabled#siri_ride_stop_id", "true")
           .partitionBy("snapshot_date", "snapshot_minute")
-          .parquet(path)
+          .parquet(s"$outDir/siri_vehicle_locations")
+      }
+      debugTime("write-stats-and-errors", "outDir" -> outDir) {
+        Seq(
+          r.snapshotStats -> s"$outDir/siri_snapshots",
+          r.parseErrors -> s"$outDir/parse_errors",
+        ).foreach { case (df, path) =>
+          withSnapshotPartitions(df)
+            .write.mode(SaveMode.Overwrite)
+            .option("compression", "zstd")
+            .partitionBy("snapshot_date", "snapshot_minute")
+            .parquet(path)
+        }
       }
     } finally {
       spark.conf.set("spark.sql.sources.partitionOverwriteMode",

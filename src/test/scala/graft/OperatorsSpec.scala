@@ -87,6 +87,32 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("star contraction matches min-label components on the LSH graph") {
+    val byLabel = Dedup.components(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byStar = Dedup.componentsStar(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byStar == byLabel)
+  }
+
+  test("star contraction labels a deep chain in logarithmic rounds") {
+    // a 256-node path graph: min-label propagation needs 255 rounds
+    // (O(diameter)); large-star/small-star must land in O(log²n)
+    val chain = spark.range(255).selectExpr("id AS u", "id + 1 AS v")
+    val (labels, rounds) = Dedup.connectedComponentsStar(chain.toDF())
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 256)
+    assert(got.values.forall(_ == 0L), s"non-root labels: ${got.filter(_._2 != 0L).take(5)}")
+    assert(rounds <= 20, s"took $rounds rounds — not the contraction bound")
+    // and a forest of two chains keeps the components separate
+    val two = spark.range(99).selectExpr(
+      "CASE WHEN id < 49 THEN id ELSE id + 1 END AS u",
+      "CASE WHEN id < 49 THEN id + 1 ELSE id + 2 END AS v")
+    val (l2, _) = Dedup.connectedComponentsStar(two.toDF())
+    val m2 = l2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 49L).forall(m2(_) == 0L) && (50L to 100L).forall(m2(_) == 50L))
+  }
+
   test("simhash hamming is symmetric-free (a<b) and within radius") {
     val r = Dedup.simhash(spark, sf0001)
     assert(r.filter($"doc_a" >= $"doc_b").count() == 0)

@@ -33,6 +33,66 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("SIRI fact-to-fact bucketed join (vehicle_locations x ride_stops) plans zero exchanges") {
+    import spark.implicits._
+    val r = graft.etl.SiriSnapshotEtl.run(Seq(
+      ("2023/03/10/08/01", SiriFixtures.snapA),
+      ("2023/03/10/08/02", SiriFixtures.snapB)).toDF("snapshot_id", "json"))
+    val vloc = r.vehicleLocations
+    val rstops = r.rideStops.select($"siri_ride_stop_id", $"siri_ride_id", $"siri_stop_id")
+    Seq("t_vloc_b", "t_rstops_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), t)
+      org.apache.commons.io.FileUtils.deleteQuietly(loc)
+    }
+    Scale.writeBucketed(vloc, "t_vloc_b", "siri_ride_stop_id", 8)
+    Scale.writeBucketed(rstops, "t_rstops_b", "siri_ride_stop_id", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Scale.bucketedJoin(spark, "t_vloc_b", "t_rstops_b", "siri_ride_stop_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange"), s"expected no shuffle:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"expected bucketed scans:\n$plan")
+      assert(joined.count() == vloc.join(rstops, "siri_ride_stop_id").count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("AQE splits a skewed join partition at runtime") {
+    val tuned = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "256KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = tuned.map { case (k, _) => k -> spark.conf.getOption(k) }
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // one key carries half the fact rows with a fat INCOMPRESSIBLE
+      // payload (skew detection reads post-compression shuffle sizes,
+      // so a repeat('x') payload would deflate below the threshold)
+      val big = spark.range(200000).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 0L ELSE id % 997 END AS k",
+        """concat(md5(CAST(id AS STRING)), md5(CAST(id + 1000000 AS STRING)),
+                  md5(CAST(id + 2000000 AS STRING)), md5(CAST(id + 3000000 AS STRING))) AS payload""")
+      val dim = spark.range(997).selectExpr("id AS k", "id * 2 AS attr")
+      val joined = big.join(dim, "k")
+      // collect() executes THIS Dataset's QueryExecution — count() would
+      // build a fresh one and leave `joined`'s plan unexecuted
+      // (isFinalPlan=false, no AQE rewrite to observe)
+      assert(joined.collect().length == 200000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.toLowerCase.contains("skew"),
+        s"AQE did not split the skewed partition:\n$finalPlan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted join equals plain join and spreads the hot key") {
     val big = Tables.lineitem(spark, sf0001).select($"l_orderkey".as("k"), $"l_quantity")
     val small = Tables.orders(spark, sf0001)
