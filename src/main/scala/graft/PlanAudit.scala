@@ -34,6 +34,10 @@ object PlanAudit {
         case e: Throwable =>
           Files.writeString(Paths.get(s"$outDir/$name.txt"), s"ERROR: ${e.getMessage}")
       }
+      // iterative ops run actions during plan construction and persist
+      // intermediates — release them between queries like Bench/Verify
+      Caches.releaseAll()
+      spark.catalog.clearCache()
     }
     println(s"plans written to $outDir")
     spark.stop()

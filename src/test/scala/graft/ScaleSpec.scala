@@ -154,6 +154,33 @@ class BloomAndMagicSpec extends SparkSpec {
     assert(autoPruned.join(keys, "l_orderkey").count() == exactDirect)
   }
 
+  test("runtime bloom-filter join: optimizer injects might_contain from the selective side") {
+    val tuned = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // defaults gate on 10GB application-side scans; drop to 0 so the
+      // sf0.001 fixture qualifies and the injection itself is testable
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = tuned.map { case (k, _) => k -> spark.conf.getOption(k) }
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val facts = Tables.lineitem(spark, sf0001).select($"l_orderkey", $"l_quantity")
+      val sel = Tables.orders(spark, sf0001)
+        .filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_orderkey".as("l_orderkey"))
+      val joined = facts.join(sel, "l_orderkey")
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"runtime bloom filter not injected:\n$optimized")
+      // and the filtered join still returns exactly the exact-join rows
+      val expected = facts.join(sel.hint("broadcast"), "l_orderkey").count()
+      assert(joined.count() == expected)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("magic-byte sniffing dispatches real container headers") {
     val df = Seq(
       ("89504E470D0A1A0A", "png"),
