@@ -99,6 +99,7 @@ object SparkEntry {
     "ann_ivf_topk"        -> Similarity.annIvfTopk _,
     "ann_lsh_topk"        -> Similarity.annLshTopk _,
     "ann_lsh_multiprobe"  -> Similarity.annLshMultiprobe _,
+    "ann_kmeans_refine"   -> Similarity.annKmeansRefine _,
     "embed_quantize"      -> Similarity.quantize _,
   )
 
@@ -516,6 +517,30 @@ object SparkEntry {
         |SELECT vec_id, cell, dist AS dist_to_cell, cell = CAST(label AS BIGINT) AS matches_label
         |FROM s QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1
         |ORDER BY vec_id""".stripMargin,
+    "ann_kmeans_refine" ->
+      """WITH pe AS (SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
+        |c0p AS (SELECT CAST(label AS BIGINT) AS cell, CAST(pos - 1 AS BIGINT) AS pos,
+        |   round(avg(x), 6) AS centroid FROM pe GROUP BY 1, 2),
+        |c0 AS (SELECT cell, list(centroid ORDER BY pos) AS cv FROM c0p GROUP BY 1),
+        |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |s1 AS (SELECT e.vec_id, e.v, c0.cell,
+        |   round(sqrt(list_sum(list_transform(list_zip(e.v, c0.cv), z -> (z[1]-z[2])*(z[1]-z[2])))), 6) AS dist
+        |  FROM e CROSS JOIN c0),
+        |a1 AS (SELECT vec_id, v, cell AS cell1 FROM s1
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1),
+        |p1 AS (SELECT cell1, i AS pos, v[i] AS x
+        |  FROM a1 CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
+        |c1p AS (SELECT cell1 AS cell, CAST(pos - 1 AS BIGINT) AS pos,
+        |   round(avg(x), 6) AS centroid FROM p1 GROUP BY 1, 2),
+        |c1 AS (SELECT cell, list(centroid ORDER BY pos) AS cv FROM c1p GROUP BY 1),
+        |s2 AS (SELECT e.vec_id, c1.cell,
+        |   round(sqrt(list_sum(list_transform(list_zip(e.v, c1.cv), z -> (z[1]-z[2])*(z[1]-z[2])))), 6) AS dist
+        |  FROM e CROSS JOIN c1),
+        |a2 AS (SELECT vec_id, cell, dist FROM s2
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1)
+        |SELECT a2.vec_id, a2.cell, a2.dist, a2.cell != a1.cell1 AS moved
+        |FROM a2 JOIN a1 USING (vec_id) ORDER BY a2.vec_id""".stripMargin,
     "ann_lsh_bucket" ->
       """WITH planes AS (
         |  SELECT b, list_transform(range(0, 64), j ->

@@ -231,6 +231,48 @@ object Similarity {
   /** IVF-style assignment: nearest (L2) per-label centroid for every
     * vector. The centroid table is tiny → broadcast; the scan side never
     * shuffles. `matches_label` measures cluster purity. */
+  /** IVF training: one Lloyd (k-means) refinement round over the
+    * label-seeded coarse cells — assign every vector to its nearest
+    * centroid, recompute per-cell means, re-assign. Everything is
+    * DataFrame algebra: assignment is a broadcast cross of the tiny
+    * centroid table (|cells| rows) against the scan with a per-vector
+    * argmin window; the mean recompute is one posexplode+agg (map-side
+    * partial). At 100 TB each Lloyd round is two scans of the
+    * embedding table and nothing else — no driver-side vectors, and
+    * rounds are independent of |cells|. Distances and centroid dims
+    * round to 6 so the DuckDB oracle reproduces the argmin exactly
+    * (same discipline as [[annIvf]]/[[centroids]]). Output: final
+    * assignment + whether the refinement moved the vector. */
+  def annKmeansRefine(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = graft.Caches.persistTracked(
+      vecs(spark, dir).select(col("vec_id"), col("v")))
+    def toArrays(c: DataFrame): DataFrame = c.groupBy(col("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, centroid))), s -> s.centroid)").as("cv"))
+    def assign(cent: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("dist"), col("cell"))
+      e.crossJoin(broadcast(cent))
+        .withColumn("dist", round(sqrt(expr("graft_l2sq(v, cv)")), 6))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("v"), col("cell"), col("dist"))
+    }
+    val c0 = toArrays(centroids(spark, dir)
+      .select(col("label").as("cell"), col("pos"), col("centroid")))
+    val a1 = graft.Caches.persistTracked(
+      assign(c0).select(col("vec_id"), col("v"), col("cell").as("cell1")))
+    val c1 = toArrays(a1
+      .select(col("cell1").as("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos").cast("long").as("pos"))
+      .agg(round(avg(col("x")), 6).as("centroid")))
+    assign(c1)
+      .join(a1.select(col("vec_id"), col("cell1")), "vec_id")
+      .select(col("vec_id"), col("cell"), col("dist"),
+        (col("cell") =!= col("cell1")).as("moved"))
+      .orderBy(col("vec_id"))
+  }
+
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val cent = centroids(spark, dir)
       .groupBy(col("label").as("cell"))
