@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.etl.EventsEtl
 import graft.operators.Relational
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Pipeline, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (inventory) and §7.
   *
@@ -100,14 +100,16 @@ object SparkEntry {
     "ann_lsh_topk"        -> Similarity.annLshTopk _,
     "ann_lsh_multiprobe"  -> Similarity.annLshMultiprobe _,
     "ann_kmeans_refine"   -> Similarity.annKmeansRefine _,
+    "pipeline_corpus_filter" -> Pipeline.corpusFilter _,
     "embed_quantize"      -> Similarity.quantize _,
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. */
-  /** Transitive-closure clustering oracle, shared by the min-label and
-    * star-contraction execution paths (identical semantics). */
-  private val componentsOracleSql: String =
-    """WITH RECURSIVE t AS (SELECT doc_id, text, regexp_extract_all(text, '\S+') AS toks FROM documents),
+  /** Transitive-closure clustering CTE chain (documents → MinHash-LSH
+    * pairs → recursive reachability), shared by the components oracles
+    * and the composed corpus-filter oracle. */
+  private val componentsCtes: String =
+    """t AS (SELECT doc_id, text, regexp_extract_all(text, '\S+') AS toks FROM documents),
       |shl AS (SELECT doc_id, list_distinct(
       |   CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1),
       |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE [text] END) AS shingles FROM t),
@@ -126,7 +128,12 @@ object SparkEntry {
       |walk(node, reach) AS (
       |  SELECT u, u FROM edges
       |  UNION
-      |  SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.reach)
+      |  SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.reach)""".stripMargin
+
+  /** Shared by the min-label and star-contraction execution paths
+    * (identical semantics). */
+  private val componentsOracleSql: String =
+    s"""WITH RECURSIVE $componentsCtes
       |SELECT node AS doc_id, min(reach) AS component
       |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin
 
@@ -449,6 +456,30 @@ object SparkEntry {
     // same clustering semantics, star-contraction execution path — the
     // oracle (transitive closure) is identical by construction
     "dedup_components_star" -> componentsOracleSql,
+    // composed C4-style curation chain: quality gate + language gate +
+    // drop non-canonical near-dup members (reuses the clustering CTEs)
+    "pipeline_corpus_filter" ->
+      s"""WITH RECURSIVE $componentsCtes,
+        |comp AS (SELECT node AS doc_id, min(reach) AS component FROM walk GROUP BY 1),
+        |dropped AS (SELECT doc_id FROM comp WHERE doc_id != component),
+        |q AS (SELECT doc_id,
+        |  round(least(length(text) / CAST(400 AS DOUBLE), CAST(1.0 AS DOUBLE))
+        |    * (1.0 - CAST(len(regexp_extract_all(text, '[^a-z0-9\\s]')) AS DOUBLE) / length(text))
+        |    * (0.5 + CAST(len(regexp_extract_all(text, '\\b(the|a|of|and|to|in)\\b')) AS DOUBLE)
+        |        / CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE)), 6) AS quality_score
+        | FROM documents),
+        |l AS (SELECT doc_id,
+        |  CASE WHEN len(regexp_extract_all(text, 'th|he|an|in|er')) >= len(regexp_extract_all(text, 'sch|ein|der|ung'))
+        |        AND len(regexp_extract_all(text, 'th|he|an|in|er')) >= len(regexp_extract_all(text, 'el |la |de |os '))
+        |       THEN 'en'
+        |       WHEN len(regexp_extract_all(text, 'sch|ein|der|ung')) >= len(regexp_extract_all(text, 'el |la |de |os '))
+        |       THEN 'de' ELSE 'es' END AS predicted_lang
+        | FROM documents)
+        |SELECT q.doc_id, q.quality_score, l.predicted_lang
+        |FROM q JOIN l ON q.doc_id = l.doc_id
+        |WHERE q.quality_score >= 0.3 AND l.predicted_lang = 'en'
+        |  AND q.doc_id NOT IN (SELECT doc_id FROM dropped)
+        |ORDER BY 1""".stripMargin,
     "dedup_simhash" ->
       """WITH t AS (SELECT doc_id, list_distinct(regexp_extract_all(text, '\S+')) AS toks FROM documents),
         |sims AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), j ->
