@@ -101,14 +101,16 @@ object SparkEntry {
     "ann_lsh_multiprobe"  -> Similarity.annLshMultiprobe _,
     "ann_kmeans_refine"   -> Similarity.annKmeansRefine _,
     "pipeline_corpus_filter" -> Pipeline.corpusFilter _,
+    "pipeline_train_split"   -> Pipeline.trainSplit _,
+    "pipeline_decontaminate" -> Pipeline.decontaminate _,
     "embed_quantize"      -> Similarity.quantize _,
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. */
-  /** Transitive-closure clustering CTE chain (documents → MinHash-LSH
-    * pairs → recursive reachability), shared by the components oracles
-    * and the composed corpus-filter oracle. */
-  private val componentsCtes: String =
+  /** MinHash band-bucket CTE chain (documents → shingles → signatures
+    * → LSH bands) — the shared candidate-generation surface for the
+    * components oracles and the decontamination oracle. */
+  private val bandsCtes: String =
     """t AS (SELECT doc_id, text, regexp_extract_all(text, '\S+') AS toks FROM documents),
       |shl AS (SELECT doc_id, list_distinct(
       |   CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1),
@@ -119,7 +121,12 @@ object SparkEntry {
       |  FROM shl),
       |bands AS (SELECT doc_id, j AS band,
       |   md5(concat_ws(',', sg[4*j+1], sg[4*j+2], sg[4*j+3], sg[4*j+4])) AS bkey
-      |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS j)),
+      |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS j))""".stripMargin
+
+  /** Transitive-closure clustering CTE chain, extending [[bandsCtes]]
+    * with pairs → symmetric edges → recursive reachability. */
+  private val componentsCtes: String =
+    s"""$bandsCtes,
       |pairs AS (
       |  SELECT x.doc_id AS u, y.doc_id AS v
       |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
@@ -456,6 +463,21 @@ object SparkEntry {
     // same clustering semantics, star-contraction execution path — the
     // oracle (transitive closure) is identical by construction
     "dedup_components_star" -> componentsOracleSql,
+    "pipeline_train_split" ->
+      """SELECT doc_id, lang, bucket,
+        | CASE WHEN bucket < 80 THEN 'train'
+        |      WHEN bucket < 90 THEN 'validation' ELSE 'test' END AS split
+        |FROM (SELECT doc_id, lang,
+        |   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "pipeline_decontaminate" ->
+      s"""WITH $bandsCtes,
+        |bench AS (SELECT band, bkey, doc_id AS bench_id FROM bands WHERE doc_id % 10 = 0)
+        |SELECT b.doc_id, count(DISTINCT bench.bench_id) AS n_benchmark_hits
+        |FROM bands b JOIN bench ON b.band = bench.band AND b.bkey = bench.bkey
+        |WHERE b.doc_id % 10 != 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // composed C4-style curation chain: quality gate + language gate +
     // drop non-canonical near-dup members (reuses the clustering CTEs)
     "pipeline_corpus_filter" ->

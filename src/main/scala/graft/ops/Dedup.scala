@@ -180,16 +180,23 @@ object Dedup {
     * computed as one map-side array expression over pre-hashed shingles,
     * then LSH banding (4 bands × 4 rows): docs sharing any band bucket
     * are candidate pairs. The band join is the only shuffle. */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, band, bkey) LSH band-bucket relation — the shared
+    * candidate-generation surface for near-dup pairing AND benchmark
+    * decontamination (Pipeline.decontaminate). */
+  private[ops] def lshBands(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     val sig = withShingles(Tables.documents(spark, dir))
       .select(col("doc_id"), expr("graft_minhash_sig(shingles)").as("sig"))
-    val bands = sig.select(col("doc_id"),
+    sig.select(col("doc_id"),
         explode(expr(
           """transform(sequence(0, 3), j ->
                struct(j AS band, md5(concat_ws(',', sig[4*j], sig[4*j+1], sig[4*j+2], sig[4*j+3])) AS bkey))"""))
           .as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
+  }
+
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val bands = lshBands(spark, dir)
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))

@@ -20,6 +20,41 @@ import graft.Tables
   * two joins on doc_id — the natural partitioning key for all of them.
   */
 object Pipeline {
+  /** Deterministic train/validation/test assignment (80/10/10) from
+    * the engine-portable 60-bit content hash of the doc id — the
+    * reproducible-split primitive every training build needs: pure
+    * map-side projection, no shuffle, stable across engines, runs, and
+    * cluster sizes (the portable-hash SQL spelling is rewritten to the
+    * native H60 kernel by NativeHashRewrite where registered). */
+  def trainSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket =
+      expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 100")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "validation")
+          .otherwise("test"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Benchmark decontamination: training docs (doc_id % 10 != 0) whose
+    * shingle MinHash lands in the same LSH band bucket as any held-out
+    * benchmark doc (doc_id % 10 == 0) — the n-gram-overlap screen run
+    * before training so eval data can't leak into the corpus. The only
+    * wide op is the (band, bucket) equi-join, fan-in bounded by
+    * collision rate — identical scale shape to near-dup pairing. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val bands = Dedup.lshBands(spark, dir)
+    val bench = bands.filter(col("doc_id") % 10 === 0)
+      .select(col("band"), col("bkey"), col("doc_id").as("bench_id"))
+    bands.filter(col("doc_id") % 10 =!= 0)
+      .join(bench, Seq("band", "bkey"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("bench_id")).as("n_benchmark_hits"))
+      .orderBy(col("doc_id"))
+  }
+
   def corpusFilter(spark: SparkSession, dir: String): DataFrame = {
     val quality = TextAnalysis.quality(spark, dir)
       .select(col("doc_id"), col("quality_score"))
