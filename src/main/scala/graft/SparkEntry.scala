@@ -71,6 +71,7 @@ object SparkEntry {
     "q_pivot_segment_status" -> Relational.qPivotSegmentStatus _,
     "q_running_total"    -> Relational.qRunningTotal _,
     "q_trailing_spend"   -> Relational.qTrailingSpend _,
+    "q_funnel_sequence"  -> Relational.qFunnelSequence _,
     "q_cube_priority_status" -> Relational.qCubePriorityStatus _,
     "q_repeat_customers" -> Relational.qRepeatCustomers _,
     "ann_knn_graph"      -> Similarity.annKnnGraph _,
@@ -787,6 +788,16 @@ object SparkEntry {
         |         RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS trailing_30d_spend
         |FROM orders WHERE o_custkey % 100 = 0
         |ORDER BY o_custkey, order_epoch, o_orderkey""".stripMargin,
+    "q_funnel_sequence" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+        |tv AS (SELECT user_id, min(tus) AS t_view FROM ev WHERE event_type = 'view' GROUP BY 1),
+        |tc AS (SELECT ev.user_id, t_view, min(tus) AS t_click
+        |  FROM ev JOIN tv ON ev.user_id = tv.user_id
+        |  WHERE event_type = 'click' AND tus > t_view GROUP BY 1, 2)
+        |SELECT ev.user_id, t_view, t_click, min(tus) AS t_purchase
+        |FROM ev JOIN tc ON ev.user_id = tc.user_id
+        |WHERE event_type = 'purchase' AND tus > t_click
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
     "ann_knn_graph" ->
       """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
         |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -283,6 +283,29 @@ object Relational {
       .orderBy(col("s_suppkey"))
   }
 
+  /** Ordered-sequence funnel (view → click → purchase, strictly
+    * increasing timestamps): the product-analytics query family. Three
+    * min-aggregations, each gated on the previous stage's time — ONE
+    * shuffle per stage and nothing else (spec-asserted): each stage's
+    * aggregate output is small (per-user rows), so it broadcasts back
+    * onto the next stage's scan; under sort-merge at larger |users|
+    * the stage groupBys (keyed on supersets of user_id) reuse the
+    * join's partitioning. Times are exact epoch micros. */
+  def qFunnelSequence(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"))
+    val tv = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("tus")).as("t_view"))
+    val tc = ev.filter(col("event_type") === "click")
+      .join(tv, "user_id").filter(col("tus") > col("t_view"))
+      .groupBy(col("user_id"), col("t_view")).agg(min(col("tus")).as("t_click"))
+    ev.filter(col("event_type") === "purchase")
+      .join(tc, "user_id").filter(col("tus") > col("t_click"))
+      .groupBy(col("user_id"), col("t_view"), col("t_click"))
+      .agg(min(col("tus")).as("t_purchase"))
+      .orderBy(col("user_id"))
+  }
+
   /** Sketch aggregates — the 100 TB path for distinct counts and
     * quantiles (bounded-memory HLL / quantile sketch, map-side
     * mergeable). No DuckDB oracle: sketch internals are

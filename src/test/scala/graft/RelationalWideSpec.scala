@@ -9,6 +9,24 @@ import graft.operators.Relational
 class RelationalWideSpec extends SparkSpec {
   import spark.implicits._
 
+  test("funnel: strict order holds and stage groupBys reuse the user_id partitioning") {
+    val r = Relational.qFunnelSequence(spark, sf0001)
+    val rows = r.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { x =>
+      assert(x.getAs[Long]("t_view") < x.getAs[Long]("t_click") &&
+        x.getAs[Long]("t_click") < x.getAs[Long]("t_purchase"))
+    }
+    // one shuffle per funnel stage + the final sort, nothing more
+    // (count real shuffle stages in the FINAL adaptive plan only —
+    // the toString also prints the initial plan, and BroadcastExchange
+    // would match a bare "Exchange" pattern)
+    val planStr = r.queryExecution.executedPlan.toString
+    val finalPlan = planStr.split("== Initial Plan ==").head
+    val nShuffles = "ShuffleQueryStage".r.findAllIn(finalPlan).length
+    assert(nShuffles <= 4, s"funnel plans $nShuffles shuffle stages:\n$finalPlan")
+  }
+
   test("q4: semi join returns at most one row per priority, counts bounded by orders") {
     val r = Relational.q4PriorityExists(spark, sf0001).collect()
     assert(r.nonEmpty && r.length <= 5)
