@@ -72,6 +72,7 @@ object SparkEntry {
     "q_running_total"    -> Relational.qRunningTotal _,
     "q_trailing_spend"   -> Relational.qTrailingSpend _,
     "q_funnel_sequence"  -> Relational.qFunnelSequence _,
+    "q_cohort_retention" -> Relational.qCohortRetention _,
     "q_cube_priority_status" -> Relational.qCubePriorityStatus _,
     "q_repeat_customers" -> Relational.qRepeatCustomers _,
     "ann_knn_graph"      -> Similarity.annKnnGraph _,
@@ -798,6 +799,14 @@ object SparkEntry {
         |FROM ev JOIN tc ON ev.user_id = tc.user_id
         |WHERE event_type = 'purchase' AND tus > t_click
         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH u AS (SELECT DISTINCT user_id,
+        |   CAST(epoch(date_trunc('week', ts)) AS BIGINT) AS wk FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort_wk FROM u GROUP BY 1)
+        |SELECT c.cohort_wk, (u.wk - c.cohort_wk) // 604800 AS week_offset,
+        | CAST(count(*) AS BIGINT) AS n_users
+        |FROM u JOIN c ON u.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ann_knn_graph" ->
       """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
         |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -306,6 +306,25 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** Weekly cohort retention (the second pillar of product analytics
+    * next to [[qFunnelSequence]]): users grouped by first-active week,
+    * counted per week-offset they return. Dedup to (user, week) grain
+    * first — count(*) then IS the distinct-user count, avoiding
+    * count(distinct)'s Expand; the cohort min reuses the same
+    * partitioning. Output is the retention triangle. */
+  def qCohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val u = Tables.events(spark, dir)
+      .select(col("user_id"),
+        unix_timestamp(date_trunc("week", col("ts"))).cast("long").as("wk"))
+      .distinct()
+    val cohort = u.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    u.join(cohort, "user_id")
+      .groupBy(col("cohort_wk"),
+        expr("CAST((wk - cohort_wk) DIV 604800 AS BIGINT)").as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_wk"), col("week_offset"))
+  }
+
   /** Sketch aggregates — the 100 TB path for distinct counts and
     * quantiles (bounded-memory HLL / quantile sketch, map-side
     * mergeable). No DuckDB oracle: sketch internals are
