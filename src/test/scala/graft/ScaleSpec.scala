@@ -93,6 +93,23 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("written star schema prunes partitions on snapshot filters (scan-level)") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("prune").toString
+    val r = graft.etl.SiriSnapshotEtl.run(Seq(
+      ("2023/03/10/08/01", SiriFixtures.snapA),
+      ("2023/03/10/08/02", SiriFixtures.snapB)).toDF("snapshot_id", "json"))
+    graft.sources.SnapshotStorage.writeTables(r, out)
+    val facts = spark.read.parquet(s"$out/siri_vehicle_locations")
+    val one = facts.filter($"snapshot_minute" === "0801")
+    // the filter must become a PartitionFilter (directory pruning at
+    // planning time), NOT a data filter evaluated over every row group
+    val scan = one.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(snapshot_minute"),
+      s"minute filter not pushed to partition pruning:\n$scan")
+    assert(one.count() == 3) // snapA rows only — 08/02's leaf never read
+  }
+
   test("salted join equals plain join and spreads the hot key") {
     val big = Tables.lineitem(spark, sf0001).select($"l_orderkey".as("k"), $"l_quantity")
     val small = Tables.orders(spark, sf0001)
