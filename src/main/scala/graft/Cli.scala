@@ -122,11 +122,31 @@ object Cli {
         // raw dir; ctrl-C / SIGTERM stops gracefully (shutdown hook)
         val q = graft.streaming.SnapshotStream.daemon(spark, rawDir, outDir, checkpointDir)
         q.awaitTermination()
-      case "update-pending-snapshots" :: from :: to :: statusParquet :: Nil =>
+      // status table defaults to <etlRoot>/siri_snapshots (the star
+      // schema's own lifecycle table) when not given explicitly — the
+      // dags.yaml deployment passes only the range
+      case "update-pending-snapshots" :: from :: to :: rest if rest.length <= 1 =>
+        val statusParquet = rest.headOption.getOrElse(s"${Config.etlRoot}/siri_snapshots")
         val status = spark.read.parquet(statusParquet)
-        Backfill.pendingSnapshots(spark, from, to, status)
-          .write.mode("append").parquet(statusParquet)
-      case "process-old-missing-snapshots" :: from :: to :: statusParquet :: rawDir :: outDir :: Nil =>
+        val pending = Backfill.pendingSnapshots(spark, from, to, status)
+        rest.headOption match {
+          case Some(_) => // explicit flat status table: plain append
+            pending.write.mode("append").parquet(statusParquet)
+          case None =>
+            // the star's own siri_snapshots is (date, minute)-partitioned
+            // — append pending rows in the same leaf layout or the scan
+            // never sees them
+            SnapshotStorage.withSnapshotPartitions(pending)
+              .write.mode("append")
+              .partitionBy("snapshot_date", "snapshot_minute")
+              .parquet(statusParquet)
+        }
+      case "process-old-missing-snapshots" :: from :: to :: rest
+          if rest.isEmpty || rest.length == 3 =>
+        val (statusParquet, rawDir, outDir) = rest match {
+          case s :: r :: o :: Nil => (s, r, o)
+          case _ => (s"${Config.etlRoot}/siri_snapshots", Config.rawRoot, Config.etlRoot)
+        }
         val status = spark.read.parquet(statusParquet)
         writeResult(Backfill.processBacklog(spark, from, to, status, readRaw(spark, rawDir)), outDir)
       // validate-snapshots <rawDir> [<fromId> <toId>] [--csv <path>]

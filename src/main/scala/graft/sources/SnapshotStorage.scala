@@ -52,7 +52,7 @@ object SnapshotStorage {
 
   /** `2021/07/05/12/34` → (`2021-07-05`, `1234`): date partition for
     * scan pruning, minute partition so one snapshot = one leaf dir. */
-  private def withSnapshotPartitions(df: DataFrame): DataFrame =
+  private[graft] def withSnapshotPartitions(df: DataFrame): DataFrame =
     df.withColumn("snapshot_date",
         translate(substring(col("snapshot_id"), 1, 10), "/", "-"))
       .withColumn("snapshot_minute",

@@ -75,6 +75,14 @@ class ConfigLogsSpec extends SparkSpec {
       Cli.main(Array("process-snapshots"))
     }
     assert(spark.read.parquet(s"$root/etl/siri_vehicle_locations").count() == 3)
+    // backfill DAG commands also resolve their status/raw/etl paths
+    // from config: pending detection sees the gap after 08/01
+    withOverrides("GRAFT_STORAGE_ROOTPATH" -> root) {
+      Cli.main(Array("update-pending-snapshots", "2023/03/10/08/01", "2023/03/10/08/03"))
+    }
+    val status = spark.read.parquet(s"$root/etl/siri_snapshots")
+    assert(status.filter(org.apache.spark.sql.functions.col("etl_status") === "pending")
+      .count() == 2) // 08/02 and 08/03 missing from the raw dir
     // timed sections appear on the same path under DEBUG
     val out = new ByteArrayOutputStream()
     Console.withOut(out) {
