@@ -105,6 +105,7 @@ object SparkEntry {
     "pipeline_corpus_filter" -> Pipeline.corpusFilter _,
     "pipeline_train_split"   -> Pipeline.trainSplit _,
     "pipeline_decontaminate" -> Pipeline.decontaminate _,
+    "pipeline_shard_order"   -> Pipeline.shardOrder _,
     "embed_quantize"      -> Similarity.quantize _,
   )
 
@@ -480,6 +481,14 @@ object SparkEntry {
         |FROM bands b JOIN bench ON b.band = bench.band AND b.bkey = bench.bkey
         |WHERE b.doc_id % 10 != 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "pipeline_shard_order" ->
+      """WITH h AS (SELECT doc_id,
+        |   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 16 AS shard,
+        |   ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-order'), 1, 15))::BIGINT AS ord_hash
+        |  FROM documents)
+        |SELECT doc_id, shard,
+        | CAST(row_number() OVER (PARTITION BY shard ORDER BY ord_hash, doc_id) AS BIGINT) AS order_in_shard
+        |FROM h ORDER BY doc_id""".stripMargin,
     // composed C4-style curation chain: quality gate + language gate +
     // drop non-canonical near-dup members (reuses the clustering CTEs)
     "pipeline_corpus_filter" ->

@@ -55,6 +55,27 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic shard assignment + within-shard order — the final
+    * "write the training corpus" step: 16 shards by portable hash, and
+    * a reproducible interleave order inside each shard from a second,
+    * salted hash (so shard order is decorrelated from doc_id AND from
+    * the shard assignment itself). Pure projection + one per-shard
+    * window; at 100 TB the window partitions by shard — exactly the
+    * write-parallelism unit — so ordering never needs a global sort. */
+  def shardOrder(spark: SparkSession, dir: String): DataFrame = {
+    val h = (salt: String) =>
+      s"CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), '$salt')), 1, 15), 16, 10) AS BIGINT)"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("ord_hash"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr(s"${h("")} % 16").as("shard"),
+        expr(h("-order")).as("ord_hash"))
+      .withColumn("order_in_shard", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("order_in_shard"))
+      .orderBy(col("doc_id"))
+  }
+
   def corpusFilter(spark: SparkSession, dir: String): DataFrame = {
     val quality = TextAnalysis.quality(spark, dir)
       .select(col("doc_id"), col("quality_score"))
