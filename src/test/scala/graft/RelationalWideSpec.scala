@@ -9,6 +9,20 @@ import graft.operators.Relational
 class RelationalWideSpec extends SparkSpec {
   import spark.implicits._
 
+  test("q6: filters push to the parquet scan and only referenced columns are read") {
+    val r = Relational.q6SelectiveFilter(spark, sf0001)
+    val scan = r.queryExecution.executedPlan.toString
+    // pushdown claims in EXPLAINS.md, enforced: quantity/discount
+    // predicates reach PushedFilters, and the ReadSchema carries a
+    // handful of columns, not all of lineitem
+    assert(scan.contains("PushedFilters: [") && !scan.contains("PushedFilters: []"),
+      s"no pushed filters:\n$scan")
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(scan).map(_.group(1)).getOrElse("")
+    assert(readSchema.nonEmpty && readSchema.split(",").length <= 5,
+      s"scan reads too many columns: $readSchema")
+  }
+
   test("funnel: strict order holds and stage groupBys reuse the user_id partitioning") {
     val r = Relational.qFunnelSequence(spark, sf0001)
     val rows = r.collect()
