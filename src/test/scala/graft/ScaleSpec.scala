@@ -93,6 +93,32 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("bucketed get-or-create: the anti-join against the dim co-locates (no exchange)") {
+    // SURVEY section-5 claim: dim side pre-bucketed by natural key, so the
+    // upsert's left_anti needs no shuffle on either side
+    val dim = Tables.orders(spark, sf0001).select($"o_orderkey", $"o_custkey")
+    val batch = Tables.orders(spark, sf0001)
+      .select(($"o_orderkey" + 1).as("o_orderkey"), $"o_custkey")
+    Seq("t_dim_b", "t_batch_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), t)
+      org.apache.commons.io.FileUtils.deleteQuietly(loc)
+    }
+    Scale.writeBucketed(dim, "t_dim_b", "o_orderkey", 8)
+    Scale.writeBucketed(batch, "t_batch_b", "o_orderkey", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val fresh = spark.table("t_batch_b")
+        .join(spark.table("t_dim_b").select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+      val plan = fresh.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange"), s"anti-join shuffled:\n$plan")
+      val expected = batch.join(dim.select("o_orderkey"), Seq("o_orderkey"), "left_anti").count()
+      assert(fresh.count() == expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("written star schema prunes partitions on snapshot filters (scan-level)") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("prune").toString
