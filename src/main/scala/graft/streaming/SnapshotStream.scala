@@ -48,12 +48,19 @@ object SnapshotStream {
   def daemon(spark: SparkSession, rawDir: String, outDir: String,
       checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("60 seconds")): StreamingQuery = {
+    // per-batch timed sections accumulate across the daemon's lifetime
+    // (reference logs.py debug_time_stats: the per-snapshot stats dict)
+    // and surface under GRAFT_DEBUG when a batch runs slow
+    val stats = new graft.Logs.Stats
     val q = SnapshotStorage.readRawStream(spark, rawDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        SnapshotStorage.writeTables(SiriSnapshotEtl.run(batch), outDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.Logs.debugTimeStats("process-batch", stats,
+            logIfMoreThanSeconds = Some(30.0), kv = Seq("batch_id" -> batchId.toString)) {
+          SnapshotStorage.writeTables(SiriSnapshotEtl.run(batch), outDir)
+        }
       }
       .start()
     sys.addShutdownHook { if (q.isActive) q.stop() }
