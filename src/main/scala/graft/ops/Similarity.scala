@@ -243,30 +243,67 @@ object Similarity {
     * round to 6 so the DuckDB oracle reproduces the argmin exactly
     * (same discipline as [[annIvf]]/[[centroids]]). Output: final
     * assignment + whether the refinement moved the vector. */
+  /** (cell, pos, centroid) long form → (cell, cv array). */
+  private def centroidArrays(c: DataFrame): DataFrame = c.groupBy(col("cell"))
+    .agg(expr("transform(array_sort(collect_list(struct(pos, centroid))), s -> s.centroid)").as("cv"))
+
+  /** Nearest-centroid assignment: broadcast cross of the tiny centroid
+    * table against the scan, per-vector argmin window. `sq` carries the
+    * unrounded squared distance (the Lloyd objective); `dist` is the
+    * rounded metric the oracles compare. */
+  private def kmeansAssign(e: DataFrame, cent: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("dist"), col("cell"))
+    e.crossJoin(broadcast(cent))
+      .withColumn("sq", expr("graft_l2sq(v, cv)"))
+      .withColumn("dist", round(sqrt(col("sq")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("cell"), col("dist"), col("sq"))
+  }
+
+  /** Per-cell means of the assigned vectors, rounded for portability. */
+  private def recomputeCentroids(assigned: DataFrame): DataFrame = centroidArrays(
+    assigned.select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos").cast("long").as("pos"))
+      .agg(round(avg(col("x")), 6).as("centroid")))
+
+  /** Full Lloyd loop: label-seeded init, `iters` assign/recompute
+    * rounds. Returns the final assignment plus the per-iteration total
+    * squared distance (the k-means objective — non-increasing, which
+    * the spec asserts). Assignments localCheckpoint per iteration:
+    * like the star contraction, each round's plan embeds the previous
+    * one, and truncation keeps analysis O(1) per round. */
+  def kmeansIterations(spark: SparkSession, dir: String,
+      iters: Int): (DataFrame, Seq[Double]) = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = graft.Caches.persistTracked(
+      vecs(spark, dir).select(col("vec_id"), col("v")))
+    var cent = centroidArrays(centroids(spark, dir)
+      .select(col("label").as("cell"), col("pos"), col("centroid")))
+    val totals = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var assigned: DataFrame = null
+    for (_ <- 1 to iters) {
+      assigned = kmeansAssign(e, cent).localCheckpoint(true)
+      totals += assigned.agg(sum(col("sq"))).head().getDouble(0)
+      cent = recomputeCentroids(assigned)
+    }
+    (assigned.select(col("vec_id"), col("cell"), col("dist")), totals.toSeq)
+  }
+
+  /** IVF training: ONE Lloyd refinement round (the oracle-gated
+    * variant of [[kmeansIterations]]) — final assignment + whether the
+    * refinement moved each vector. */
   def annKmeansRefine(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val e = graft.Caches.persistTracked(
       vecs(spark, dir).select(col("vec_id"), col("v")))
-    def toArrays(c: DataFrame): DataFrame = c.groupBy(col("cell"))
-      .agg(expr("transform(array_sort(collect_list(struct(pos, centroid))), s -> s.centroid)").as("cv"))
-    def assign(cent: DataFrame): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id")).orderBy(col("dist"), col("cell"))
-      e.crossJoin(broadcast(cent))
-        .withColumn("dist", round(sqrt(expr("graft_l2sq(v, cv)")), 6))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("v"), col("cell"), col("dist"))
-    }
-    val c0 = toArrays(centroids(spark, dir)
+    val c0 = centroidArrays(centroids(spark, dir)
       .select(col("label").as("cell"), col("pos"), col("centroid")))
     val a1 = graft.Caches.persistTracked(
-      assign(c0).select(col("vec_id"), col("v"), col("cell").as("cell1")))
-    val c1 = toArrays(a1
-      .select(col("cell1").as("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("cell"), col("pos").cast("long").as("pos"))
-      .agg(round(avg(col("x")), 6).as("centroid")))
-    assign(c1)
+      kmeansAssign(e, c0).select(col("vec_id"), col("v"), col("cell").as("cell1")))
+    val c1 = recomputeCentroids(a1.select(col("cell1").as("cell"), col("v")))
+    kmeansAssign(e, c1)
       .join(a1.select(col("vec_id"), col("cell1")), "vec_id")
       .select(col("vec_id"), col("cell"), col("dist"),
         (col("cell") =!= col("cell1")).as("moved"))

@@ -123,6 +123,16 @@ class DedupSpec extends SparkSpec {
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
+  test("Lloyd iterations: the k-means objective is non-increasing") {
+    val (assigned, totals) = Similarity.kmeansIterations(spark, sf0001, 3)
+    assert(assigned.count() == Tables.embeddings(spark, sf0001).count())
+    assert(totals.length == 3)
+    totals.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a * 1.000001, s"objective rose across iterations: $totals")
+    case _ => ()
+    }
+  }
+
   test("brute-force ANN: 5 neighbors per probe, cosine within [-1,1], descending") {
     val r = Similarity.annBruteforce(spark, sf0001).collect()
     val byProbe = r.groupBy(_.getAs[Long]("probe_id"))
