@@ -39,6 +39,7 @@ object SparkEntry {
     "etl_validate_recon" -> EventsEtl.validateRecon _,
     "etl_retry_dedup"    -> EventsEtl.retryDedup _,
     "etl_asof_join"      -> EventsEtl.asofLatestView _,
+    "etl_asof_forward"   -> EventsEtl.asofNextPurchase _,
     "etl_sliding_window" -> EventsEtl.slidingWindowStats _,
     "etl_session_window" -> EventsEtl.sessionWindow _,
     "etl_scd2_history"   -> EventsEtl.scd2History _,
@@ -251,6 +252,14 @@ object SparkEntry {
         | view_id, CAST(epoch(date_trunc('second', vts)) AS BIGINT) AS view_sec
         |FROM p ASOF LEFT JOIN v ON p.user_id = v.vuser AND p.ts >= v.vts
         |ORDER BY purchase_id""".stripMargin,
+    "etl_asof_forward" ->
+      """WITH v AS (SELECT event_id AS view_id, user_id, ts FROM events WHERE event_type = 'view'),
+        |p AS (SELECT event_id AS purchase_id, user_id AS puser, ts AS pts FROM events WHERE event_type = 'purchase')
+        |SELECT view_id, user_id,
+        | CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS view_sec,
+        | purchase_id, CAST(epoch(date_trunc('second', pts)) AS BIGINT) AS purchase_sec
+        |FROM v ASOF LEFT JOIN p ON v.user_id = p.puser AND v.ts <= p.pts
+        |ORDER BY view_id""".stripMargin,
     "etl_retry_dedup" ->
       """SELECT event_type, count(*) AS n FROM (
         | SELECT DISTINCT * FROM (SELECT * FROM events UNION ALL SELECT * FROM events))

@@ -286,6 +286,25 @@ object EventsEtl {
       .orderBy(col("purchase_id"))
   }
 
+  /** Forward as-of join (same custom operator, direction=forward): for
+    * each view, the user's NEXT purchase — the conversion-lag primitive
+    * (time-to-convert distributions, attribution windows). Identical
+    * plan shape to [[asofLatestView]]: one shuffle per side, linear
+    * merge, matched row peeked (it can serve later views). */
+  def asofNextPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("puser"), col("ts").as("pts"))
+    graft.plans.AsOf.join(views, purchases, Seq("user_id"), Seq("puser"),
+        "ts", "pts", direction = "forward")
+      .select(col("view_id"), col("user_id"),
+        epochSec(col("ts")).as("view_sec"),
+        col("purchase_id"), epochSec(col("pts")).as("purchase_sec"))
+      .orderBy(col("view_id"))
+  }
+
   /** Idempotent-reload invariance (retry loop, process_snapshot.py:370):
     * replaying a batch must not create duplicates — union the batch with
     * itself, dedup by full row, counts must equal the original's. */

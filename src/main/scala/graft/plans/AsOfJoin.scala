@@ -28,7 +28,8 @@ import org.apache.spark.sql.execution.SparkStrategy
 case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
-    toleranceMicros: Option[Long] = None) extends BinaryNode {
+    toleranceMicros: Option[Long] = None,
+    forward: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -39,7 +40,8 @@ case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
-    toleranceMicros: Option[Long] = None) extends BinaryExecNode {
+    toleranceMicros: Option[Long] = None,
+    forward: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -81,6 +83,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val lKeys = leftKeys; val rKeys = rightKeys
     val lTime = leftTime; val rTime = rightTime
     val tol = toleranceMicros
+    val fwd = forward
     // one reader serves both sides, so the physical encodings must
     // agree — getLong on an int-backed row would read wrong bytes and
     // silently mis-filter instead of erroring
@@ -135,7 +138,29 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       var matchKey: InternalRow = null
       var matchTime: Long = 0L
 
-      lIter.map { l =>
+      if (fwd) {
+        // FORWARD direction: first right row of the same key with
+        // rTime ≥ lTime. The matched row is PEEKED, not consumed — it
+        // can serve later left rows of the same key (their times only
+        // grow). Rows skipped past (rTime < lTime for the current key)
+        // can never match a later, even-later-timed left row.
+        lIter.map { l =>
+          val lKey = lKeyProj(l)
+          if (lKey.anyNull) resultProj(joined(l, nullRight))
+          else {
+            val lT = lTimeProj(l)
+            var advance = true
+            while (advance && rRow != null) {
+              val c = keyOrd.compare(rKey, lKey)
+              if (c < 0 || (c == 0 && timeOrd.compare(rTimeVal, lT) < 0)) pullRight()
+              else advance = false
+            }
+            val matched = rRow != null && keyOrd.compare(rKey, lKey) == 0 &&
+              (tol.isEmpty || toLong(rTimeVal) - toLong(lT) <= tol.get)
+            resultProj(joined(l, if (matched) rRow else nullRight))
+          }
+        }
+      } else lIter.map { l =>
         val lKey = lKeyProj(l)
         if (lKey.anyNull) {
           // null join key matches nothing — emit the unmatched shape
@@ -166,8 +191,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tol) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tol, fwd) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol, fwd) :: Nil
     case _ => Nil
   }
 }
@@ -175,14 +200,19 @@ object AsOfJoinStrategy extends SparkStrategy {
 /** User-facing builder. */
 object AsOf {
   /** left-outer as-of join: for each left row, latest right row with
-    * rightTime ≤ leftTime sharing `keys`. Column names must be disjoint
-    * apart from the join keys you select away afterwards.
-    * `toleranceMicros` bounds the lookback (pandas merge_asof
-    * tolerance): a match older than leftTime − tolerance is discarded
-    * (micros for timestamp columns, native units for integral ones). */
+    * rightTime ≤ leftTime sharing `keys` (or, with
+    * `direction = "forward"`, the EARLIEST right row with
+    * rightTime ≥ leftTime — pandas merge_asof direction semantics).
+    * Column names must be disjoint apart from the join keys you select
+    * away afterwards. `toleranceMicros` bounds the lookback/lookahead:
+    * a match farther than tolerance from leftTime is discarded (micros
+    * for timestamp columns, native units for integral ones). */
   def join(leftDf: DataFrame, rightDf: DataFrame, leftKeys: Seq[String],
       rightKeys: Seq[String], leftTimeCol: String, rightTimeCol: String,
-      toleranceMicros: Option[Long] = None): DataFrame = {
+      toleranceMicros: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"as-of direction must be backward|forward, got $direction")
     val spark = leftDf.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
@@ -195,7 +225,8 @@ object AsOf {
         throw new IllegalArgumentException(s"column $n not found in ${p.output.map(_.name)}"))
     val node = AsOfJoin(lPlan, rPlan,
       leftKeys.map(attr(lPlan, _)), rightKeys.map(attr(rPlan, _)),
-      attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol), toleranceMicros)
+      attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol), toleranceMicros,
+      forward = direction == "forward")
     org.apache.spark.sql.graft.GraftShim.ofRows(spark, node)
   }
 }

@@ -31,6 +31,43 @@ class AsOfJoinSpec extends SparkSpec {
       ("B", 14L, None), ("B", 16L, Some(9.0)), ("D", 50L, None)))
   }
 
+  test("forward asof picks earliest right row at-or-after left time; match is peeked") {
+    val quotes = Seq(
+      ("A", 10L, 1.0), ("A", 20L, 2.0), ("A", 30L, 3.0),
+      ("B", 15L, 9.0)).toDF("qsym", "qts", "px")
+    val trades = Seq(
+      ("A", 5L, 100),  // next quote 10 → 1.0
+      ("A", 10L, 150), // exactly at 10 → 1.0
+      ("A", 11L, 200), // → 2.0 (quote 20)
+      ("A", 12L, 250), // → 2.0 again (peeked, not consumed)
+      ("A", 31L, 300), // after all → null
+      ("B", 16L, 400), // after B's only quote → null
+      ("C", 1L, 500)   // key missing → null
+    ).toDF("sym", "ts", "qty")
+    val r = AsOf.join(trades, quotes, Seq("sym"), Seq("qsym"), "ts", "qts",
+        direction = "forward")
+      .select($"sym", $"ts", $"qty", $"px")
+      .collect().map(x => (x.getString(0), x.getLong(1),
+        if (x.isNullAt(3)) None else Some(x.getDouble(3)))).toSet
+    assert(r == Set(
+      ("A", 5L, Some(1.0)), ("A", 10L, Some(1.0)), ("A", 11L, Some(2.0)),
+      ("A", 12L, Some(2.0)), ("A", 31L, None), ("B", 16L, None), ("C", 1L, None)))
+  }
+
+  test("forward asof tolerance bounds the lookahead") {
+    val quotes = Seq(("A", 100L, 1.0), ("A", 500L, 2.0)).toDF("qsym", "qts", "px")
+    val trades = Seq(
+      ("A", 90L, 1),  // next quote 100, 10 away → within tol 50
+      ("A", 200L, 2), // next quote 500, 300 away → beyond tol → null
+      ("A", 460L, 3)  // 40 away → within
+    ).toDF("sym", "ts", "qty")
+    val r = AsOf.join(trades, quotes, Seq("sym"), Seq("qsym"), "ts", "qts",
+        toleranceMicros = Some(50L), direction = "forward")
+      .select($"qty", $"px")
+      .collect().map(x => (x.getInt(0), if (x.isNullAt(1)) None else Some(x.getDouble(1)))).toSet
+    assert(r == Set((1, Some(1.0)), (2, None), (3, Some(2.0))))
+  }
+
   test("null join keys never match (SQL equi-join semantics, either side)") {
     val right = Seq((Option("A"), 10L, 1.0), (Option.empty[String], 5L, 7.0))
       .toDF("qsym", "qts", "px")
