@@ -40,6 +40,8 @@ object SparkEntry {
     "etl_retry_dedup"    -> EventsEtl.retryDedup _,
     "etl_asof_join"      -> EventsEtl.asofLatestView _,
     "etl_asof_forward"   -> EventsEtl.asofNextPurchase _,
+    "etl_gap_fill"       -> EventsEtl.gapFillLocf _,
+    "q_ntile_deciles"    -> Relational.qNtileDeciles _,
     "etl_sliding_window" -> EventsEtl.slidingWindowStats _,
     "etl_session_window" -> EventsEtl.sessionWindow _,
     "etl_scd2_history"   -> EventsEtl.scd2History _,
@@ -260,6 +262,20 @@ object SparkEntry {
         | purchase_id, CAST(epoch(date_trunc('second', pts)) AS BIGINT) AS purchase_sec
         |FROM v ASOF LEFT JOIN p ON v.user_id = p.puser AND v.ts <= p.pts
         |ORDER BY view_id""".stripMargin,
+    "etl_gap_fill" ->
+      """SELECT user_id, event_id,
+        | CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS event_sec,
+        | round(last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |   OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS last_purchase_value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_ntile_deciles" ->
+      """WITH s AS (SELECT o_custkey,
+        |   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        |  FROM orders GROUP BY 1)
+        |SELECT o_custkey, round(total_spend, 6) AS total_spend,
+        | CAST(ntile(10) OVER (ORDER BY total_spend DESC, o_custkey) AS BIGINT) AS decile
+        |FROM s ORDER BY o_custkey""".stripMargin,
     "etl_retry_dedup" ->
       """SELECT event_type, count(*) AS n FROM (
         | SELECT DISTINCT * FROM (SELECT * FROM events UNION ALL SELECT * FROM events))

@@ -286,6 +286,25 @@ object EventsEtl {
       .orderBy(col("purchase_id"))
   }
 
+  /** LOCF gap-fill (last observation carried forward): every event
+    * annotated with the user's most recent purchase value as of that
+    * event — the state-propagation primitive reload pipelines use to
+    * densify sparse observations. One window pass per user, running
+    * frame; same shuffle as any per-key compaction. */
+  def gapFillLocf(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        when(col("event_type") === "purchase", col("value")).as("pv"))
+      .withColumn("last_purchase_value",
+        round(last(col("pv"), ignoreNulls = true).over(w), 6))
+      .select(col("user_id"), col("event_id"), epochSec(col("ts")).as("event_sec"),
+        col("last_purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** Forward as-of join (same custom operator, direction=forward): for
     * each view, the user's NEXT purchase — the conversion-lag primitive
     * (time-to-convert distributions, attribution windows). Identical

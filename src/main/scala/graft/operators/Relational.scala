@@ -306,6 +306,25 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** Decile segmentation (ntile window): customers bucketed 1–10 by
+    * total spend. The window is unpartitioned but runs over the
+    * ALREADY-AGGREGATED per-customer relation (|customers| rows, like
+    * [[q15TopSupplier]]'s max) — the exact-decile contract needs a
+    * global order; at extreme |customers| you'd switch to
+    * approx-percentile boundaries + a map-side bucket lookup. Spend is
+    * an exact DECIMAL sum cast to double, so the ordering (and thus
+    * every decile edge) is bit-identical across engines. */
+  def qNtileDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_spend"))
+    spend.withColumn("decile",
+        ntile(10).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("total_spend").desc, col("o_custkey"))).cast("long"))
+      .select(col("o_custkey"), round(col("total_spend"), 6).as("total_spend"), col("decile"))
+      .orderBy(col("o_custkey"))
+  }
+
   /** Weekly cohort retention (the second pillar of product analytics
     * next to [[qFunnelSequence]]): users grouped by first-active week,
     * counted per week-offset they return. Dedup to (user, week) grain
