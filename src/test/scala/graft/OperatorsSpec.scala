@@ -95,6 +95,13 @@ class DedupSpec extends SparkSpec {
     assert(byStar == byLabel)
   }
 
+  test("star contraction handles an empty pair graph (no rounds, no crash)") {
+    val empty = spark.range(0).selectExpr("id AS u", "id AS v")
+    val (labels, rounds) = Dedup.connectedComponentsStar(empty.toDF())
+    assert(labels.count() == 0)
+    assert(rounds <= 1)
+  }
+
   test("star contraction labels a deep chain in logarithmic rounds") {
     // a 256-node path graph: min-label propagation needs 255 rounds
     // (O(diameter)); large-star/small-star must land in O(log²n)
