@@ -68,18 +68,27 @@ object Bench {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // millisecond precision keeps the line SHORT: the driver captures a
+    // bounded output tail, and full-precision doubles for 85 queries
+    // overflowed it in round 2 (the artifact's `parsed` came back null)
+    def ms(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
-      .mkString("{", ",", "}")
+    val errJson =
+      if (errors.isEmpty) ""
+      else ""","errors":""" + errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+        .mkString("{", ",", "}") + s""","n_failed":${errors.size}"""
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}"""
 
-    // Regression report vs the previous persisted run (same machine,
-    // successive rounds): anything >1.5× slower and >0.5s absolute.
+    // Regression report vs the previous persisted run AT THE SAME SF
+    // (same machine, successive rounds): anything >1.5× slower and
+    // >0.5s absolute. A shared baseline would diff across scale
+    // factors and flag nonsense.
     try {
-      val latest = Paths.get("bench", "latest.json")
+      val sfName = Paths.get(sfDir).getFileName.toString
+      val latest = Paths.get("bench", s"latest_$sfName.json")
       if (Files.exists(latest)) {
         val prevTxt = Files.readString(latest)
         val pair = """"([A-Za-z0-9_]+)":([0-9.Ee+-]+)""".r
@@ -98,7 +107,7 @@ object Bench {
           System.err.println(s"[bench] no >1.5x regressions vs previous run (${prev.size} queries compared)")
       }
       Files.createDirectories(Paths.get("bench"))
-      Files.writeString(Paths.get("bench", "latest.json"), line + "\n")
+      Files.writeString(latest, line + "\n")
       Files.writeString(Paths.get("bench", "history.jsonl"), line + "\n",
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
     } catch { case e: Throwable =>
