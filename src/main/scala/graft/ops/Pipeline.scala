@@ -44,15 +44,24 @@ object Pipeline {
     * before training so eval data can't leak into the corpus. The only
     * wide op is the (band, bucket) equi-join, fan-in bounded by
     * collision rate — identical scale shape to near-dup pairing. */
-  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val bands = Dedup.lshBands(spark, dir)
-    val bench = bands.filter(col("doc_id") % 10 === 0)
-      .select(col("band"), col("bkey"), col("doc_id").as("bench_id"))
-    bands.filter(col("doc_id") % 10 =!= 0)
-      .join(bench, Seq("band", "bkey"))
+  /** Generic form: corpus docs whose MinHash band bucket collides with
+    * any benchmark doc's. Both sides arrive as (doc_id, band, bkey)
+    * relations (Dedup.lshBands over any documents-shaped table), so a
+    * real deployment passes its actual benchmark set. */
+  def decontaminateAgainst(corpusBands: DataFrame, benchBands: DataFrame): DataFrame =
+    corpusBands
+      .join(benchBands.select(col("band"), col("bkey"), col("doc_id").as("bench_id")),
+        Seq("band", "bkey"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("bench_id")).as("n_benchmark_hits"))
       .orderBy(col("doc_id"))
+
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val bands = Dedup.lshBands(spark, dir)
+    // oracle-gated demo split: every 10th doc is the held-out benchmark
+    decontaminateAgainst(
+      bands.filter(col("doc_id") % 10 =!= 0),
+      bands.filter(col("doc_id") % 10 === 0))
   }
 
   /** Deterministic shard assignment + within-shard order — the final
