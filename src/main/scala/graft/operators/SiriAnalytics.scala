@@ -43,6 +43,34 @@ object SiriAnalytics {
         count(lit(1)).as("n_reports"))
   }
 
+  /** Headways: per (route, stop), the gap between consecutive rides'
+    * last report at that stop — the service-regularity metric transit
+    * agencies actually publish (and the bunching detector: a headway
+    * far below route median means two vehicles bunched). Window
+    * partitions by (route, stop) — the natural key — so at 100 TB the
+    * sort is per-stop-sized, never global. */
+  def stopHeadways(r: EtlResult): DataFrame = {
+    val rideToRoute = r.rides.select("siri_ride_id", "siri_route_id")
+    val arrivals = r.vehicleLocations
+      .join(broadcast(r.rideStops.select("siri_ride_stop_id", "siri_ride_id",
+        "siri_stop_id")), Seq("siri_ride_stop_id"))
+      .join(broadcast(rideToRoute), Seq("siri_ride_id"))
+      .groupBy(col("siri_route_id"), col("siri_stop_id"), col("siri_ride_id"))
+      .agg(max(col("recorded_at_time")).as("arrived_at"))
+    val w = Window.partitionBy(col("siri_route_id"), col("siri_stop_id"))
+      .orderBy(col("arrived_at"))
+    arrivals
+      .withColumn("headway_secs",
+        unix_timestamp(col("arrived_at")) -
+          lag(unix_timestamp(col("arrived_at")), 1).over(w))
+      .withColumn("route_median_headway",
+        expr("percentile(headway_secs, 0.5)").over(
+          Window.partitionBy(col("siri_route_id"))))
+      .withColumn("bunched",
+        col("headway_secs").isNotNull &&
+          col("headway_secs") < col("route_median_headway") * 0.25)
+  }
+
   /** Stop-visit progression per ride: the ordered (order, stop) chain
     * with arrival-ish timestamps — input to headway/dwell analyses. */
   def stopProgression(r: EtlResult): DataFrame = {

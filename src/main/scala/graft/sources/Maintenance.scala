@@ -60,4 +60,29 @@ object Maintenance {
     // the compacted copy lives alongside for the caller to promote
     (before, countFiles(dir + "_compacted"))
   }
+
+  /** Retention: drop partition directories whose value sorts below
+    * `keepFrom` (dates in ISO form sort chronologically). Partition
+    * deletion is a directory-metadata operation — no data scan, no
+    * rewrite of surviving partitions — which is the point of
+    * date-partitioning a continuously-ingested fact at 100 TB.
+    * Returns (dropped, kept) partition counts. */
+  def expirePartitions(spark: SparkSession, dir: String, partitionCol: String,
+      keepFrom: String): (Long, Long) = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prefix = s"$partitionCol="
+    var dropped = 0L
+    var kept = 0L
+    fs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith(prefix)) {
+        if (name.stripPrefix(prefix) < keepFrom) {
+          fs.delete(st.getPath, true)
+          dropped += 1
+        } else kept += 1
+      }
+    }
+    (dropped, kept)
+  }
 }

@@ -151,6 +151,23 @@ class MaintenanceSpec extends SparkSpec {
     assert(spark.read.parquet(dir + "_compacted").count() == rows)
   }
 
+  test("retention drops only partitions older than the cutoff, no data rewrite") {
+    val dir = java.nio.file.Files.createTempDirectory("expire").toFile.getAbsolutePath + "/facts"
+    val df = Tables.events(spark, sf0001)
+      .withColumn("d", org.apache.spark.sql.functions.date_format($"ts", "yyyy-MM-dd"))
+    df.write.partitionBy("d").parquet(dir)
+    // partition-value inference reads d back as DATE; compare as ISO strings
+    val dates = spark.read.parquet(dir).select($"d".cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(dates.length >= 3, s"need multiple dates, got ${dates.toSeq}")
+    val cutoff = dates(1) // keep from the second date onward
+    val expectedKeptRows = df.filter($"d" >= cutoff).count()
+    val (dropped, kept) = graft.sources.Maintenance.expirePartitions(spark, dir, "d", cutoff)
+    assert(dropped == 1 && kept == dates.length - 1)
+    assert(spark.read.parquet(dir).count() == expectedKeptRows)
+    assert(spark.read.parquet(dir).select($"d").distinct().count() == dates.length - 1)
+  }
+
   test("a partition larger than the target splits into multiple files, not one giant file") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("compactbig").toFile.getAbsolutePath + "/facts"

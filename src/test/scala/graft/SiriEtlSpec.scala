@@ -183,6 +183,20 @@ class SiriAnalyticsSpec extends SparkSpec {
     assert(av.filter($"n_vehicles" < 1).count() == 0)
   }
 
+  test("headways: first arrival per (route, stop) has no gap; gaps are non-negative") {
+    val h = SiriAnalytics.stopHeadways(result).collect()
+    assert(h.nonEmpty)
+    val byGroup = h.groupBy(r =>
+      (r.getAs[Long]("siri_route_id"), r.getAs[Long]("siri_stop_id")))
+    byGroup.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[java.sql.Timestamp]("arrived_at").getTime)
+      assert(sorted.head.isNullAt(sorted.head.fieldIndex("headway_secs")))
+      sorted.tail.foreach { r =>
+        assert(r.getAs[Long]("headway_secs") >= 0L)
+      }
+    }
+  }
+
   test("stop progression orders stops within a ride") {
     val sp = SiriAnalytics.stopProgression(result).collect()
     // 4 distinct ride-stops: snapB's order-13 visit repeats snapA's
