@@ -42,6 +42,8 @@ object SparkEntry {
     "etl_asof_forward"   -> EventsEtl.asofNextPurchase _,
     "etl_gap_fill"       -> EventsEtl.gapFillLocf _,
     "q_ntile_deciles"    -> Relational.qNtileDeciles _,
+    "q_grouping_sets_mix" -> Relational.qGroupingSetsMix _,
+    "text_length_histogram" -> TextAnalysis.lengthHistogram _,
     "etl_sliding_window" -> EventsEtl.slidingWindowStats _,
     "etl_session_window" -> EventsEtl.sessionWindow _,
     "etl_scd2_history"   -> EventsEtl.scd2History _,
@@ -269,6 +271,18 @@ object SparkEntry {
         |   OVER (PARTITION BY user_id ORDER BY ts, event_id
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS last_purchase_value
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_grouping_sets_mix" ->
+      """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+        | coalesce(o_orderstatus, 'ALL') AS status,
+        | CAST(count(1) AS BIGINT) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        |ORDER BY priority, status""".stripMargin,
+    "text_length_histogram" ->
+      """SELECT CAST(floor(log2(length(text))) AS BIGINT) AS log2_len,
+        | CAST(count(1) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_ntile_deciles" ->
       """WITH s AS (SELECT o_custkey,
         |   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend

@@ -306,6 +306,23 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** Explicit GROUPING SETS (the general form behind rollup/cube),
+    * exercised through the engine's SQL-string surface: the same
+    * Catalyst plan (one Expand pass) whether the query arrives as
+    * DataFrame calls or `spark.sql`. Sets: by priority, by status,
+    * and the grand total. */
+  def qGroupingSetsMix(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    spark.sql("""
+      SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+             coalesce(o_orderstatus, 'ALL') AS status,
+             CAST(count(1) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      FROM orders_v
+      GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+      ORDER BY priority, status""")
+  }
+
   /** Decile segmentation (ntile window): customers bucketed 1–10 by
     * total spend. The window is unpartitioned but runs over the
     * ALREADY-AGGREGATED per-customer relation (|customers| rows, like

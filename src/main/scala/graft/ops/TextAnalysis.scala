@@ -142,6 +142,16 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Log₂-bucketed document-length histogram — the corpus-profiling
+    * pass run before choosing truncation/packing lengths: one map-side
+    * bucket projection + one tiny agg. */
+  def lengthHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(floor(log2(length(col("text")).cast("double"))).cast("long").as("log2_len"))
+      .groupBy(col("log2_len"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("log2_len"))
+
   /** Normalized-content fingerprint + duplicate-group size: md5 over
     * lowercased text with punctuation/whitespace collapsed. The window
     * count is the "how many share my fingerprint" signal dedup uses. */
