@@ -96,6 +96,7 @@ object SparkEntry {
     "dedup_winnow_pairs"  -> Dedup.winnowPairs _,
     "dedup_components"    -> Dedup.components _,
     "dedup_components_star" -> Dedup.componentsStar _,
+    "dedup_components_minlabel" -> Dedup.componentsMinLabel _,
     "ann_bruteforce"      -> Similarity.annBruteforce _,
     "ann_ivf"             -> Similarity.annIvf _,
     "embed_centroids"     -> Similarity.centroids _,
@@ -502,9 +503,10 @@ object SparkEntry {
         |FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "dedup_components" -> componentsOracleSql,
-    // same clustering semantics, star-contraction execution path — the
-    // oracle (transitive closure) is identical by construction
+    // same clustering semantics, star-contraction / min-label execution
+    // paths — the oracle (transitive closure) is identical by construction
     "dedup_components_star" -> componentsOracleSql,
+    "dedup_components_minlabel" -> componentsOracleSql,
     "pipeline_train_split" ->
       """SELECT doc_id, lang, bucket,
         | CASE WHEN bucket < 80 THEN 'train'

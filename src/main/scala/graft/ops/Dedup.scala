@@ -207,13 +207,76 @@ object Dedup {
 
   /** Near-dup clustering: connected components over the MinHash-LSH
     * pair graph → one canonical id (the component's min doc_id) per
-    * involved doc. Iterative min-label propagation, each round ONE
-    * join+agg over the edge list; converges in O(diameter) rounds
-    * (near-dup components are shallow — a handful here). For deep
-    * graphs, [[componentsStar]] runs the large-star/small-star
-    * contraction instead: same join shape per round, O(log²n) rounds
-    * worst-case. */
+    * involved doc. Size-gated hybrid ([[connectedComponents]]): the
+    * pair graph after LSH banding is orders of magnitude smaller than
+    * the corpus (bounded by collision rate), so when it fits on the
+    * driver a single union-find pass labels it with zero Spark
+    * iterations; past the gate the distributed star contraction takes
+    * over. */
   def components(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(spark, dir)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    connectedComponents(pairs)
+      .select(col("node").as("doc_id"), col("component"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Connected components over an edge list (columns u, v — integral
+    * ids), size-gated hybrid:
+    *
+    *  - the edge count is probed with a LIMIT — `LocalLimit`
+    *    short-circuits, so at 100 TB this collects `driverMaxEdges + 1`
+    *    rows and stops, never materializing the full pair graph;
+    *  - under the gate, one driver-side union-find labels the graph in
+    *    a single pass (the LSH pair graph is collision-bounded — even a
+    *    billion-doc corpus with a sane threshold yields edges in the
+    *    millions, not the billions);
+    *  - over the gate, [[connectedComponentsStar]] runs the
+    *    O(log²|V|)-round distributed contraction.
+    *
+    * An iterative DataFrame loop costs several blocking jobs per round
+    * (join + agg + checkpoint + convergence count) — pure fixed
+    * overhead when the graph fits in one task's memory, and the first
+    * thing to blow up under cluster contention. Component label = the
+    * component's minimum node id on both paths (union-by-min: roots
+    * only ever decrease, so the final root IS the component min). */
+  def connectedComponents(pairs: DataFrame, driverMaxEdges: Int = 1 << 22): DataFrame = {
+    val spark = pairs.sparkSession
+    val norm = pairs
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val probe = norm.select(col("u").cast("long"), col("v").cast("long"))
+      .limit(driverMaxEdges + 1).collect()
+    if (probe.length > driverMaxEdges) {
+      val (labels, _) = connectedComponentsStar(norm)
+      labels
+    } else {
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        var r = x0
+        while (parent.get(r) != r) r = parent.get(r)
+        var x = x0 // path compression: point the whole chain at the root
+        while (x != r) { val nxt = parent.get(x); parent.put(x, r); x = nxt }
+        r
+      }
+      probe.foreach { row =>
+        val u = row.getLong(0); val v = row.getLong(1)
+        parent.putIfAbsent(u, u); parent.putIfAbsent(v, v)
+        val ru = find(u); val rv = find(v)
+        if (ru != rv) parent.put(math.max(ru, rv), math.min(ru, rv))
+      }
+      val nodes = parent.keySet().toArray(Array.empty[java.lang.Long])
+      val labeled = nodes.map(n => (n.toLong, find(n.toLong))).toSeq
+      spark.createDataFrame(labeled).toDF("node", "component")
+    }
+  }
+
+  /** [[components]] semantics via iterative min-label propagation,
+    * each round ONE join+agg over the edge list; converges in
+    * O(diameter) rounds (near-dup components are shallow — a handful
+    * here). Kept as the all-DataFrame reference implementation the
+    * hybrid and star paths are checked against. */
+  def componentsMinLabel(spark: SparkSession, dir: String): DataFrame = {
     val pairs = graft.Caches.persistTracked(minhashLsh(spark, dir)
       .select(col("doc_a").as("u"), col("doc_b").as("v")))
     val edges = pairs.unionAll(pairs.select(col("v").as("u"), col("u").as("v")))

@@ -88,11 +88,30 @@ class DedupSpec extends SparkSpec {
   }
 
   test("star contraction matches min-label components on the LSH graph") {
-    val byLabel = Dedup.components(spark, sf0001).collect()
+    val byLabel = Dedup.componentsMinLabel(spark, sf0001).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val byStar = Dedup.componentsStar(spark, sf0001).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(byStar == byLabel)
+  }
+
+  test("hybrid components: driver union-find matches the distributed paths") {
+    val byHybrid = Dedup.components(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byLabel = Dedup.componentsMinLabel(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byHybrid == byLabel)
+    // gate at 0 edges forces the distributed star fallback — same labels
+    val pairs = Dedup.minhashLsh(spark, sf0001)
+      .selectExpr("doc_a AS u", "doc_b AS v")
+    val forced = Dedup.connectedComponents(pairs, driverMaxEdges = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(forced == byLabel)
+  }
+
+  test("hybrid components handles an empty pair graph") {
+    val empty = spark.range(0).selectExpr("id AS u", "id AS v")
+    assert(Dedup.connectedComponents(empty.toDF()).count() == 0)
   }
 
   test("star contraction handles an empty pair graph (no rounds, no crash)") {
