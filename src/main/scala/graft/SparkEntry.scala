@@ -80,6 +80,7 @@ object SparkEntry {
     "q_cohort_retention" -> Relational.qCohortRetention _,
     "q_cube_priority_status" -> Relational.qCubePriorityStatus _,
     "q_repeat_customers" -> Relational.qRepeatCustomers _,
+    "q_market_share"     -> Relational.qMarketShare _,
     "ann_knn_graph"      -> Similarity.annKnnGraph _,
     // §2.3 training-data pipeline ops (documents / embeddings)
     "text_tokens"         -> TextAnalysis.tokens _,
@@ -112,6 +113,10 @@ object SparkEntry {
     "pipeline_train_split"   -> Pipeline.trainSplit _,
     "pipeline_decontaminate" -> Pipeline.decontaminate _,
     "pipeline_shard_order"   -> Pipeline.shardOrder _,
+    "pipeline_pack_sequences"    -> Pipeline.packSequences _,
+    "pipeline_stratified_sample" -> Pipeline.stratifiedSample _,
+    "text_pii_scrub"      -> TextAnalysis.piiScrub _,
+    "text_top_bigrams"    -> TextAnalysis.topBigrams _,
     "embed_quantize"      -> Similarity.quantize _,
   )
 
@@ -363,6 +368,24 @@ object SparkEntry {
         | 6) AS promo_revenue_pct
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'""".stripMargin,
+    "q_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        | round(
+        |  CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(18,4)))
+        |    ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) /
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE),
+        |  6) AS mkt_share
+        |FROM lineitem
+        | JOIN part ON l_partkey = p_partkey
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        | JOIN region ON n1.n_regionkey = r_regionkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE p_type = 'PROMO' AND r_name = 'AMERICA'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q18_having_join" ->
       """WITH big AS (
         |  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
@@ -522,6 +545,42 @@ object SparkEntry {
         |FROM bands b JOIN bench ON b.band = bench.band AND b.bkey = bench.bkey
         |WHERE b.doc_id % 10 != 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "pipeline_pack_sequences" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+        |   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 16 AS shard
+        |  FROM documents),
+        |s AS (SELECT doc_id, shard,
+        |   CAST(sum(n_chars) OVER (PARTITION BY shard ORDER BY doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_chars AS start_off
+        |  FROM d)
+        |SELECT doc_id, shard, start_off // 2048 AS pack_id, start_off % 2048 AS pack_offset
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "pipeline_stratified_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-sample'), 1, 15))::BIGINT % 1000 AS h,
+        |    CASE WHEN lang = 'en' THEN 500 WHEN lang = 'de' THEN 250 ELSE 100 END AS rate
+        |  FROM documents)
+        |WHERE h < rate ORDER BY doc_id""".stripMargin,
+    "text_pii_scrub" ->
+      """WITH r AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-'
+        |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.' AS raw
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(raw, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        | md5(regexp_replace(
+        |   regexp_replace(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |   '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS scrub_md5
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "text_top_bigrams" ->
+      """WITH t AS (SELECT regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+        |b AS (SELECT unnest(list_transform(range(1, len(toks)),
+        |    i -> {'w1': toks[i], 'w2': toks[i+1]})) AS bg
+        |  FROM t WHERE len(toks) >= 2)
+        |SELECT bg.w1 AS w1, bg.w2 AS w2, CAST(count(*) AS BIGINT) AS n
+        |FROM b GROUP BY 1, 2 ORDER BY n DESC, w1, w2 LIMIT 25""".stripMargin,
     "pipeline_shard_order" ->
       """WITH h AS (SELECT doc_id,
         |   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 16 AS shard,

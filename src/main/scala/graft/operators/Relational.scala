@@ -610,4 +610,43 @@ object Relational {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(25)
   }
+
+  /** National market share (TPC-H Q8 shape): NATION_3's slice of PROMO
+    * revenue sold into the AMERICA region, by order year. The fact
+    * stream (lineitem) joins three broadcast dim chains — part gate,
+    * supplier→nation (the share attribution), order→customer→nation→
+    * region gate — then one tiny agg computes the conditional-sum
+    * ratio. All dims broadcast, so the only shuffle is the final
+    * per-year aggregation; exact decimal sums, divided as doubles and
+    * rounded. */
+  def qMarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir).filter(col("p_type") === "PROMO")
+      .select("p_partkey")
+    val supNat = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val nat = Tables.nation(spark, dir)
+    val reg = Tables.region(spark, dir).filter(col("r_name") === "AMERICA")
+    val custAmerica = Tables.customer(spark, dir)
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey")
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custAmerica), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
+      .select(year(col("o_orderdate")).cast("long").as("o_year"),
+        revTerm(col("l_extendedprice"), col("l_discount")).as("volume"),
+        col("supp_nation"))
+      .groupBy(col("o_year"))
+      .agg(round(
+        (sum(when(col("supp_nation") === "NATION_3", col("volume"))
+          .otherwise(lit(0).cast(DecimalType(38, 6)))).cast("double") /
+          sum(col("volume")).cast("double")), 6).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
 }

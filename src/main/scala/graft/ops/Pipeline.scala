@@ -103,4 +103,49 @@ object Pipeline {
       .join(nonCanonical, Seq("doc_id"), "left_anti")
       .orderBy(col("doc_id"))
   }
+
+  /** Concat-and-chunk sequence packing — the pre-training batching
+    * step that concatenates a shard's documents end-to-end and cuts
+    * every `budget` units (chars here as the token proxy; swap in
+    * text_tokens for real token counts): each doc lands in the pack
+    * containing its start offset. The running offset is ONE window sum
+    * partitioned by shard — the write-parallelism unit — so packing
+    * never needs a global sort, and pack ids are deterministic across
+    * runs and cluster sizes (shard from the portable hash, order by
+    * doc_id). */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 2048L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 16")
+          .as("shard"))
+      .withColumn("start_off", sum(col("n_chars")).over(w) - col("n_chars"))
+      .select(col("doc_id"), col("shard"),
+        expr(s"start_off DIV $budget").as("pack_id"),
+        expr(s"start_off % $budget").as("pack_offset"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic stratified sampling: per-language keep rates
+    * (rebalancing the corpus language mix) decided by a salted portable
+    * hash of the doc id against a per-stratum permille threshold. Pure
+    * map-side projection — no shuffle, no RNG state, reproducible
+    * across engines and partitionings, and the sample composition is
+    * auditable (the rate table IS the spec). */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val rate = when(col("lang") === "en", 500)
+      .when(col("lang") === "de", 250)
+      .otherwise(100)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        expr("CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), '-sample')), 1, 15), 16, 10) AS BIGINT) % 1000")
+          .as("h"))
+      .filter(col("h") < rate)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -163,4 +163,50 @@ object TextAnalysis {
       .withColumn("n_same_fp", count(lit(1)).over(byFp))
       .orderBy(col("doc_id"))
   }
+
+  /** PII redaction — the scrub pass a corpus runs before training:
+    * emails then phone numbers replaced by typed placeholders, with
+    * per-doc match counts for the removal audit. The synthetic corpus
+    * carries no PII, so the query decorates each doc with a
+    * deterministic contact line first (same construction on the oracle
+    * side) — the operator under test is the scrubber, the decoration is
+    * its fixture. Everything is codegen'd regexp work in one
+    * projection; the md5 of the scrubbed text makes exact output
+    * equality cheap to gate. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+    val decorated = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com or +1-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit("."))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), decorated.as("raw"))
+      .select(col("doc_id"),
+        // Column-API regexp functions take the pattern verbatim — the
+        // expr() route would strip the \+ / \. escapes in SQL parsing
+        size(regexp_extract_all(col("raw"), lit(emailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("raw"), lit(phoneRe), lit(0))).cast("long").as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("raw"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>")).as("scrub_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus-wide top bigrams — the n-gram frequency table that seeds
+    * tokenizer merges and LM feature vocabularies: explode each doc's
+    * adjacent token pairs, one count agg, deterministic top-25. The
+    * explode fans out map-side; the only shuffle is the (w1,w2) count
+    * agg with map-side partials, and the top-k is TakeOrdered — no
+    * global sort at any corpus size. */
+  def topBigrams(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(expr(raw"regexp_extract_all(lower(text), '\\S+', 0)").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))"))
+        .as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w1"), col("w2"))
+      .limit(25)
 }
