@@ -47,6 +47,8 @@ object SparkEntry {
     "etl_sliding_window" -> EventsEtl.slidingWindowStats _,
     "etl_session_window" -> EventsEtl.sessionWindow _,
     "etl_scd2_history"   -> EventsEtl.scd2History _,
+    "etl_incremental_agg" -> EventsEtl.incrementalAgg _,
+    "etl_interval_join"  -> EventsEtl.intervalJoin _,
     // §2.2 relational core
     "q1_pricing_summary" -> Relational.q1PricingSummary _,
     "q3_top_unshipped"   -> Relational.q3TopUnshipped _,
@@ -230,6 +232,28 @@ object SparkEntry {
         |SELECT user_id, CAST(session_num AS BIGINT) AS session_num, count(*) AS n_events,
         | min(sec) AS start_sec, max(sec) AS end_sec
         |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "etl_incremental_agg" ->
+      """SELECT user_id, count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        | min(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) AS first_sec,
+        | max(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) AS last_sec
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the oracle is the naive theta-join over the same session
+    // derivation — the binned equi-join must find exactly its matches
+    "etl_interval_join" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+        |    lag(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+        |  FROM events),
+        |t AS (SELECT *, CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800 THEN 1 ELSE 0 END AS new_sess FROM s),
+        |u AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_num FROM t),
+        |sess AS (SELECT user_id, CAST(session_num AS BIGINT) AS session_num,
+        |   min(sec) AS start_sec, max(sec) AS end_sec FROM u GROUP BY 1, 2)
+        |SELECT e.user_id, e.event_id, sess.session_num
+        |FROM (SELECT user_id, event_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec FROM events) e
+        |JOIN sess ON e.user_id = sess.user_id AND e.sec BETWEEN sess.start_sec AND sess.end_sec
+        |ORDER BY 1, 2""".stripMargin,
     "etl_star_join" ->
       """WITH dim AS (
         |  SELECT CAST(dense_rank() OVER (ORDER BY user_id, event_type) AS BIGINT) AS dim_id, user_id, event_type

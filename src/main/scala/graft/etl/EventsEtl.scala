@@ -387,4 +387,57 @@ object EventsEtl {
         col("valid_to_sec").isNull.as("is_current"))
       .orderBy(col("user_id"), col("valid_from_sec"))
   }
+
+  /** Incremental aggregate maintenance — the materialized-view pattern
+    * continuous ingestion needs at 100 TB: per-key partial aggregates
+    * of the already-loaded base are MERGED with the new batch's
+    * partials (sum of counts, sum of decimal sums, min/max of bounds)
+    * instead of re-scanning history. Every agg here is algebraic, so
+    * merge(partial(base), partial(delta)) ≡ full recompute — which is
+    * exactly what the oracle checks. The merge input is two per-key
+    * relations (key-cardinality sized, not fact-sized); only they
+    * shuffle. */
+  def incrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val cut = Tables.tsLit(ev, "ts", "2024-01-05")
+    def partial(df: DataFrame): DataFrame = df.groupBy(col("user_id")).agg(
+      count(lit(1)).as("n_events"),
+      sum(col("value").cast(DecimalType(18, 2))).as("sum_value"),
+      min(epochSec(col("ts"))).as("first_sec"),
+      max(epochSec(col("ts"))).as("last_sec"))
+    val base = partial(ev.filter(col("ts") < cut))
+    val delta = partial(ev.filter(col("ts") >= cut))
+    base.unionByName(delta)
+      .groupBy(col("user_id"))
+      .agg(sum(col("n_events")).as("n_events"),
+        sum(col("sum_value")).cast("double").as("sum_value"),
+        min(col("first_sec")).as("first_sec"),
+        max(col("last_sec")).as("last_sec"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Interval containment join, the scalable way: assigning each event
+    * to the session whose [start, end] contains it. A naive theta-join
+    * (`ts BETWEEN start AND end`) plans BroadcastNestedLoop — O(n·m)
+    * and an OOM cliff when neither side broadcasts. Instead both sides
+    * key by (user_id, half-hour time bin): sessions explode to one row
+    * per bin they overlap (bounded fan-out — gap-bounded sessions span
+    * few bins), events map to exactly one bin, and the equi-join +
+    * residual range filter finds the same matches with ONE bounded
+    * shuffle. Disjoint sessions per user ⇒ at most one match per
+    * event, no dedup needed. */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val binSec = 1800L
+    val sessions = sessionize(spark, dir)
+      .select(col("user_id"), col("session_num"), col("start_sec"), col("end_sec"))
+      .withColumn("bin", explode(sequence(
+        expr(s"start_sec DIV $binSec"), expr(s"end_sec DIV $binSec"))))
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), epochSec(col("ts")).as("sec"))
+      .withColumn("bin", expr(s"sec DIV $binSec"))
+    ev.join(sessions, Seq("user_id", "bin"))
+      .filter(col("sec").between(col("start_sec"), col("end_sec")))
+      .select(col("user_id"), col("event_id"), col("session_num"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
 }
