@@ -29,5 +29,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 8g was enough for correctness but put the shuffle-heavy bench
+  // queries (q21, corpus_filter, lm_score) into GC-pressure territory
+  // at local[32]; the box has 128 GiB, so give the fork real headroom.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
 )

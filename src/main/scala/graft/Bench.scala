@@ -69,18 +69,37 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
     // millisecond precision keeps the line SHORT: the driver captures a
-    // bounded output tail, and full-precision doubles for 85 queries
-    // overflowed it in round 2 (the artifact's `parsed` came back null)
+    // bounded output tail (last 2000 chars), and the full per-query map
+    // no longer fits in it — every prior round's artifact came back
+    // `parsed: null` because the line's head was cut off. The FULL map
+    // is persisted to bench/latest_<sf>.json below; stdout carries the
+    // slowest queries, capped so the whole line survives the tail.
     def ms(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
-      .mkString("{", ",", "}")
-    val errJson =
-      if (errors.isEmpty) ""
-      else ""","errors":""" + errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
-        .mkString("{", ",", "}") + s""","n_failed":${errors.size}"""
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}"""
+    def render(entries: Seq[(String, Double)], omitted: Int): String = {
+      val qs = entries.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
+      val errJson =
+        if (errors.isEmpty) ""
+        else ""","errors":""" + errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+          .mkString("{", ",", "}") + s""","n_failed":${errors.size}"""
+      val omitJson =
+        if (omitted == 0) ""
+        else s""","queries_total":${results.size},"queries_omitted":$omitted"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs$errJson$omitJson,"sf":"$sfDir"}"""
+    }
+    val line = render(results, 0) // full detail, for the repo bench files
+    val stdoutLine = {
+      val budget = 1700 // ≤ tail(2000) − sbt's trailing "[success] …" line
+      if (line.length <= budget) line
+      else {
+        val bySlow = results.sortBy(-_._2)
+        // keep the slowest-k subset that still renders under budget
+        var k = bySlow.length
+        while (k > 1 && render(bySlow.take(k), results.size - k).length > budget) k -= 1
+        render(bySlow.take(k), results.size - k)
+      }
+    }
 
     // Regression report vs the previous persisted run AT THE SAME SF
     // (same machine, successive rounds): anything >1.5× slower and
@@ -114,7 +133,7 @@ object Bench {
       System.err.println(s"[bench] history bookkeeping failed: ${e.getMessage}")
     }
 
-    println(line)
+    println(stdoutLine)
     spark.stop()
     if (errors.nonEmpty) sys.exit(3)
   }

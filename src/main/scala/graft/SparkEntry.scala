@@ -496,10 +496,11 @@ object SparkEntry {
         |bs AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
         |uc AS (SELECT w1, count(*) AS uc FROM (SELECT unnest(toks) AS w1 FROM t) GROUP BY 1),
         |bc AS (SELECT w1, w2, count(*) AS bc FROM bs GROUP BY 1, 2),
-        |v AS (SELECT count(*) AS v FROM uc)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |  round(avg(ln((bc + 1.0) / (uc.uc + v.v))), 6) AS lm_score
-        |FROM bs JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v
+        |v AS (SELECT count(*) AS v FROM uc),
+        |dm AS (SELECT doc_id, w1, w2, count(*) AS m FROM bs GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+        |  round(sum(m * ln((bc + 1.0) / (uc.uc + v.v))) / sum(m), 6) AS lm_score
+        |FROM dm JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_tfidf" ->
       """WITH toks AS (

@@ -131,14 +131,23 @@ object TextAnalysis {
     // shuffle join when a real web corpus pushes the bigram table past
     // executor memory (vocab² worst case)
     import graft.operators.Scale.maybeBroadcast
+    // Pre-aggregate to (doc, w1, w2, multiplicity) BEFORE joining the
+    // count tables: per-doc distinct bigrams are far fewer than raw
+    // bigram occurrences on any zipf-ish corpus, so the join input
+    // shrinks by the mean within-doc repeat factor and the score
+    // becomes a multiplicity-weighted average — same exact result.
     bigrams
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("m"))
       .join(maybeBroadcast(bgC), Seq("w1", "w2"))
       .join(maybeBroadcast(uniC), Seq("w1"))
       .crossJoin(broadcast(vocab))
       .groupBy(col("doc_id"))
       .agg(
-        count(lit(1)).as("n_bigrams"),
-        round(avg(log((col("bc") + lit(1.0)) / (col("uc") + col("v")))), 6).as("lm_score"))
+        sum(col("m")).as("n_bigrams"),
+        round(
+          sum(col("m") * log((col("bc") + lit(1.0)) / (col("uc") + col("v")))) /
+            sum(col("m")), 6).as("lm_score"))
       .orderBy(col("doc_id"))
   }
 
