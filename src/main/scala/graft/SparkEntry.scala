@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.etl.EventsEtl
 import graft.operators.Relational
-import graft.ops.{Dedup, Multimodal, Pipeline, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Graph, Multimodal, Pipeline, Profile, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (inventory) and §7.
   *
@@ -117,6 +117,11 @@ object SparkEntry {
     "pipeline_shard_order"   -> Pipeline.shardOrder _,
     "pipeline_pack_sequences"    -> Pipeline.packSequences _,
     "pipeline_stratified_sample" -> Pipeline.stratifiedSample _,
+    "pipeline_doc_chunks"        -> Pipeline.docChunks _,
+    "pipeline_sample_weighted"   -> ((s, d) => Pipeline.sampleWeighted(s, d)),
+    "text_char_entropy"          -> TextAnalysis.charEntropy _,
+    "graph_triangles"            -> Graph.triangleCounts _,
+    "profile_orders"             -> Profile.profileOrders _,
     "text_pii_scrub"      -> TextAnalysis.piiScrub _,
     "text_top_bigrams"    -> TextAnalysis.topBigrams _,
     "embed_quantize"      -> Similarity.quantize _,

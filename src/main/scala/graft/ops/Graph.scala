@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Graph analytics over relational co-occurrence — the "parts bought
+  * together" graph every recommender/affinity pipeline derives from an
+  * order-lines fact, plus triangle counting over it (the clustering-
+  * coefficient building block, and the classic can-your-engine-do-it
+  * benchmark for self-join-shaped workloads).
+  */
+object Graph {
+
+  /** Undirected co-occurrence edges: two parts are connected iff they
+    * appear in the same order. Canonicalized u < v, deduplicated.
+    * Shape at scale: one distinct over (order, part) — map-side
+    * combinable — then a self-equi-join on the order key, whose
+    * fan-out is Σ(items-per-order²): bounded by basket size, not by
+    * corpus size. */
+  def coOccurrenceEdges(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    items.as("x").join(items.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("u"), col("y.pk").as("v"))
+      .distinct()
+  }
+
+  /** Per-node triangle counts via DEGREE-ORIENTED wedge closure — the
+    * scalable formulation (node-iterator over the orientation DAG):
+    * each undirected edge is directed from its (degree, id)-smaller
+    * endpoint to the larger, so every triangle has exactly one apex
+    * and is enumerated ONCE, and the wedge fan-out per node is bounded
+    * by out-degree² where max out-degree is O(√|E|) — heavy hubs
+    * (the parts in every order) generate wedges at their cheap end
+    * instead of degree² at the hub. The orientation key is a struct
+    * comparison (deg, id), so no fragile packed-integer encoding.
+    * Per-node counts are then one explode + agg over the closed
+    * triangles. Count is orientation-invariant, which is what the
+    * plain u<v SQL oracle checks. */
+  def triangleCounts(spark: SparkSession, dir: String): DataFrame = {
+    val edges = graft.Caches.persistTracked(coOccurrenceEdges(spark, dir))
+    val deg = edges.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    // direct each edge low-(deg,id) -> high-(deg,id)
+    val oriented = graft.Caches.persistTracked(edges
+      .join(deg.select(col("n").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u"))
+          .otherwise(col("v")).as("src"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
+          .otherwise(col("u")).as("dst"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          struct(col("dv"), col("v"))).otherwise(struct(col("du"), col("u")))
+          .as("dstkey")))
+    // wedges from a common apex, ordered so each pair forms once; the
+    // closing edge must also be oriented b -> c (b before c in the
+    // total order), which the dstkey comparison guarantees
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dstkey") < col("e2.dstkey"))
+      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
+    val triangles = wedges.join(
+      oriented.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+    triangles
+      .select(explode(array(col("a"), col("b"), col("c"))).as("part"))
+      .groupBy(col("part"))
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("part"))
+  }
+}

@@ -148,4 +148,51 @@ object Pipeline {
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
   }
+
+  /** Fixed-width overlapping character chunking (width 256, stride
+    * 192) — the context-window splitter for embedding/RAG indexing:
+    * every doc yields ceil((len−width)/stride)+1 chunks (min 1), each
+    * identified by (doc_id, chunk_id) with its start offset, length,
+    * and content hash. Chunk count comes from pure integer arithmetic
+    * (no float ceil — engines must agree exactly), the fan-out is a
+    * per-row sequence+explode (no shuffle at all), and chunk text
+    * leaves the operator as an md5 so the output stays narrow no
+    * matter how wide the documents are. */
+  def docChunks(spark: SparkSession, dir: String): DataFrame = {
+    val width = 256L; val stride = 192L
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("len"))
+      // integer ceil-div — Column./ would be DOUBLE division, and a
+      // float ceil at an exact-multiple boundary is engine-dependent
+      .withColumn("n_chunks",
+        expr(s"CASE WHEN len > $width THEN (len - $width + $stride - 1) DIV $stride + 1 ELSE CAST(1 AS BIGINT) END"))
+      .withColumn("chunk_id", explode(expr("sequence(CAST(0 AS BIGINT), n_chunks - 1)")))
+      .select(
+        col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * stride).as("chunk_start"),
+        least(lit(width), col("len") - col("chunk_id") * stride).as("chunk_len"),
+        md5(expr(s"substr(text, CAST(chunk_id * $stride + 1 AS INT), $width)")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  /** Deterministic weighted sampling without replacement (A-Res /
+    * Efraimidis–Spirakis): each doc draws u∈(0,1) from the portable
+    * content hash and is ranked by ln(u)/weight — order-equivalent to
+    * u^(1/w), numerically tamer — so heavier docs win
+    * proportionally more often, yet the draw is pure projection:
+    * reproducible across engines, runs, and partitionings, no RNG
+    * state. The global top-k is orderBy+limit, which Spark plans as
+    * TakeOrderedAndProject — per-partition heaps then a k-row driver
+    * merge, never a global sort. */
+  def sampleWeighted(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        expr("(CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), '-wsample')), 1, 15), 16, 10) AS BIGINT) % 1000000 + 0.5) / 1000000.0")
+          .as("u"))
+      // round before ranking so an ulp of ln() divergence between
+      // engines can't flip the top-k boundary; doc_id breaks ties
+      .withColumn("wkey", round(log(col("u")) / col("n_chars"), 9))
+      .select(col("doc_id"), col("n_chars"), col("wkey"))
+      .orderBy(col("wkey").desc, col("doc_id"))
+      .limit(k)
 }

@@ -151,6 +151,32 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-document character-distribution Shannon entropy (bits) — the
+    * cheap gibberish/boilerplate detector training pipelines run next
+    * to length and stopword ratios: natural text sits in a narrow
+    * entropy band, while base64 blobs, repeated padding, and binary
+    * spill fall far outside it. One explode + two aggs, all keyed by
+    * doc_id — fully map-side-combinable, no global state. Entropy is
+    * computed as log2(n) − Σc·log2(c)/n over per-char counts c, so
+    * the only floating ops are the final logs (rounded before output
+    * for cross-engine stability). */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val chars = Tables.documents(spark, dir)
+      // regexp '[\s\S]' (not '.') so newlines count as characters too;
+      // same spelling evaluates identically in the DuckDB oracle
+      .select(col("doc_id"),
+        explode(expr(raw"regexp_extract_all(text, '[\\s\\S]', 0)")).as("ch"))
+    chars.groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_chars_total"),
+        count(lit(1)).as("n_distinct_chars"),
+        round(
+          (log(sum(col("c"))) - sum(col("c") * log(col("c"))) / sum(col("c"))) /
+            log(lit(2.0)), 6).as("entropy_bits"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Log₂-bucketed document-length histogram — the corpus-profiling
     * pass run before choosing truncation/packing lengths: one map-side
     * bucket projection + one tiny agg. */
