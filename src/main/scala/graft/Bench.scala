@@ -58,9 +58,14 @@ object Bench {
           System.err.println(s"[bench] FAILED $name: $msg")
       }
       val dt = (System.nanoTime() - t0) / 1e9
-      // release this query's tracked caches before the next one runs
+      // release this query's tracked caches before the next one runs,
+      // then force a full GC: a heavy query's garbage otherwise bleeds
+      // into its successors' timings (r2 q18 18s, r4 dedup family, r5
+      // corpus_filter after the 22s triangle join — all cache/GC bleed,
+      // not plan changes)
       Caches.releaseAll()
       spark.catalog.clearCache()
+      System.gc()
       name -> dt
     }
 
@@ -76,13 +81,23 @@ object Bench {
     // slowest queries, capped so the whole line survives the tail.
     def ms(v: Double): String = f"$v%.3f"
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    def render(entries: Seq[(String, Double)], omitted: Int): String = {
+    // errLen/errCap bound the error payload too: a run with several
+    // failures must still fit the stdout budget at k=1 (full error
+    // detail always lands in bench/latest_<sf>.json via the defaults)
+    def render(entries: Seq[(String, Double)], omitted: Int,
+               errLen: Int = Int.MaxValue, errCap: Int = Int.MaxValue): String = {
       val qs = entries.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
       val errJson =
         if (errors.isEmpty) ""
-        else ""","errors":""" + errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
-          .mkString("{", ",", "}") + s""","n_failed":${errors.size}"""
+        else {
+          val shown = errors.take(errCap)
+          val extra =
+            if (errors.size > shown.size) s""","errors_omitted":${errors.size - shown.size}"""
+            else ""
+          ""","errors":""" + shown.map { case (k, v) => s"${jstr(k)}:${jstr(v.take(errLen))}" }
+            .mkString("{", ",", "}") + s""","n_failed":${errors.size}""" + extra
+        }
       val omitJson =
         if (omitted == 0) ""
         else s""","queries_total":${results.size},"queries_omitted":$omitted"""
@@ -96,8 +111,8 @@ object Bench {
         val bySlow = results.sortBy(-_._2)
         // keep the slowest-k subset that still renders under budget
         var k = bySlow.length
-        while (k > 1 && render(bySlow.take(k), results.size - k).length > budget) k -= 1
-        render(bySlow.take(k), results.size - k)
+        while (k > 1 && render(bySlow.take(k), results.size - k, 80, 4).length > budget) k -= 1
+        render(bySlow.take(k), results.size - k, 80, 4)
       }
     }
 

@@ -121,6 +121,7 @@ object SparkEntry {
     "pipeline_sample_weighted"   -> ((s, d) => Pipeline.sampleWeighted(s, d)),
     "text_char_entropy"          -> TextAnalysis.charEntropy _,
     "graph_triangles"            -> Graph.triangleCounts _,
+    "graph_components"           -> Graph.componentsOverCoOccurrence _,
     "profile_orders"             -> Profile.profileOrders _,
     "text_pii_scrub"      -> TextAnalysis.piiScrub _,
     "text_top_bigrams"    -> TextAnalysis.topBigrams _,
@@ -501,11 +502,10 @@ object SparkEntry {
         |bs AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
         |uc AS (SELECT w1, count(*) AS uc FROM (SELECT unnest(toks) AS w1 FROM t) GROUP BY 1),
         |bc AS (SELECT w1, w2, count(*) AS bc FROM bs GROUP BY 1, 2),
-        |v AS (SELECT count(*) AS v FROM uc),
-        |dm AS (SELECT doc_id, w1, w2, count(*) AS m FROM bs GROUP BY 1, 2, 3)
-        |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
-        |  round(sum(m * ln((bc + 1.0) / (uc.uc + v.v))) / sum(m), 6) AS lm_score
-        |FROM dm JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v
+        |v AS (SELECT count(*) AS v FROM uc)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(avg(ln((bc + 1.0) / (uc.uc + v.v))), 6) AS lm_score
+        |FROM bs JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_tfidf" ->
       """WITH toks AS (
@@ -1045,5 +1045,80 @@ object SparkEntry {
         |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
         |  md5(substr(text, CAST(frame_idx * 64 + 1 AS INT), 64)) AS frame_md5
         |FROM x ORDER BY doc_id, frame_idx""".stripMargin,
+    // each triangle {a<b<c} is enumerated exactly once over the
+    // canonical u<v edge list: (a,b)+(a,c) wedge closed by (b,c)
+    "graph_triangles" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |edges AS (
+        |  SELECT DISTINCT x.pk AS u, y.pk AS v
+        |  FROM items x JOIN items y ON x.ok = y.ok AND x.pk < y.pk),
+        |tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM edges e1 JOIN edges e2 ON e1.u = e2.u AND e1.v < e2.v
+        |  JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v)
+        |SELECT part, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM (SELECT unnest([a, b, c]) AS part FROM tri)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "graph_components" ->
+      """WITH RECURSIVE items AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem WHERE l_quantity >= 48),
+        |pairs AS (
+        |  SELECT DISTINCT x.pk AS u, y.pk AS v
+        |  FROM items x JOIN items y ON x.ok = y.ok AND x.pk < y.pk),
+        |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+        |walk(node, reach) AS (
+        |  SELECT u, u FROM edges
+        |  UNION
+        |  SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.reach)
+        |SELECT node AS part, min(reach) AS component
+        |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
+    "pipeline_doc_chunks" ->
+      """WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len FROM documents),
+        |n AS (SELECT doc_id, text, len,
+        |   CASE WHEN len > 256 THEN (len - 256 + 191) // 192 + 1 ELSE CAST(1 AS BIGINT) END AS n_chunks
+        |  FROM d),
+        |x AS (SELECT doc_id, text, len, unnest(range(0, n_chunks)) AS chunk_id FROM n)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(chunk_id * 192 AS BIGINT) AS chunk_start,
+        |  CAST(least(256, len - chunk_id * 192) AS BIGINT) AS chunk_len,
+        |  md5(substr(text, CAST(chunk_id * 192 + 1 AS INT), 256)) AS chunk_md5
+        |FROM x ORDER BY doc_id, chunk_id""".stripMargin,
+    "pipeline_sample_weighted" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+        |   (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-wsample'), 1, 15))::BIGINT % 1000000 + 0.5) / 1000000.0 AS u
+        |  FROM documents)
+        |SELECT doc_id, n_chars, round(ln(u) / n_chars, 9) AS wkey
+        |FROM d ORDER BY wkey DESC, doc_id LIMIT 100""".stripMargin,
+    "profile_orders" ->
+      """WITH kv AS (
+        |  SELECT 'o_orderkey' AS column_name, CAST(o_orderkey AS VARCHAR) AS val FROM orders
+        |  UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+        |  UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+        |  UNION ALL SELECT 'o_totalprice', CAST(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) AS VARCHAR) FROM orders
+        |  UNION ALL SELECT 'o_orderdate', strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') FROM orders
+        |  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders),
+        |counts AS (
+        |  SELECT column_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(count(*) - count(val) AS BIGINT) AS n_nulls,
+        |    CAST(count(DISTINCT val) AS BIGINT) AS n_distinct
+        |  FROM kv GROUP BY 1),
+        |mm AS (
+        |  SELECT 'o_orderkey' AS column_name, CAST(min(o_orderkey) AS VARCHAR) AS min_val, CAST(max(o_orderkey) AS VARCHAR) AS max_val FROM orders
+        |  UNION ALL SELECT 'o_custkey', CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR) FROM orders
+        |  UNION ALL SELECT 'o_orderstatus', min(o_orderstatus), max(o_orderstatus) FROM orders
+        |  UNION ALL SELECT 'o_totalprice', CAST(CAST(round(min(o_totalprice), 2) AS DECIMAL(18,2)) AS VARCHAR), CAST(CAST(round(max(o_totalprice), 2) AS DECIMAL(18,2)) AS VARCHAR) FROM orders
+        |  UNION ALL SELECT 'o_orderdate', strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'), strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') FROM orders
+        |  UNION ALL SELECT 'o_orderpriority', min(o_orderpriority), max(o_orderpriority) FROM orders)
+        |SELECT counts.column_name, n_rows, n_nulls, n_distinct, min_val, max_val
+        |FROM counts JOIN mm USING (column_name)
+        |ORDER BY column_name""".stripMargin,
+    "text_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS ch FROM documents),
+        |cc AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars_total,
+        |  CAST(count(*) AS BIGINT) AS n_distinct_chars,
+        |  round((ln(CAST(sum(c) AS DOUBLE)) - sum(c * ln(c)) / sum(c)) / ln(2.0), 6) AS entropy_bits
+        |FROM cc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -224,9 +224,10 @@ object Dedup {
   /** Connected components over an edge list (columns u, v — integral
     * ids), size-gated hybrid:
     *
-    *  - the edge count is probed with a LIMIT — `LocalLimit`
-    *    short-circuits, so at 100 TB this collects `driverMaxEdges + 1`
-    *    rows and stops, never materializing the full pair graph;
+    *  - the edge count is probed with a LIMIT+count — `LocalLimit`
+    *    short-circuits, so at 100 TB this counts at most
+    *    `driverMaxEdges + 1` rows and ships ONE long to the driver;
+    *    edges are collected only once the graph is known to fit;
     *  - under the gate, one driver-side union-find labels the graph in
     *    a single pass (the LSH pair graph is collision-bounded — even a
     *    billion-doc corpus with a sane threshold yields edges in the
@@ -242,15 +243,17 @@ object Dedup {
     * only ever decrease, so the final root IS the component min). */
   def connectedComponents(pairs: DataFrame, driverMaxEdges: Int = 1 << 22): DataFrame = {
     val spark = pairs.sparkSession
-    val norm = pairs
+    val norm = graft.Caches.persistTracked(pairs
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
-    val probe = norm.select(col("u").cast("long"), col("v").cast("long"))
-      .limit(driverMaxEdges + 1).collect()
-    if (probe.length > driverMaxEdges) {
+      .filter(col("u") =!= col("v")).distinct())
+    // probe the gate with a COUNT, not a collect: over the gate this
+    // moves 8 bytes to the driver instead of gate+1 boxed Rows
+    // (~hundreds of MB) that the star path would then discard
+    if (norm.limit(driverMaxEdges + 1).count() > driverMaxEdges) {
       val (labels, _) = connectedComponentsStar(norm)
       labels
     } else {
+      val probe = norm.select(col("u").cast("long"), col("v").cast("long")).collect()
       val parent = new java.util.HashMap[Long, Long]()
       def find(x0: Long): Long = {
         var r = x0

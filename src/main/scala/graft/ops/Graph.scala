@@ -42,34 +42,71 @@ object Graph {
     * triangles. Count is orientation-invariant, which is what the
     * plain u<v SQL oracle checks. */
   def triangleCounts(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Scale.maybeBroadcast
     val edges = graft.Caches.persistTracked(coOccurrenceEdges(spark, dir))
+    edges.count() // materialize: the broadcast gates below need REAL
+    // cache sizes, not pre-materialization plan estimates (with the
+    // estimate, the closing join planned as a sort-merge that sorted
+    // the 41M-row wedge stream — 34s; broadcast makes it map-side)
     val deg = edges.select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    // |V| rows (≪ |E|) — broadcast both degree joins so orientation
+    // never shuffles the edge list
+    val degU = maybeBroadcast(deg.select(col("n").as("u"), col("deg").as("du")))
+    val degV = maybeBroadcast(deg.select(col("n").as("v"), col("deg").as("dv")))
     // direct each edge low-(deg,id) -> high-(deg,id)
+    // both branch structs carry IDENTICAL field names — Catalyst
+    // rejects a CASE WHEN whose branches differ in struct field names
+    // (DATATYPE_MISMATCH.DATA_DIFF_TYPES)
+    val ukey = struct(col("du").as("d"), col("u").as("n"))
+    val vkey = struct(col("dv").as("d"), col("v").as("n"))
     val oriented = graft.Caches.persistTracked(edges
-      .join(deg.select(col("n").as("u"), col("deg").as("du")), Seq("u"))
-      .join(deg.select(col("n").as("v"), col("deg").as("dv")), Seq("v"))
+      .join(degU, Seq("u"))
+      .join(degV, Seq("v"))
       .select(
-        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u"))
-          .otherwise(col("v")).as("src"),
-        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
-          .otherwise(col("u")).as("dst"),
-        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
-          struct(col("dv"), col("v"))).otherwise(struct(col("du"), col("u")))
-          .as("dstkey")))
+        when(ukey < vkey, col("u")).otherwise(col("v")).as("src"),
+        when(ukey < vkey, col("v")).otherwise(col("u")).as("dst"),
+        when(ukey < vkey, vkey).otherwise(ukey).as("dstkey")))
+    oriented.count() // materialize before the closing-relation gate
     // wedges from a common apex, ordered so each pair forms once; the
     // closing edge must also be oriented b -> c (b before c in the
     // total order), which the dstkey comparison guarantees
     val wedges = oriented.as("e1")
-      .join(oriented.as("e2"),
+      .join(maybeBroadcast(oriented).as("e2"),
         col("e1.src") === col("e2.src") && col("e1.dstkey") < col("e2.dstkey"))
       .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
-    val triangles = wedges.join(
-      oriented.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+    // the wedge stream is the big side (Σ outdeg² rows); the closing
+    // relation is just the edge list, two ints wide — broadcast it
+    // (size-gated) so wedges are probed map-side and never shuffle
+    val closing = maybeBroadcast(oriented.select(col("src").as("b"), col("dst").as("c")))
+    val triangles = wedges.join(closing, Seq("b", "c"))
     triangles
       .select(explode(array(col("a"), col("b"), col("c"))).as("part"))
       .groupBy(col("part"))
       .agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("part"))
+  }
+
+  /** Connected components over a SPARSIFIED co-occurrence graph
+    * (bulk lines only, l_quantity >= 48): exercises the same hybrid
+    * union-find / star-contraction machinery as the near-dup
+    * clustering ([[graft.ops.Dedup.connectedComponents]]) on a graph
+    * that is NOT LSH-derived — affinity groups of parts that co-occur
+    * in bulk orders. The quantity gate keeps components small and
+    * plural (the full co-occurrence graph is one giant component,
+    * which clusters nothing and makes the transitive-closure oracle
+    * quadratic). */
+  def componentsOverCoOccurrence(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 48)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val edges = items.as("x").join(items.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("u"), col("y.pk").as("v"))
+      .distinct()
+    Dedup.connectedComponents(edges)
+      .select(col("node").as("part"), col("component"))
       .orderBy(col("part"))
   }
 }

@@ -131,23 +131,21 @@ object TextAnalysis {
     // shuffle join when a real web corpus pushes the bigram table past
     // executor memory (vocab² worst case)
     import graft.operators.Scale.maybeBroadcast
-    // Pre-aggregate to (doc, w1, w2, multiplicity) BEFORE joining the
-    // count tables: per-doc distinct bigrams are far fewer than raw
-    // bigram occurrences on any zipf-ish corpus, so the join input
-    // shrinks by the mean within-doc repeat factor and the score
-    // becomes a multiplicity-weighted average — same exact result.
+    // Direct join+avg over the raw bigram stream: a (doc, w1, w2)
+    // pre-aggregation before these joins was tried in round 4 and
+    // REGRESSED 4.4× at sf0.1 (BENCH_r04) — within-doc bigram
+    // multiplicity is ~1 on realistic corpora, so the extra full
+    // shuffle buys nothing. Both count tables broadcast (vocab- and
+    // vocab²-bounded), so this shape shuffles the bigram stream once,
+    // for the final per-doc agg.
     bigrams
-      .groupBy(col("doc_id"), col("w1"), col("w2"))
-      .agg(count(lit(1)).as("m"))
       .join(maybeBroadcast(bgC), Seq("w1", "w2"))
       .join(maybeBroadcast(uniC), Seq("w1"))
       .crossJoin(broadcast(vocab))
       .groupBy(col("doc_id"))
       .agg(
-        sum(col("m")).as("n_bigrams"),
-        round(
-          sum(col("m") * log((col("bc") + lit(1.0)) / (col("uc") + col("v")))) /
-            sum(col("m")), 6).as("lm_score"))
+        count(lit(1)).as("n_bigrams"),
+        round(avg(log((col("bc") + lit(1.0)) / (col("uc") + col("v")))), 6).as("lm_score"))
       .orderBy(col("doc_id"))
   }
 
