@@ -29,8 +29,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 8g was enough for correctness but put the shuffle-heavy bench
-  // queries (q21, corpus_filter, lm_score) into GC-pressure territory
-  // at local[32]; the box has 128 GiB, so give the fork real headroom.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
+  // A/B-measured (round 5, bench/VARIANCE_r5.md): 8g and 28g heaps are
+  // within 3% on the full sf0.1 bench (96.4s vs 99.0s) once the bench
+  // forces a GC between entries — the round-4 "GC-pressure" regression
+  // was inter-query garbage bleed, not heap exhaustion. Keep the
+  // smaller heap: faster full GCs, closer to a real executor's share.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

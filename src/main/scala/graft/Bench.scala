@@ -49,7 +49,14 @@ object Bench {
     spark.catalog.clearCache()
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ORDER=reverse runs queries in reverse-sorted
+    // order: diffing the per-query times between the two orders
+    // empirically separates cache/GC bleed from real regressions
+    val ordered = {
+      val s = SparkEntry.queries.toSeq.sortBy(_._1)
+      if (sys.env.get("SPARK_GRAFT_BENCH_ORDER").contains("reverse")) s.reverse else s
+    }
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
