@@ -126,6 +126,12 @@ object SparkEntry {
     "text_pii_scrub"      -> TextAnalysis.piiScrub _,
     "text_top_bigrams"    -> TextAnalysis.topBigrams _,
     "embed_quantize"      -> Similarity.quantize _,
+    "graph_pagerank"      -> ((s, d) => Graph.pageRank(s, d)),
+    "ann_pq_adc"          -> ((s, d) => Similarity.annPqAdc(s, d)),
+    "embed_outliers"      -> Similarity.embedOutliers _,
+    "dedup_containment"   -> Dedup.containmentPairs _,
+    "pipeline_domain_mix" -> Pipeline.domainMix _,
+    "pipeline_quality_gate" -> Pipeline.qualityGate _,
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. */
@@ -1113,6 +1119,108 @@ object SparkEntry {
         |SELECT counts.column_name, n_rows, n_nulls, n_distinct, min_val, max_val
         |FROM counts JOIN mm USING (column_name)
         |ORDER BY column_name""".stripMargin,
+    // three unrolled damped-PageRank steps; ranks round to 9 dp per
+    // iteration in both engines so float-sum order can't compound
+    "graph_pagerank" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |p AS (SELECT DISTINCT x.pk AS u, y.pk AS v
+        |  FROM items x JOIN items y ON x.ok = y.ok AND x.pk < y.pk),
+        |e AS (SELECT u, v FROM p UNION ALL SELECT v, u FROM p),
+        |od AS (SELECT u, count(*) AS od FROM e GROUP BY 1),
+        |nn AS (SELECT count(*) AS c FROM od),
+        |r0 AS (SELECT u AS nd, CAST(1.0 AS DOUBLE) / (SELECT c FROM nn) AS rank FROM od),
+        |r1 AS (SELECT e.v AS nd,
+        |   round(CAST(0.15 AS DOUBLE) / (SELECT c FROM nn)
+        |     + CAST(0.85 AS DOUBLE) * sum(r.rank / od.od), 9) AS rank
+        |  FROM e JOIN r0 r ON r.nd = e.u JOIN od ON od.u = e.u GROUP BY e.v),
+        |r2 AS (SELECT e.v AS nd,
+        |   round(CAST(0.15 AS DOUBLE) / (SELECT c FROM nn)
+        |     + CAST(0.85 AS DOUBLE) * sum(r.rank / od.od), 9) AS rank
+        |  FROM e JOIN r1 r ON r.nd = e.u JOIN od ON od.u = e.u GROUP BY e.v),
+        |r3 AS (SELECT e.v AS nd,
+        |   round(CAST(0.15 AS DOUBLE) / (SELECT c FROM nn)
+        |     + CAST(0.85 AS DOUBLE) * sum(r.rank / od.od), 9) AS rank
+        |  FROM e JOIN r2 r ON r.nd = e.u JOIN od ON od.u = e.u GROUP BY e.v)
+        |SELECT nd AS part, round(rank, 6) AS rank FROM r3 ORDER BY part""".stripMargin,
+    "ann_pq_adc" ->
+      """WITH pe AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |   CAST(i - 1 AS BIGINT) AS pos, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
+        |sub AS (SELECT vec_id, label, pos // 8 AS s, pos % 8 AS j, x FROM pe),
+        |cb AS (SELECT label AS code, s, j, round(avg(x), 6) AS c FROM sub GROUP BY 1, 2, 3),
+        |cbarr AS (SELECT code, s, list(c ORDER BY j) AS cw FROM cb GROUP BY 1, 2),
+        |vsub AS (SELECT vec_id, s, list(x ORDER BY j) AS sv FROM sub GROUP BY 1, 2),
+        |encd AS (SELECT vec_id, s, code,
+        |   round(list_sum(list_transform(list_zip(sv, cw), z -> (z[1]-z[2])*(z[1]-z[2]))), 6) AS d
+        |  FROM vsub JOIN cbarr USING (s)),
+        |enc AS (SELECT vec_id, s, code FROM encd
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) = 1),
+        |dtab AS (SELECT v.vec_id AS probe_id, v.s, cbarr.code,
+        |   round(list_sum(list_transform(list_zip(v.sv, cbarr.cw), z -> (z[1]-z[2])*(z[1]-z[2]))), 6) AS dsq
+        |  FROM vsub v JOIN cbarr ON v.s = cbarr.s WHERE v.vec_id < 5),
+        |adc AS (SELECT probe_id, vec_id, round(sqrt(sum(dsq)), 6) AS adist
+        |  FROM enc JOIN dtab USING (s, code)
+        |  WHERE vec_id <> probe_id GROUP BY 1, 2)
+        |SELECT probe_id, vec_id, adist,
+        | CAST(row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS BIGINT) AS rk
+        |FROM adc QUALIFY rk <= 5 ORDER BY probe_id, rk""".stripMargin,
+    "embed_outliers" ->
+      """WITH pe AS (SELECT CAST(label AS BIGINT) AS label, i AS pos, embedding[i] AS x
+        |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
+        |c AS (SELECT label, CAST(pos - 1 AS BIGINT) AS pos,
+        |   round(avg(CAST(x AS DOUBLE)), 6) AS centroid FROM pe GROUP BY 1, 2),
+        |cent AS (SELECT label, list(centroid ORDER BY pos) AS cv FROM c GROUP BY 1),
+        |e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |d AS (SELECT vec_id, e.label,
+        |   round(sqrt(list_sum(list_transform(list_zip(e.v, cent.cv),
+        |     z -> (z[1]-z[2])*(z[1]-z[2])))), 6) AS dist
+        |  FROM e JOIN cent ON e.label = cent.label),
+        |st AS (SELECT label, round(avg(dist), 6) AS mu,
+        |   round(stddev_pop(dist), 6) AS sigma FROM d GROUP BY 1)
+        |SELECT vec_id, d.label, dist,
+        | round((dist - mu) / sigma, 6) AS z,
+        | round((dist - mu) / sigma, 6) >= 2.0 AS is_outlier
+        |FROM d JOIN st ON d.label = st.label ORDER BY vec_id""".stripMargin,
+    // directional containment pairs; integer threshold (c*10 >= n*9)
+    "dedup_containment" ->
+      """WITH t AS (SELECT doc_id, text, regexp_extract_all(text, '\S+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |   CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1),
+        |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE [text] END)) AS s FROM t),
+        |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+        |common AS (SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |dirs AS (
+        |  SELECT da AS contained, db AS container, c, x.n AS n
+        |  FROM common JOIN cnt x ON x.doc_id = da
+        |  UNION ALL
+        |  SELECT db, da, c, y.n FROM common JOIN cnt y ON y.doc_id = db)
+        |SELECT contained, container, round(CAST(c AS DOUBLE) / n, 6) AS containment
+        |FROM dirs WHERE c * 10 >= n * 9
+        |ORDER BY contained, container""".stripMargin,
+    "pipeline_domain_mix" ->
+      """WITH agg AS (
+        |  SELECT lang, source, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT lang, source, n_docs, sum_chars,
+        | round(CAST(sum_chars AS DOUBLE) / CAST(sum(sum_chars) OVER () AS DOUBLE), 6) AS char_share
+        |FROM agg ORDER BY lang, source""".stripMargin,
+    "pipeline_quality_gate" ->
+      """WITH q AS (SELECT doc_id,
+        |  round(least(length(text) / CAST(400 AS DOUBLE), CAST(1.0 AS DOUBLE))
+        |    * (1.0 - CAST(len(regexp_extract_all(text, '[^a-z0-9\s]')) AS DOUBLE) / length(text))
+        |    * (0.5 + CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in)\b')) AS DOUBLE)
+        |        / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE)), 6) AS quality_score
+        | FROM documents),
+        |s AS (SELECT d.doc_id, d.lang, q.quality_score
+        |  FROM documents d JOIN q ON d.doc_id = q.doc_id),
+        |th AS (SELECT lang, round(quantile_cont(quality_score, 0.25), 6) AS p25
+        |  FROM s GROUP BY 1)
+        |SELECT doc_id, s.lang, quality_score, p25
+        |FROM s JOIN th ON s.lang = th.lang
+        |WHERE quality_score >= p25 ORDER BY doc_id""".stripMargin,
     "text_char_entropy" ->
       """WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS ch FROM documents),
         |cc AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2)

@@ -303,6 +303,9 @@ object Dedup {
       cached = step
       labels = step.select(col("node"), col("comp"))
     }
+    // the converged step cache is all the returned projection reads;
+    // the pair graph backing the loop is dead weight from here
+    pairs.unpersist()
     labels.select(col("node").as("doc_id"), col("comp").as("component"))
       .orderBy(col("doc_id"))
   }
@@ -412,5 +415,66 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= 2)
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** DIRECTIONAL near-dup containment |A∩B| / |A| ≥ 0.9 over distinct
+    * 3-token shingles — catches sub/superset duplication that
+    * symmetric Jaccard misses (a doc quoted whole inside a longer one
+    * scores low Jaccard but containment 1.0). The unordered common
+    * counts are computed ONCE (same shingle equi-join shape as
+    * [[ngramJaccard]]) and fanned out to both directions; the
+    * threshold compares as integers (c·10 ≥ n·9) so no float boundary
+    * exists. Exact small-corpus anchor — at 100 TB the candidate pairs
+    * come from the MinHash LSH bands and only verification runs this
+    * join. */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    // prefix filter, containment form: c/|A| ≥ 0.9 needs c ≥ 0.9·|A|,
+    // so if ALL of A's (⌊0.1·|A|⌋+1) globally-rarest shingles miss B,
+    // at most |A|−(⌊0.1·|A|⌋+1) < 0.9·|A| can match — the CONTAINED
+    // side's prefix joined against the container's FULL shingle set is
+    // an exact candidate superset (unlike Jaccard, the container gets
+    // no prefix: the matching element may be anywhere in it). Bound in
+    // exact decimal — double rounding of n·0.9 can shorten the prefix
+    // (see [[ngramJaccard]]).
+    val tDec = lit(BigDecimal("0.9"))
+    val sets = graft.Caches.persistTracked(
+      withShingleHashes(Tables.documents(spark, dir))
+        .select(col("doc_id"), col("hs")))
+    val sh = sets.select(col("doc_id"), size(col("hs")).as("n"), explode(col("hs")).as("s"))
+    val freq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val prefix = graft.Caches.persistTracked(sh.join(freq, "s")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("df"), col("s"))))
+      .filter(col("rn") <= col("n") - ceil(col("n") * tDec) + 1)
+      .select(col("doc_id"), col("s")))
+    val candidates = prefix.as("a")
+      .join(sh.select(col("doc_id"), col("s")).as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("da"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("db"))
+      .distinct()
+    // verification is one array_intersect per surviving pair over the
+    // broadcast (size-gated) per-doc hash sets — map-side
+    import graft.operators.Scale.maybeBroadcast
+    val verified = candidates
+      .join(maybeBroadcast(sets.select(col("doc_id").as("da"), col("hs").as("ha"))), Seq("da"))
+      .join(maybeBroadcast(sets.select(col("doc_id").as("db"), col("hs").as("hb"))), Seq("db"))
+      .select(col("da"), col("db"),
+        size(array_intersect(col("ha"), col("hb"))).cast("long").as("c"),
+        size(col("ha")).cast("long").as("na"), size(col("hb")).cast("long").as("nb"))
+    verified
+      .select(explode(array(
+        struct(col("da").as("contained"), col("db").as("container"),
+          col("c"), col("na").as("n")),
+        struct(col("db").as("contained"), col("da").as("container"),
+          col("c"), col("nb").as("n")))).as("e"))
+      .select(col("e.contained").as("contained"), col("e.container").as("container"),
+        col("e.c").as("c"), col("e.n").as("n"))
+      .filter(col("c") * 10 >= col("n") * 9)
+      .select(col("contained"), col("container"),
+        round(col("c").cast("double") / col("n"), 6).as("containment"))
+      .orderBy(col("contained"), col("container"))
   }
 }

@@ -87,6 +87,43 @@ object Graph {
       .orderBy(col("part"))
   }
 
+  /** Damped PageRank (d=0.85, 3 iterations) over the symmetric
+    * co-occurrence graph — the part-importance ranking a recommender
+    * derives from the affinity graph. Each iteration is ONE broadcast
+    * join (the |V|-row rank table against the edge scan) plus ONE
+    * shuffle agg on the destination key; the edge list itself is
+    * persisted once and never re-derived. Ranks round to 9 decimals
+    * per iteration in BOTH engines, so float-sum ordering differences
+    * cannot compound across iterations (the oracle unrolls the same
+    * three steps in SQL). At 100 TB the rank table outgrows the
+    * broadcast gate and [[graft.operators.Scale.maybeBroadcast]]
+    * falls back to a shuffle join keyed the same way.
+    */
+  def pageRank(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    import graft.operators.Scale.maybeBroadcast
+    val p = graft.Caches.persistTracked(coOccurrenceEdges(spark, dir))
+    val edges = graft.Caches.persistTracked(
+      p.unionAll(p.select(col("v").as("u"), col("u").as("v"))))
+    edges.count() // materialize: broadcast gates below need real sizes
+    val outdeg = graft.Caches.persistTracked(
+      edges.groupBy(col("u")).agg(count(lit(1)).as("od")))
+    // materializes the cache AND yields |V| (every node of a symmetric
+    // graph appears as u)
+    val n = outdeg.count()
+    var ranks = outdeg.select(col("u").as("nd")).withColumn("rank", lit(1.0 / n))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(maybeBroadcast(outdeg), Seq("u"))
+        .join(maybeBroadcast(ranks.select(col("nd").as("u"), col("rank"))), Seq("u"))
+        .select(col("v").as("nd"), (col("rank") / col("od")).as("c"))
+      ranks = graft.Caches.persistTracked(contrib.groupBy(col("nd"))
+        .agg(round(lit(0.15 / n) + lit(0.85) * sum(col("c")), 9).as("rank")))
+      ranks.count() // keep stats real so the next broadcast gate fires
+    }
+    ranks.select(col("nd").as("part"), round(col("rank"), 6).as("rank"))
+      .orderBy(col("part"))
+  }
+
   /** Connected components over a SPARSIFIED co-occurrence graph
     * (bulk lines only, l_quantity >= 48): exercises the same hybrid
     * union-find / star-contraction machinery as the near-dup

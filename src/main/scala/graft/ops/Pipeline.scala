@@ -184,6 +184,46 @@ object Pipeline {
     * state. The global top-k is orderBy+limit, which Spark plans as
     * TakeOrderedAndProject — per-partition heaps then a k-row driver
     * merge, never a global sort. */
+  /** Corpus-composition report — the data-mix table every training
+    * build is steered by (how much of each language/source, and what
+    * share of the total char budget): one map-side-combinable agg to
+    * (lang, source) grain, then the share against a window total over
+    * the already-tiny aggregate (never over the corpus). */
+  def domainMix(spark: SparkSession, dir: String): DataFrame = {
+    val agg = Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy() // |lang×source| rows — a fine single partition
+    agg
+      .withColumn("char_share",
+        round(col("sum_chars").cast("double") / sum(col("sum_chars")).over(w), 6))
+      .select(col("lang"), col("source"), col("n_docs"), col("sum_chars"), col("char_share"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** Per-language quality floor: keep docs at or above their
+    * language's 25th quality percentile — the adaptive gate that
+    * prunes each stratum against its own distribution instead of one
+    * global constant (a constant tuned for English guts low-resource
+    * languages). Exact interpolated percentile per language (a
+    * |langs|-row agg, broadcast back); the threshold compares against
+    * 6-dp-rounded scores on both engines, so the boundary is
+    * engine-identical. */
+  def qualityGate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Scale.maybeBroadcast
+    val scored = graft.Caches.persistTracked(
+      Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+        .join(TextAnalysis.quality(spark, dir).select(col("doc_id"), col("quality_score")),
+          Seq("doc_id")))
+    val thresh = scored.groupBy(col("lang"))
+      .agg(round(expr("percentile(quality_score, 0.25)"), 6).as("p25"))
+    scored.join(maybeBroadcast(thresh), Seq("lang"))
+      .filter(col("quality_score") >= col("p25"))
+      .select(col("doc_id"), col("lang"), col("quality_score"), col("p25"))
+      .orderBy(col("doc_id"))
+  }
+
   def sampleWeighted(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("n_chars"),

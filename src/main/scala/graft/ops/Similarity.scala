@@ -326,4 +326,87 @@ object Similarity {
         (col("cell") === col("label").cast("long")).as("matches_label"))
       .orderBy(col("vec_id"))
   }
+
+  /** Product quantization + asymmetric-distance search (PQ/ADC) — the
+    * compression that makes billion-vector ANN feasible: 64 dims split
+    * into 8 subspaces of 8, each subvector encoded as the id of its
+    * nearest per-subspace codeword (label-seeded codebook, like
+    * [[annIvf]]'s coarse cells), so a vector stores as 8 small codes
+    * instead of 64 floats. Search never touches the original vectors:
+    * the probe precomputes an 8×|codebook| distance TABLE (tiny,
+    * broadcast), and each candidate's approximate distance is the sum
+    * of 8 table lookups — one broadcast join + one agg over the code
+    * table, no vector math on the scan side. Codeword dims and
+    * per-subspace distances round to 6 so the DuckDB oracle reproduces
+    * encoding argmins and ADC sums exactly.
+    */
+  def annPqAdc(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val sub = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col("vec_id"), col("label"),
+        (col("pos") / 8).cast("long").as("s"), (col("pos") % 8).cast("long").as("j"),
+        col("xf").cast("double").as("x"))
+    // codebook: per-(subspace, label) mean subvector, |labels| codewords
+    // per subspace — a few hundred rows even for a real index
+    val cbArr = sub.groupBy(col("label").as("code"), col("s"), col("j"))
+      .agg(round(avg(col("x")), 6).as("c"))
+      .groupBy(col("code"), col("s"))
+      .agg(expr("transform(array_sort(collect_list(struct(j, c))), z -> z.c)").as("cw"))
+    val vsub = graft.Caches.persistTracked(sub.groupBy(col("vec_id"), col("s"))
+      .agg(expr("transform(array_sort(collect_list(struct(j, x))), z -> z.x)").as("sv")))
+    // encode: nearest codeword per (vector, subspace) — broadcast cross
+    // against the tiny codebook, argmin window
+    val wEnc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"), col("s")).orderBy(col("d"), col("code"))
+    val enc = vsub.join(broadcast(cbArr), Seq("s"))
+      .withColumn("d", round(expr("graft_l2sq(sv, cw)"), 6))
+      .withColumn("rk", row_number().over(wEnc)).filter(col("rk") === 1)
+      .select(col("vec_id"), col("s"), col("code"))
+    // ADC distance table: probe subvector → every codeword (5×8×|codes|)
+    val dtab = vsub.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("s"), col("sv").as("psv"))
+      .join(broadcast(cbArr), Seq("s"))
+      .select(col("probe_id"), col("s"), col("code"),
+        round(expr("graft_l2sq(psv, cw)"), 6).as("dsq"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("adist"), col("vec_id"))
+    enc.join(broadcast(dtab), Seq("s", "code"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(round(sqrt(sum(col("dsq"))), 6).as("adist"))
+      .withColumn("rk", row_number().over(wTop).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("vec_id"), col("adist"), col("rk"))
+      .orderBy(col("probe_id"), col("rk"))
+  }
+
+  /** Embedding QC: distance-to-centroid z-score outlier flags — the
+    * sanity pass a training pipeline runs on a new embedding batch
+    * (mis-encoded rows land far from their cluster). One broadcast
+    * join against the |labels|-row centroid table for the distance,
+    * one tiny agg for per-label mean/stddev, one broadcast back —
+    * the scan side never shuffles. Distances, moments, and z-scores
+    * all round to 6 (population stddev on the ROUNDED distances) so
+    * the flag boundary is engine-identical. */
+  def embedOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Scale.maybeBroadcast
+    val cv = centroids(spark, dir)
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, centroid))), s -> s.centroid)").as("cv"))
+    val d = graft.Caches.persistTracked(
+      vecs(spark, dir).select(col("vec_id"), col("label").cast("long").as("label"), col("v"))
+        .join(maybeBroadcast(cv), Seq("label"))
+        .select(col("vec_id"), col("label"),
+          round(sqrt(expr("graft_l2sq(v, cv)")), 6).as("dist")))
+    val stats = d.groupBy(col("label")).agg(
+      round(avg(col("dist")), 6).as("mu"),
+      round(stddev_pop(col("dist")), 6).as("sigma"))
+    d.join(maybeBroadcast(stats), Seq("label"))
+      .select(col("vec_id"), col("label"), col("dist"),
+        round((col("dist") - col("mu")) / col("sigma"), 6).as("z"))
+      .withColumn("is_outlier", col("z") >= 2.0)
+      .orderBy(col("vec_id"))
+  }
 }
