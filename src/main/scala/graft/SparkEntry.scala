@@ -132,6 +132,8 @@ object SparkEntry {
     "dedup_containment"   -> Dedup.containmentPairs _,
     "pipeline_domain_mix" -> Pipeline.domainMix _,
     "pipeline_quality_gate" -> Pipeline.qualityGate _,
+    "ann_ivf_pq"          -> Similarity.annIvfPq _,
+    "pipeline_token_budget" -> ((s, d) => Pipeline.tokenBudget(s, d)),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. */
@@ -1164,6 +1166,63 @@ object SparkEntry {
         |SELECT probe_id, vec_id, adist,
         | CAST(row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS BIGINT) AS rk
         |FROM adc QUALIFY rk <= 5 ORDER BY probe_id, rk""".stripMargin,
+    // IVF routing (nprobe=2 coarse cells) + PQ asymmetric distance —
+    // same codebook/encoding CTEs as ann_pq_adc plus the cell filter
+    "ann_ivf_pq" ->
+      """WITH pe AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |   CAST(i - 1 AS BIGINT) AS pos, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
+        |sub AS (SELECT vec_id, label, pos // 8 AS s, pos % 8 AS j, x FROM pe),
+        |cb AS (SELECT label AS code, s, j, round(avg(x), 6) AS c FROM sub GROUP BY 1, 2, 3),
+        |cbarr AS (SELECT code, s, list(c ORDER BY j) AS cw FROM cb GROUP BY 1, 2),
+        |vsub AS (SELECT vec_id, s, list(x ORDER BY j) AS sv FROM sub GROUP BY 1, 2),
+        |encd AS (SELECT vec_id, s, code,
+        |   round(list_sum(list_transform(list_zip(sv, cw), z -> (z[1]-z[2])*(z[1]-z[2]))), 6) AS d
+        |  FROM vsub JOIN cbarr USING (s)),
+        |enc AS (SELECT vec_id, s, code FROM encd
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) = 1),
+        |dtab AS (SELECT v.vec_id AS probe_id, v.s, cbarr.code,
+        |   round(list_sum(list_transform(list_zip(v.sv, cbarr.cw), z -> (z[1]-z[2])*(z[1]-z[2]))), 6) AS dsq
+        |  FROM vsub v JOIN cbarr ON v.s = cbarr.s WHERE v.vec_id < 5),
+        |cp AS (SELECT CAST(label AS BIGINT) AS label, CAST(pos AS BIGINT) AS pos,
+        |   round(avg(x), 6) AS centroid FROM pe GROUP BY 1, 2),
+        |cent AS (SELECT label AS cell, list(centroid ORDER BY pos) AS cv FROM cp GROUP BY 1),
+        |ev AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |pr AS (SELECT vec_id AS probe_id, v AS pv FROM ev WHERE vec_id < 5),
+        |routed AS (SELECT probe_id, cell FROM (
+        |   SELECT pr.probe_id, cent.cell,
+        |     round(sqrt(list_sum(list_transform(list_zip(pr.pv, cent.cv),
+        |       z -> (z[1]-z[2])*(z[1]-z[2])))), 6) AS cdist
+        |   FROM pr CROSS JOIN cent) t
+        |  QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cdist, cell) <= 2),
+        |cand AS (SELECT routed.probe_id, ev.vec_id
+        |  FROM routed JOIN ev ON ev.label = routed.cell
+        |  WHERE ev.vec_id <> routed.probe_id),
+        |adc AS (SELECT cand.probe_id, cand.vec_id, round(sqrt(sum(dsq)), 6) AS adist
+        |  FROM cand JOIN enc ON enc.vec_id = cand.vec_id
+        |  JOIN dtab ON dtab.probe_id = cand.probe_id
+        |    AND dtab.s = enc.s AND dtab.code = enc.code
+        |  GROUP BY 1, 2)
+        |SELECT probe_id, vec_id, adist,
+        | CAST(row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS BIGINT) AS rk
+        |FROM adc QUALIFY rk <= 5 ORDER BY probe_id, rk""".stripMargin,
+    "pipeline_token_budget" ->
+      """WITH q AS (SELECT doc_id,
+        |  round(least(length(text) / CAST(400 AS DOUBLE), CAST(1.0 AS DOUBLE))
+        |    * (1.0 - CAST(len(regexp_extract_all(text, '[^a-z0-9\s]')) AS DOUBLE) / length(text))
+        |    * (0.5 + CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in)\b')) AS DOUBLE)
+        |        / CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE)), 6) AS quality_score
+        | FROM documents),
+        |s AS (SELECT d.doc_id, d.lang, d.n_chars, q.quality_score
+        |  FROM documents d JOIN q ON d.doc_id = q.doc_id),
+        |c AS (SELECT doc_id, lang, quality_score, n_chars,
+        |   CAST(sum(n_chars) OVER (PARTITION BY lang
+        |     ORDER BY quality_score DESC, doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_chars
+        |  FROM s)
+        |SELECT doc_id, lang, quality_score, n_chars, cum_chars
+        |FROM c WHERE cum_chars <= 50000 ORDER BY doc_id""".stripMargin,
     "embed_outliers" ->
       """WITH pe AS (SELECT CAST(label AS BIGINT) AS label, i AS pos, embedding[i] AS x
         |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),

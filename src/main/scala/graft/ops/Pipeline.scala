@@ -224,6 +224,30 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Greedy per-language char-budget selection: rank each language's
+    * docs by quality (best first, doc_id tiebreak) and keep rows while
+    * the running char total stays under the stratum's budget — the
+    * "fill each language's token quota with its best material" step of
+    * a data-mix plan. One window per language partition (the natural
+    * parallelism unit); the running sum is exact integer math so the
+    * cut is engine-identical. */
+  def tokenBudget(spark: SparkSession, dir: String, budgetChars: Long = 50000L): DataFrame = {
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(TextAnalysis.quality(spark, dir).select(col("doc_id"), col("quality_score")),
+        Seq("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("quality_score").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    scored
+      .withColumn("cum_chars", sum(col("n_chars")).over(w))
+      .filter(col("cum_chars") <= budgetChars)
+      .select(col("doc_id"), col("lang"), col("quality_score"),
+        col("n_chars"), col("cum_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   def sampleWeighted(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("n_chars"),

@@ -340,7 +340,12 @@ object Similarity {
     * per-subspace distances round to 6 so the DuckDB oracle reproduces
     * encoding argmins and ADC sums exactly.
     */
-  def annPqAdc(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  /** PQ building blocks shared by [[annPqAdc]] and [[annIvfPq]]:
+    * (codebook, per-vector subvectors, per-vector codes, probe ADC
+    * distance table). The codebook is per-(subspace, label) mean
+    * subvectors — a few hundred rows even for a real index. */
+  private def pqParts(spark: SparkSession, dir: String):
+      (DataFrame, DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(spark)
     val sub = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label").cast("long").as("label"),
@@ -348,8 +353,6 @@ object Similarity {
       .select(col("vec_id"), col("label"),
         (col("pos") / 8).cast("long").as("s"), (col("pos") % 8).cast("long").as("j"),
         col("xf").cast("double").as("x"))
-    // codebook: per-(subspace, label) mean subvector, |labels| codewords
-    // per subspace — a few hundred rows even for a real index
     val cbArr = sub.groupBy(col("label").as("code"), col("s"), col("j"))
       .agg(round(avg(col("x")), 6).as("c"))
       .groupBy(col("code"), col("s"))
@@ -370,6 +373,11 @@ object Similarity {
       .join(broadcast(cbArr), Seq("s"))
       .select(col("probe_id"), col("s"), col("code"),
         round(expr("graft_l2sq(psv, cw)"), 6).as("dsq"))
+    (cbArr, enc, dtab)
+  }
+
+  def annPqAdc(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val (_, enc, dtab) = pqParts(spark, dir)
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id")).orderBy(col("adist"), col("vec_id"))
     enc.join(broadcast(dtab), Seq("s", "code"))
@@ -378,6 +386,46 @@ object Similarity {
       .agg(round(sqrt(sum(col("dsq"))), 6).as("adist"))
       .withColumn("rk", row_number().over(wTop).cast("long"))
       .filter(col("rk") <= k)
+      .select(col("probe_id"), col("vec_id"), col("adist"), col("rk"))
+      .orderBy(col("probe_id"), col("rk"))
+  }
+
+  /** IVF + PQ composed (the FAISS-IVFPQ index shape, minus residual
+    * encoding — the label-seeded residual codebook would be
+    * degenerate): the probe routes to its nprobe=2 nearest coarse
+    * cells by exact centroid distance, and ONLY vectors in those
+    * cells are scored, via the same broadcast ADC table as
+    * [[annPqAdc]]. At 100 TB this is the full billion-vector recipe:
+    * the scan touches nprobe/|cells| of the corpus and reads 8 code
+    * bytes per vector instead of the embedding. */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val (_, enc, dtab) = pqParts(spark, dir)
+    val cent = centroids(spark, dir)
+      .groupBy(col("label").as("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, centroid))), s -> s.centroid)").as("cv"))
+    val e = vecs(spark, dir)
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    val wCell = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("cdist"), col("cell"))
+    val routed = probes.crossJoin(broadcast(cent))
+      .withColumn("cdist", round(sqrt(expr("graft_l2sq(pv, cv)")), 6))
+      .withColumn("crk", row_number().over(wCell))
+      .filter(col("crk") <= 2)
+      .select(col("probe_id"), col("cell"))
+    // candidates: vectors whose coarse cell was routed to
+    val cand = routed.join(
+        e.select(col("vec_id"), col("label").cast("long").as("cell")), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("adist"), col("vec_id"))
+    cand.join(enc, Seq("vec_id"))
+      .join(broadcast(dtab), Seq("probe_id", "s", "code"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(round(sqrt(sum(col("dsq"))), 6).as("adist"))
+      .withColumn("rk", row_number().over(wTop).cast("long"))
+      .filter(col("rk") <= 5)
       .select(col("probe_id"), col("vec_id"), col("adist"), col("rk"))
       .orderBy(col("probe_id"), col("rk"))
   }

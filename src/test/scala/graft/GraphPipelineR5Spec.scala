@@ -50,6 +50,35 @@ class GraphPipelineR5Spec extends SparkSpec {
     assert(c > 0.5, s"ADC/exact distance correlation $c — quantizer broken")
   }
 
+  test("annIvfPq scores agree with the full PQ scan on shared pairs") {
+    val ivfpq = Similarity.annIvfPq(spark, sf0001)
+      .select(col("probe_id"), col("vec_id"), col("adist").as("a1"))
+    val full = Similarity.annPqAdc(spark, sf0001, k = Int.MaxValue)
+      .select(col("probe_id"), col("vec_id"), col("adist").as("a2"))
+    val joined = ivfpq.join(full, Seq("probe_id", "vec_id"))
+    assert(joined.count() == ivfpq.count(), "an IVF-PQ pair missing from the full PQ scan")
+    assert(joined.filter(col("a1") =!= col("a2")).count() == 0,
+      "routing changed an ADC distance — the cell filter must not affect scoring")
+  }
+
+  test("tokenBudget keeps every language under budget, best-first") {
+    val kept = Pipeline.tokenBudget(spark, sf0001, budgetChars = 20000L)
+    val over = kept.groupBy(col("lang")).agg(sum(col("n_chars")).as("total"))
+      .filter(col("total") > 20000L)
+    assert(over.count() == 0, "a language exceeded its char budget")
+    // best-first: the minimum kept quality must be >= the maximum
+    // dropped quality per language (ties broken by doc_id are fine to
+    // ignore — strict inequality only)
+    val all = Tables.documents(spark, sf0001).select(col("doc_id"), col("lang"))
+      .join(graft.ops.TextAnalysis.quality(spark, sf0001)
+        .select(col("doc_id"), col("quality_score")), Seq("doc_id"))
+    val dropped = all.join(kept.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val minKept = kept.groupBy(col("lang")).agg(min(col("quality_score")).as("mn"))
+    val maxDrop = dropped.groupBy(col("lang")).agg(max(col("quality_score")).as("mx"))
+    val inverted = minKept.join(maxDrop, "lang").filter(col("mx") > col("mn"))
+    assert(inverted.count() == 0, "a dropped doc outranked a kept one")
+  }
+
   test("embedOutliers flags are the >=2-sigma tail, per label") {
     val d = Similarity.embedOutliers(spark, sf0001)
     val n = d.count()
