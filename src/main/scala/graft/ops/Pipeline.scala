@@ -212,10 +212,12 @@ object Pipeline {
     * engine-identical. */
   def qualityGate(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Scale.maybeBroadcast
+    // score computed inline — ONE documents scan, no self-join on
+    // doc_id just to attach a derived column
     val scored = graft.Caches.persistTracked(
-      Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
-        .join(TextAnalysis.quality(spark, dir).select(col("doc_id"), col("quality_score")),
-          Seq("doc_id")))
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.qualityScoreCol.as("quality_score")))
     val thresh = scored.groupBy(col("lang"))
       .agg(round(expr("percentile(quality_score, 0.25)"), 6).as("p25"))
     scored.join(maybeBroadcast(thresh), Seq("lang"))
@@ -232,10 +234,10 @@ object Pipeline {
     * parallelism unit); the running sum is exact integer math so the
     * cut is engine-identical. */
   def tokenBudget(spark: SparkSession, dir: String, budgetChars: Long = 50000L): DataFrame = {
+    // single scan — the score is a projection, not a join
     val scored = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), col("n_chars"))
-      .join(TextAnalysis.quality(spark, dir).select(col("doc_id"), col("quality_score")),
-        Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        TextAnalysis.qualityScoreCol.as("quality_score"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("quality_score").desc, col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,

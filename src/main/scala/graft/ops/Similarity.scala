@@ -414,13 +414,19 @@ object Similarity {
       .filter(col("crk") <= 2)
       .select(col("probe_id"), col("cell"))
     // candidates: vectors whose coarse cell was routed to
-    val cand = routed.join(
+    val cand = graft.Caches.persistTracked(routed.join(
         e.select(col("vec_id"), col("label").cast("long").as("cell")), Seq("cell"))
       .filter(col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id"))
+      .select(col("probe_id"), col("vec_id")))
+    cand.count() // materialize — the broadcast gate needs real size,
+    // not the window-join estimate (which planned a sort-merge here)
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id")).orderBy(col("adist"), col("vec_id"))
-    cand.join(enc, Seq("vec_id"))
+    // the candidate list is probe-bounded (|probes|·nprobe·cell size);
+    // the CODE table is the billion-row side at scale — broadcast the
+    // candidates so the code scan streams map-side
+    import graft.operators.Scale.maybeBroadcast
+    maybeBroadcast(cand).join(enc, Seq("vec_id"))
       .join(broadcast(dtab), Seq("probe_id", "s", "code"))
       .groupBy(col("probe_id"), col("vec_id"))
       .agg(round(sqrt(sum(col("dsq"))), 6).as("adist"))

@@ -26,6 +26,21 @@ object TextAnalysis {
         size(expr(raw"regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)")).cast("long").as("n_bpeish"))
       .orderBy(col("doc_id"))
 
+  /** The combined quality score as a column over `text` — shared by
+    * [[quality]] and the single-scan consumers (Pipeline.qualityGate,
+    * tokenBudget) so they never re-join documents to itself on doc_id
+    * just to attach the score. */
+  private[ops] def qualityScoreCol: org.apache.spark.sql.Column = {
+    val nTok = size(expr(raw"regexp_extract_all(text, '\\S+', 0)"))
+    val nStop = size(expr("regexp_extract_all(text, '\\\\b(the|a|of|and|to|in)\\\\b', 0)"))
+    val nPunct = size(expr(raw"regexp_extract_all(text, '[^a-z0-9\\s]', 0)"))
+    val len = length(col("text"))
+    // score: long enough, not punctuation soup, some stopwords
+    round(least(len.cast("double") / 400, lit(1.0)) *
+      (lit(1.0) - nPunct.cast("double") / len) *
+      (lit(0.5) + nStop.cast("double") / nTok), 6)
+  }
+
   /** Quality scoring: length, punctuation/digit density, stopword ratio,
     * and a combined score — the usual pretraining quality filters. */
   def quality(spark: SparkSession, dir: String): DataFrame = {
@@ -41,10 +56,7 @@ object TextAnalysis {
         round(nPunct.cast("double") / len, 6).as("punct_ratio"),
         round(nDigit.cast("double") / len, 6).as("digit_ratio"),
         round(nStop.cast("double") / nTok, 6).as("stop_ratio"),
-        // score: long enough, not punctuation soup, some stopwords
-        round(least(len.cast("double") / 400, lit(1.0)) *
-          (lit(1.0) - nPunct.cast("double") / len) *
-          (lit(0.5) + nStop.cast("double") / nTok), 6).as("quality_score"))
+        qualityScoreCol.as("quality_score"))
       .orderBy(col("doc_id"))
   }
 
