@@ -60,20 +60,26 @@ object Graph {
     // (DATATYPE_MISMATCH.DATA_DIFF_TYPES)
     val ukey = struct(col("du").as("d"), col("u").as("n"))
     val vkey = struct(col("dv").as("d"), col("v").as("n"))
+    // the (deg, id) order key is carried as two FLAT long columns —
+    // the wedge join evaluates its ordering condition Σoutdeg² times,
+    // and flat comparisons codegen much tighter than struct comparators
     val oriented = graft.Caches.persistTracked(edges
       .join(degU, Seq("u"))
       .join(degV, Seq("v"))
       .select(
         when(ukey < vkey, col("u")).otherwise(col("v")).as("src"),
         when(ukey < vkey, col("v")).otherwise(col("u")).as("dst"),
-        when(ukey < vkey, vkey).otherwise(ukey).as("dstkey")))
+        when(ukey < vkey, col("dv")).otherwise(col("du")).as("dd"),
+        when(ukey < vkey, col("v")).otherwise(col("u")).as("dn")))
     oriented.count() // materialize before the closing-relation gate
     // wedges from a common apex, ordered so each pair forms once; the
     // closing edge must also be oriented b -> c (b before c in the
-    // total order), which the dstkey comparison guarantees
+    // total order), which the (dd, dn) comparison guarantees
     val wedges = oriented.as("e1")
       .join(maybeBroadcast(oriented).as("e2"),
-        col("e1.src") === col("e2.src") && col("e1.dstkey") < col("e2.dstkey"))
+        col("e1.src") === col("e2.src") &&
+          (col("e1.dd") < col("e2.dd") ||
+            (col("e1.dd") === col("e2.dd") && col("e1.dn") < col("e2.dn"))))
       .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
     // the wedge stream is the big side (Σ outdeg² rows); the closing
     // relation is just the edge list, two ints wide — broadcast it

@@ -79,6 +79,14 @@ class GraphPipelineR5Spec extends SparkSpec {
     assert(inverted.count() == 0, "a dropped doc outranked a kept one")
   }
 
+  test("ann_ivf_pq final plan has no sort-merge join (code table stays map-side)") {
+    val df = Similarity.annIvfPq(spark, sf0001)
+    df.collect() // AQE: the final plan exists only after execution
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      "candidate/code join fell back to sort-merge — broadcast gate lost its stats")
+  }
+
   test("embedOutliers flags are the >=2-sigma tail, per label") {
     val d = Similarity.embedOutliers(spark, sf0001)
     val n = d.count()
