@@ -134,6 +134,9 @@ object SparkEntry {
     "pipeline_quality_gate" -> Pipeline.qualityGate _,
     "ann_ivf_pq"          -> Similarity.annIvfPq _,
     "pipeline_token_budget" -> ((s, d) => Pipeline.tokenBudget(s, d)),
+    "pipeline_contamination_ngram" -> Pipeline.contaminationNgram _,
+    "text_repetition"     -> TextAnalysis.repetition _,
+    "embed_dim_stats"     -> Similarity.dimStats _,
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. */
@@ -1207,6 +1210,39 @@ object SparkEntry {
         |SELECT probe_id, vec_id, adist,
         | CAST(row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS BIGINT) AS rk
         |FROM adc QUALIFY rk <= 5 ORDER BY probe_id, rk""".stripMargin,
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+        |g AS (SELECT doc_id, toks,
+        |   CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1),
+        |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |   ELSE CAST([] AS VARCHAR[]) END AS grams FROM t)
+        |SELECT doc_id,
+        | CAST(len(toks) AS BIGINT) AS n_tokens,
+        | CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+        | round(CAST(1.0 AS DOUBLE) - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS dup_token_ratio,
+        | CASE WHEN len(grams) > 0
+        |   THEN round(CAST(1.0 AS DOUBLE) - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+        |   ELSE 0.0 END AS dup_3gram_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "pipeline_contamination_ngram" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(
+        |   CASE WHEN len(toks) >= 5 THEN list_transform(range(1, len(toks) - 3),
+        |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])
+        |   ELSE CAST([] AS VARCHAR[]) END)) AS s FROM t),
+        |tr AS (SELECT doc_id, s FROM g WHERE doc_id % 10 != 0),
+        |be AS (SELECT doc_id AS bench_id, s FROM g WHERE doc_id % 10 = 0),
+        |p AS (SELECT DISTINCT tr.doc_id, tr.s, be.bench_id FROM tr JOIN be USING (s)),
+        |a AS (SELECT doc_id, CAST(count(DISTINCT s) AS BIGINT) AS n_shared_ngrams FROM p GROUP BY 1),
+        |b AS (SELECT doc_id, CAST(count(DISTINCT bench_id) AS BIGINT) AS n_bench_docs FROM p GROUP BY 1)
+        |SELECT doc_id, n_shared_ngrams, n_bench_docs
+        |FROM a JOIN b USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "embed_dim_stats" ->
+      """WITH pe AS (SELECT CAST(i - 1 AS BIGINT) AS pos, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i))
+        |SELECT pos, count(*) AS n, round(avg(x), 6) AS mean,
+        | round(stddev_pop(x), 6) AS stddev, min(x) AS mn, max(x) AS mx
+        |FROM pe GROUP BY 1 ORDER BY 1""".stripMargin,
     "pipeline_token_budget" ->
       """WITH q AS (SELECT doc_id,
         |  round(least(length(text) / CAST(400 AS DOUBLE), CAST(1.0 AS DOUBLE))

@@ -280,17 +280,23 @@ object Dedup {
     * here). Kept as the all-DataFrame reference implementation the
     * hybrid and star paths are checked against. */
   def componentsMinLabel(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Scale.maybeBroadcast
     val pairs = graft.Caches.persistTracked(minhashLsh(spark, dir)
       .select(col("doc_a").as("u"), col("doc_b").as("v")))
     val edges = pairs.unionAll(pairs.select(col("v").as("u"), col("u").as("v")))
     var labels = graft.Caches.persistTracked(
       edges.select(col("u").as("node")).distinct()
         .withColumn("comp", col("node")))
+    labels.count() // materialize so the per-round broadcast gate sees
+    // real sizes (each later round's labels are materialized by the
+    // convergence count)
     var cached = labels // the persisted handle backing `labels`
     var changed = 1L
     while (changed > 0) {
+      // label table is |V| rows — broadcast it (size-gated) so the
+      // edge list streams map-side instead of shuffling every round
       val neighborMin = edges
-        .join(labels.withColumnRenamed("node", "v2"), col("v") === col("v2"))
+        .join(maybeBroadcast(labels.withColumnRenamed("node", "v2")), col("v") === col("v2"))
         .groupBy(col("u").as("node")).agg(min(col("comp")).as("ncomp"))
       // old and new labels in one relation: the convergence count and
       // the next labels share a single join + cache materialization

@@ -226,6 +226,38 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact n-gram contamination screen (the GPT-style complement of
+    * the MinHash [[decontaminate]]): for every training doc, how many
+    * of its distinct 5-gram shingles appear in ANY held-out benchmark
+    * doc, and how many benchmark docs it collides with. The only wide
+    * op is the shingle equi-join (train side × the much smaller
+    * benchmark side); the two DISTINCT counts are separate two-level
+    * aggs joined at doc grain — never a multi-countDistinct Expand of
+    * the pair stream. */
+  def contaminationNgram(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr(raw"regexp_extract_all(text, '\\S+', 0)").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(CASE WHEN size(toks) >= 5 THEN
+             transform(sequence(0, size(toks) - 5),
+               i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2], ' ', toks[i+3], ' ', toks[i+4]))
+           ELSE array() END)""")).as("s"))
+    val train = grams.filter(col("doc_id") % 10 =!= 0)
+    val bench = grams.filter(col("doc_id") % 10 === 0)
+      .select(col("s"), col("doc_id").as("bench_id"))
+    import graft.operators.Scale.maybeBroadcast
+    val pairs = graft.Caches.persistTracked(
+      train.join(maybeBroadcast(bench), Seq("s"))
+        .select(col("doc_id"), col("s"), col("bench_id")))
+    val nShared = pairs.select(col("doc_id"), col("s")).distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared_ngrams"))
+    val nBench = pairs.select(col("doc_id"), col("bench_id")).distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_bench_docs"))
+    nShared.join(nBench, Seq("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Greedy per-language char-budget selection: rank each language's
     * docs by quality (best first, doc_id tiebreak) and keep rows while
     * the running char total stays under the stratum's budget — the

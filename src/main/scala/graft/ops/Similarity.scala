@@ -436,6 +436,23 @@ object Similarity {
       .orderBy(col("probe_id"), col("rk"))
   }
 
+  /** Per-dimension distribution profile of the embedding table —
+    * the QC pass run before choosing quantization ranges or catching
+    * dead/saturated dimensions: one posexplode + one partial agg,
+    * output is |dims| rows. */
+  def dimStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col("pos").cast("long").as("pos"), col("xf").cast("double").as("x"))
+      .groupBy(col("pos"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("x")), 6).as("mean"),
+        round(stddev_pop(col("x")), 6).as("stddev"),
+        min(col("x")).as("mn"),
+        max(col("x")).as("mx"))
+      .orderBy(col("pos"))
+
   /** Embedding QC: distance-to-centroid z-score outlier flags — the
     * sanity pass a training pipeline runs on a new embedding batch
     * (mis-encoded rows land far from their cluster). One broadcast

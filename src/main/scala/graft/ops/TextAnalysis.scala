@@ -161,6 +161,30 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Within-document repetition ratios — the Gopher/RefinedWeb-style
+    * quality rule that catches boilerplate and degenerate generation:
+    * fraction of duplicate tokens and duplicate 3-grams inside each
+    * doc (1 − distinct/total). Pure per-row array expressions — zero
+    * shuffle, the whole operator is one projected scan. */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr(raw"regexp_extract_all(lower(text), '\\S+', 0)").as("toks"))
+      .withColumn("grams", expr(
+        """CASE WHEN size(toks) >= 3 THEN
+             transform(sequence(0, size(toks) - 3),
+               i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))
+           ELSE array() END"""))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(expr("array_distinct(toks)")).cast("long").as("n_distinct_tokens"),
+        round(lit(1.0) - size(expr("array_distinct(toks)")).cast("double") /
+          size(col("toks")), 6).as("dup_token_ratio"),
+        when(size(col("grams")) > 0,
+          round(lit(1.0) - size(expr("array_distinct(grams)")).cast("double") /
+            size(col("grams")), 6)).otherwise(lit(0.0)).as("dup_3gram_ratio"))
+      .orderBy(col("doc_id"))
+
   /** Per-document character-distribution Shannon entropy (bits) — the
     * cheap gibberish/boilerplate detector training pipelines run next
     * to length and stopword ratios: natural text sits in a narrow
