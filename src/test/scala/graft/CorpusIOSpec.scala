@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.CorpusIO
+
+class CorpusIOSpec extends SparkSpec {
+
+  private def tmpDir(name: String): String = {
+    val d = Files.createTempDirectory(name)
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  test("readJsonl parses good lines and quarantines bad ones with reasons") {
+    val dir = tmpDir("corpusio-in")
+    val f = Paths.get(dir, "docs.jsonl")
+    Files.writeString(f,
+      """{"doc_id": 1, "text": "hello world", "lang": "en", "source": "web", "n_chars": 11}
+        |{"doc_id": 2, "text": "zweite zeile", "lang": "de", "source": "web"}
+        |this line is not json at all
+        |{"doc_id": 3, "lang": "en", "source": "web"}
+        |{"text": "who am i", "lang": "en", "source": "web"}
+        |
+        |{"doc_id": 4, "text": "last", "lang": "es", "source": "book", "n_chars": 4}
+        |""".stripMargin)
+    val ingest = CorpusIO.readJsonl(spark, f.toString)
+    assert(ingest.good.count() == 3)
+    // n_chars backfilled from text when absent
+    val d2 = ingest.good.filter(col("doc_id") === 2).head
+    assert(d2.getAs[Long]("n_chars") == "zweite zeile".length.toLong)
+    val reasons = ingest.quarantine.select(col("reason")).collect().map(_.getString(0)).sorted
+    assert(reasons.toSeq == Seq("missing_doc_id", "missing_text", "unparseable_or_missing_both"))
+    // every input line is accounted for: good + quarantine = non-blank lines
+    assert(ingest.good.count() + ingest.quarantine.count() == 6)
+  }
+
+  test("writeSharded layout is deterministic and round-trips") {
+    val in = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    val out1 = tmpDir("corpusio-out1"); val out2 = tmpDir("corpusio-out2")
+    CorpusIO.writeSharded(in, out1, shards = 4)
+    CorpusIO.writeSharded(in, out2, shards = 4)
+    val r1 = spark.read.parquet(out1)
+    // round-trip: same rows, plus the shard column
+    assert(r1.count() == in.count())
+    assert(r1.select(col("doc_id"), col("text")).except(
+      in.select(col("doc_id"), col("text"))).count() == 0)
+    // shard assignment is the portable hash, not partition-count-dependent
+    val bad = r1.filter(
+      col("shard") =!= expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 4")).count()
+    assert(bad == 0, "a row landed in the wrong shard")
+    // determinism: both runs produce identical shard directories and
+    // identical per-shard row sets
+    // partition discovery infers the shard directory value as INT —
+    // cast before collecting
+    def shardSig(path: String): Seq[(Long, Long, Long)] =
+      spark.read.parquet(path).groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sig")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val shards1 = shardSig(out1)
+    val shards2 = shardSig(out2)
+    assert(shards1 == shards2, "two writes of the same input diverged")
+  }
+}
