@@ -226,6 +226,42 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** End-to-end corpus build — the whole curation pipeline as ONE
+    * callable: JSONL ingest (with quarantine sink) → inline quality +
+    * language gates → exact dedup (min doc_id per content hash) →
+    * per-language char-budget fill → deterministic sharded parquet.
+    * Everything between ingest and write is a single Catalyst plan
+    * over one scan of the good rows (gates are projections, the dedup
+    * is one window, the budget one window) — no staging tables.
+    * Returns (kept, quarantined) counts for the run report. */
+  def buildCorpus(spark: SparkSession, inJsonl: String, outDir: String,
+                  minQuality: Double = 0.3, keepLang: String = "en",
+                  budgetChars: Long = 50000L): (Long, Long) = {
+    val ingest = graft.sources.CorpusIO.readJsonl(spark, inJsonl)
+    val scored = ingest.good
+      .withColumn("quality_score", TextAnalysis.qualityScoreCol)
+      .withColumn("predicted_lang", TextAnalysis.predictedLangCol)
+      .filter(col("quality_score") >= minQuality &&
+        col("predicted_lang") === keepLang)
+    // exact dedup: keep the minimum doc_id per content hash
+    val wDedup = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val deduped = scored
+      .withColumn("dup_rank", row_number().over(wDedup))
+      .filter(col("dup_rank") === 1).drop("dup_rank")
+    val wBudget = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("quality_score").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val kept = deduped
+      .withColumn("cum_chars", sum(col("n_chars")).over(wBudget))
+      .filter(col("cum_chars") <= budgetChars)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    graft.sources.CorpusIO.writeSharded(kept, outDir)
+    ingest.quarantine.write.mode("overwrite").parquet(s"$outDir/_quarantine")
+    (spark.read.parquet(outDir).count(), ingest.quarantine.count())
+  }
+
   /** Exact n-gram contamination screen (the GPT-style complement of
     * the MinHash [[decontaminate]]): for every training doc, how many
     * of its distinct 5-gram shingles appear in ANY held-out benchmark

@@ -60,6 +60,17 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Predicted language as a column over `text` — shared by [[langid]]
+    * and single-scan consumers (Pipeline.buildCorpus). */
+  private[ops] def predictedLangCol: org.apache.spark.sql.Column = {
+    val cEn = size(expr("regexp_extract_all(text, 'th|he|an|in|er', 0)"))
+    val cDe = size(expr("regexp_extract_all(text, 'sch|ein|der|ung', 0)"))
+    val cEs = size(expr("regexp_extract_all(text, 'el |la |de |os ', 0)"))
+    when(cEn >= cDe && cEn >= cEs, "en")
+      .when(cDe >= cEs, "de")
+      .otherwise("es")
+  }
+
   /** Character-n-gram language-id heuristic: count language-marker
     * n-grams, argmax with a fixed priority tie-break. (The testdata text
     * is synthetic English-ish regardless of its `lang` column — the
@@ -71,7 +82,8 @@ object TextAnalysis {
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang").as("tagged_lang"),
         cEn.cast("long").as("c_en"), cDe.cast("long").as("c_de"), cEs.cast("long").as("c_es"))
-      .withColumn("predicted_lang",
+      .withColumn("predicted_lang", // same argmax as predictedLangCol,
+        // over the already-projected counts (text is gone here)
         when(col("c_en") >= col("c_de") && col("c_en") >= col("c_es"), "en")
           .when(col("c_de") >= col("c_es"), "de")
           .otherwise("es"))

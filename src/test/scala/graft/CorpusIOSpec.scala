@@ -37,6 +37,33 @@ class CorpusIOSpec extends SparkSpec {
     assert(ingest.good.count() + ingest.quarantine.count() == 6)
   }
 
+  test("buildCorpus runs ingest -> gates -> dedup -> budget -> sharded write end-to-end") {
+    val dir = tmpDir("corpusio-build")
+    val in = Paths.get(dir, "in.jsonl")
+    // real docs from testdata (duplicated, so the dedup stage has work)
+    // plus two corrupt lines for the quarantine
+    val docsJson = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .toJSON.collect()
+    val dupes = Tables.documents(spark, sf0001)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .toJSON.collect()
+    Files.writeString(in,
+      (docsJson ++ dupes ++ Seq("not json", """{"lang": "en"}""")).mkString("\n"))
+    val out = tmpDir("corpusio-built")
+    val (kept, quarantined) = graft.ops.Pipeline.buildCorpus(spark, in.toString, out)
+    assert(quarantined == 2)
+    assert(kept > 0)
+    val built = spark.read.parquet(out)
+    assert(built.count() == kept)
+    // dedup held: one row per distinct text
+    assert(built.groupBy(md5(col("text"))).count().filter(col("count") > 1).count() == 0)
+    // budget held per language
+    assert(built.groupBy(col("lang")).agg(sum(col("n_chars")).as("t"))
+      .filter(col("t") > 50000L).count() == 0)
+  }
+
   test("writeSharded layout is deterministic and round-trips") {
     val in = Tables.documents(spark, sf0001)
       .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
