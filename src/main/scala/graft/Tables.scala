@@ -37,4 +37,19 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every table as a temp view (plus the graft_* native
+    * functions), so `spark.sql` works directly against the dataset —
+    * the raw-SQL entry point a reference user expects alongside the
+    * DataFrame API. `events` goes through its nanos-safe loader. */
+  def registerAll(s: SparkSession, d: String): Unit = {
+    graft.functions.GraftFunctions.register(s)
+    all.foreach { name =>
+      val df = if (name == "events") events(s, d) else load(s, d, name)
+      df.createOrReplaceTempView(name)
+    }
+  }
 }
