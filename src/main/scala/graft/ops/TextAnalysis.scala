@@ -30,7 +30,7 @@ object TextAnalysis {
     * [[quality]] and the single-scan consumers (Pipeline.qualityGate,
     * tokenBudget) so they never re-join documents to itself on doc_id
     * just to attach the score. */
-  private[ops] def qualityScoreCol: org.apache.spark.sql.Column = {
+  private[graft] def qualityScoreCol: org.apache.spark.sql.Column = {
     val nTok = size(expr(raw"regexp_extract_all(text, '\\S+', 0)"))
     val nStop = size(expr("regexp_extract_all(text, '\\\\b(the|a|of|and|to|in)\\\\b', 0)"))
     val nPunct = size(expr(raw"regexp_extract_all(text, '[^a-z0-9\\s]', 0)"))
@@ -62,7 +62,7 @@ object TextAnalysis {
 
   /** Predicted language as a column over `text` — shared by [[langid]]
     * and single-scan consumers (Pipeline.buildCorpus). */
-  private[ops] def predictedLangCol: org.apache.spark.sql.Column = {
+  private[graft] def predictedLangCol: org.apache.spark.sql.Column = {
     val cEn = size(expr("regexp_extract_all(text, 'th|he|an|in|er', 0)"))
     val cDe = size(expr("regexp_extract_all(text, 'sch|ein|der|ung', 0)"))
     val cEs = size(expr("regexp_extract_all(text, 'el |la |de |os ', 0)"))

@@ -1,0 +1,44 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.CorpusStream
+
+class CorpusStreamSpec extends SparkSpec {
+
+  private def tmpDir(name: String): String = {
+    val d = Files.createTempDirectory(name)
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  test("streaming ingest dedups across micro-batches and quarantines bad lines") {
+    val in = tmpDir("cstream-in"); val out = tmpDir("cstream-out")
+    val ckpt = tmpDir("cstream-ckpt")
+    Files.writeString(Paths.get(in, "batch1.jsonl"),
+      """{"doc_id": 1, "text": "the quick brown fox and the lazy dog of a tale in a field", "lang": "en", "source": "web"}
+        |{"doc_id": 2, "text": "a second document of the corpus to keep and to hold in full", "lang": "en", "source": "web"}
+        |broken line one
+        |""".stripMargin)
+    val (g1, q1) = CorpusStream.ingest(spark, in, out, ckpt)
+    g1.awaitTermination(60000); q1.awaitTermination(60000)
+    // second drop: one duplicate text (new id), one new doc, one bad line
+    Files.writeString(Paths.get(in, "batch2.jsonl"),
+      """{"doc_id": 3, "text": "the quick brown fox and the lazy dog of a tale in a field", "lang": "en", "source": "web"}
+        |{"doc_id": 4, "text": "a third document of the corpus to keep and to hold in full", "lang": "en", "source": "web"}
+        |{"no_id": true}
+        |""".stripMargin)
+    val (g2, q2) = CorpusStream.ingest(spark, in, out, ckpt)
+    g2.awaitTermination(60000); q2.awaitTermination(60000)
+
+    val docs = spark.read.parquet(s"$out/docs")
+    // doc 3's text is a cross-batch duplicate of doc 1's — state must drop it
+    assert(docs.count() == 3, s"expected 3 docs, got ${docs.count()}")
+    assert(docs.groupBy(col("content_hash")).count().filter(col("count") > 1).count() == 0)
+    assert(docs.filter(col("doc_id") === 3).count() == 0, "cross-batch duplicate survived")
+    val quarantine = spark.read.parquet(s"$out/quarantine")
+    assert(quarantine.count() == 2)
+  }
+}
