@@ -137,6 +137,8 @@ object SparkEntry {
     "pipeline_contamination_ngram" -> Pipeline.contaminationNgram _,
     "text_repetition"     -> TextAnalysis.repetition _,
     "embed_dim_stats"     -> Similarity.dimStats _,
+    "dedup_cluster_stats" -> Dedup.clusterStats _,
+    "ann_recall_report"   -> Similarity.annRecallReport _,
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. */
@@ -566,6 +568,49 @@ object SparkEntry {
         |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
         |FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "dedup_cluster_stats" ->
+      s"""WITH RECURSIVE $componentsCtes,
+        |comp AS (SELECT node AS doc_id, min(reach) AS component FROM walk GROUP BY 1)
+        |SELECT component, count(*) AS n_members,
+        | CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+        | CAST(sum(CASE WHEN comp.doc_id != component THEN d.n_chars ELSE 0 END) AS BIGINT) AS chars_reclaimed
+        |FROM comp JOIN documents d ON comp.doc_id = d.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ann_recall_report" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |nn AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM e),
+        |pp AS (SELECT vec_id AS probe_id, v AS pv, norm AS pnorm FROM nn WHERE vec_id < 5),
+        |bfs AS (SELECT pp.probe_id, nn.vec_id,
+        |   round(list_sum(list_transform(list_zip(pp.pv, nn.v), z -> z[1]*z[2])) / (pp.pnorm * nn.norm), 6) AS cosine
+        |  FROM pp CROSS JOIN nn WHERE nn.vec_id <> pp.probe_id),
+        |bf AS (SELECT probe_id, vec_id FROM bfs
+        |  QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) <= 5),
+        |planes AS (
+        |  SELECT b, list_transform(range(0, 64), j ->
+        |    ((('0x' || substr(md5(b::VARCHAR || '-' || j::VARCHAR), 1, 15))::BIGINT % 2001) - 1000) / 1000.0) AS plane
+        |  FROM (SELECT unnest(range(0, 8)) AS b)),
+        |bits AS (SELECT e.vec_id, b,
+        |   CASE WHEN list_sum(list_transform(list_zip(e.v, plane), z -> z[1]*z[2])) >= 0
+        |     THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+        |  FROM e CROSS JOIN planes),
+        |buck AS (SELECT vec_id, CAST(sum(bit * (CAST(1 AS BIGINT) << b)) AS BIGINT) AS bucket FROM bits GROUP BY 1),
+        |nb AS (SELECT nn.vec_id, buck.bucket, nn.v, nn.norm
+        |  FROM nn JOIN buck ON nn.vec_id = buck.vec_id),
+        |pb AS (SELECT vec_id AS probe_id, v AS pv, norm AS pnorm, bucket AS pbucket
+        |  FROM nb WHERE vec_id < 5),
+        |ls AS (SELECT pb.probe_id, nb.vec_id,
+        |   round(list_sum(list_transform(list_zip(pb.pv, nb.v), z -> z[1]*z[2]))
+        |     / (pb.pnorm * nb.norm), 6) AS cosine
+        |  FROM pb JOIN nb ON nb.bucket = pb.pbucket AND nb.vec_id <> pb.probe_id),
+        |lsh AS (SELECT probe_id, vec_id FROM ls
+        |  QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) <= 5),
+        |hits AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_hits
+        |  FROM bf JOIN lsh USING (probe_id, vec_id) GROUP BY 1),
+        |ex AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_exact FROM bf GROUP BY 1)
+        |SELECT ex.probe_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits, n_exact,
+        | round(CAST(coalesce(n_hits, 0) AS DOUBLE) / n_exact, 6) AS recall_at_5
+        |FROM ex LEFT JOIN hits ON ex.probe_id = hits.probe_id
+        |ORDER BY ex.probe_id""".stripMargin,
     "dedup_components" -> componentsOracleSql,
     // same clustering semantics, star-contraction / min-label execution
     // paths — the oracle (transitive closure) is identical by construction

@@ -423,6 +423,26 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Per-cluster audit of the near-dup clustering — the report a
+    * curation run ships with its dedup decisions: for every duplicate
+    * family, its size, the canonical (kept) doc, and how many chars
+    * the drop reclaims. Pure composition: [[components]] joined back
+    * to the documents table (broadcast — the clustered subset is
+    * collision-bounded), one agg at component grain. */
+  def clusterStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Scale.maybeBroadcast
+    val labels = components(spark, dir) // (doc_id, component)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    labels.join(maybeBroadcast(docs), Seq("doc_id"))
+      .groupBy(col("component"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(when(col("doc_id") =!= col("component"), col("n_chars"))
+          .otherwise(lit(0L))).as("chars_reclaimed"))
+      .orderBy(col("component"))
+  }
+
   /** DIRECTIONAL near-dup containment |A∩B| / |A| ≥ 0.9 over distinct
     * 3-token shingles — catches sub/superset duplication that
     * symmetric Jaccard misses (a doc quoted whole inside a longer one

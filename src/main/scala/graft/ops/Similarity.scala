@@ -436,6 +436,27 @@ object Similarity {
       .orderBy(col("probe_id"), col("rk"))
   }
 
+  /** Index-quality evaluation: recall@5 of the LSH top-k against the
+    * exact brute-force top-k, per probe — the measurement a real
+    * deployment runs before trusting an approximate index (and after
+    * every re-bucketing). Composes the two existing access paths and
+    * reduces to |probes| rows; at 100 TB the exact side runs on a
+    * sampled probe set, which is what `vec_id < 5` models. */
+  def annRecallReport(spark: SparkSession, dir: String): DataFrame = {
+    val exact = annBruteforce(spark, dir).select(col("probe_id"), col("vec_id"))
+    val approx = annLshTopk(spark, dir).select(col("probe_id"), col("vec_id"))
+    val hits = exact.join(approx, Seq("probe_id", "vec_id"))
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hits"))
+    exact.groupBy(col("probe_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("n_exact"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_exact"), 6)
+          .as("recall_at_5"))
+      .orderBy(col("probe_id"))
+  }
+
   /** Per-dimension distribution profile of the embedding table —
     * the QC pass run before choosing quantization ranges or catching
     * dead/saturated dimensions: one posexplode + one partial agg,
