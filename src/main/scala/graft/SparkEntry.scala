@@ -139,6 +139,11 @@ object SparkEntry {
     "embed_dim_stats"     -> Similarity.dimStats _,
     "dedup_cluster_stats" -> Dedup.clusterStats _,
     "ann_recall_report"   -> Similarity.annRecallReport _,
+    "q_lapsed_customers" -> Relational.qLapsedCustomers _,
+    "graph_jaccard_neighbors" -> Graph.neighborJaccard _,
+    "dedup_lsh_eval"      -> Dedup.lshEval _,
+    "pipeline_dsir_weights" -> Pipeline.dsirWeights _,
+    "embed_pca_power"     -> ((s, d) => Similarity.pcaPower(s, d)),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. */
@@ -1368,5 +1373,84 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_distinct_chars,
         |  round((ln(CAST(sum(c) AS DOUBLE)) - sum(c * ln(c)) / sum(c)) / ln(2.0), 6) AS entropy_bits
         |FROM cc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_lapsed_customers" ->
+      """SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |EXCEPT
+        |SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |ORDER BY o_custkey""".stripMargin,
+    "graph_jaccard_neighbors" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem WHERE l_quantity >= 48),
+        |edges AS (SELECT DISTINCT x.pk AS u, y.pk AS v
+        |  FROM items x JOIN items y ON x.ok = y.ok AND x.pk < y.pk),
+        |sym AS (SELECT u AS a, v AS b FROM edges UNION ALL SELECT v, u FROM edges),
+        |deg AS (SELECT a, count(*) AS d FROM sym GROUP BY 1),
+        |common AS (SELECT x.a AS u, y.a AS v, count(*) AS n_common
+        |  FROM sym x JOIN sym y ON x.b = y.b AND x.a < y.a GROUP BY 1, 2)
+        |SELECT u, v, n_common,
+        |  round(CAST(n_common AS DOUBLE) / (du.d + dv.d - n_common), 6) AS jaccard
+        |FROM common JOIN deg du ON common.u = du.a JOIN deg dv ON common.v = dv.a
+        |WHERE round(CAST(n_common AS DOUBLE) / (du.d + dv.d - n_common), 6) >= 0.25
+        |ORDER BY u, v""".stripMargin,
+    "dedup_lsh_eval" ->
+      s"""WITH $bandsCtes,
+        |cand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |sh AS (SELECT doc_id, unnest(shingles) AS s FROM shl),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |jac AS (SELECT doc_a, doc_b, round(CAST(c AS DOUBLE) / (x.n + y.n - c), 6) AS j
+        |  FROM common JOIN cnt x ON doc_a = x.doc_id JOIN cnt y ON doc_b = y.doc_id
+        |  WHERE round(CAST(c AS DOUBLE) / (x.n + y.n - c), 6) >= 0.5),
+        |flagged AS (SELECT j.j, CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |  FROM jac j LEFT JOIN cand c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b),
+        |th AS (SELECT CAST(unnest([0.5, 0.7, 0.8, 0.9]) AS DOUBLE) AS threshold),
+        |nc AS (SELECT count(*) AS n_candidates FROM cand)
+        |SELECT th.threshold, nc.n_candidates, count(*) AS n_true,
+        |  CAST(sum(hit) AS BIGINT) AS n_hit,
+        |  round(CAST(sum(hit) AS DOUBLE) / nc.n_candidates, 6) AS precision,
+        |  round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS recall
+        |FROM flagged JOIN th ON flagged.j >= th.threshold CROSS JOIN nc
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "pipeline_dsir_weights" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '\S+')) AS w
+        |  FROM documents),
+        |b AS (SELECT doc_id, lang,
+        |    ('0x' || substr(md5(w), 1, 15))::BIGINT % 64 AS bucket, count(*) AS cnt
+        |  FROM tok GROUP BY 1, 2, 3),
+        |tgt AS (SELECT bucket, sum(cnt) AS ct FROM b WHERE lang = 'en' GROUP BY 1),
+        |rw AS (SELECT bucket, sum(cnt) AS cr FROM b GROUP BY 1),
+        |tot AS (SELECT
+        |    (SELECT sum(cnt) FROM b WHERE lang = 'en') AS nt,
+        |    (SELECT sum(cnt) FROM b) AS nr),
+        |lr AS (SELECT rw.bucket,
+        |    ln(((COALESCE(tgt.ct, 0) + 1.0) / (tot.nt + 64)) / ((rw.cr + 1.0) / (tot.nr + 64))) AS llr
+        |  FROM rw LEFT JOIN tgt ON rw.bucket = tgt.bucket CROSS JOIN tot)
+        |SELECT b.doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |  round(sum(cnt * lr.llr), 6) AS weight
+        |FROM b JOIN lr ON b.bucket = lr.bucket
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "embed_pca_power" ->
+      """WITH e AS (SELECT vec_id, j AS d, CAST(embedding[j+1] AS DOUBLE) AS x
+        |    FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS j)),
+        |s1 AS (SELECT vec_id, sum(x * 0.125) AS s FROM e GROUP BY 1),
+        |u1 AS (SELECT d, round(sum(e.x * s1.s), 6) AS u FROM e JOIN s1 USING (vec_id) GROUP BY 1),
+        |n1 AS (SELECT sqrt(sum(u*u)) AS nrm FROM u1),
+        |v1 AS (SELECT d, round(u / nrm, 6) AS vd FROM u1 CROSS JOIN n1),
+        |s2 AS (SELECT vec_id, sum(e.x * v1.vd) AS s FROM e JOIN v1 USING (d) GROUP BY 1),
+        |u2 AS (SELECT d, round(sum(e.x * s2.s), 6) AS u FROM e JOIN s2 USING (vec_id) GROUP BY 1),
+        |n2 AS (SELECT sqrt(sum(u*u)) AS nrm FROM u2),
+        |v2 AS (SELECT d, round(u / nrm, 6) AS vd FROM u2 CROSS JOIN n2),
+        |s3 AS (SELECT vec_id, sum(e.x * v2.vd) AS s FROM e JOIN v2 USING (d) GROUP BY 1),
+        |u3 AS (SELECT d, round(sum(e.x * s3.s), 6) AS u FROM e JOIN s3 USING (vec_id) GROUP BY 1),
+        |n3 AS (SELECT sqrt(sum(u*u)) AS nrm FROM u3),
+        |v3 AS (SELECT d, round(u / nrm, 6) AS vd FROM u3 CROSS JOIN n3)
+        |SELECT d AS dim, vd AS component FROM v3 ORDER BY dim""".stripMargin,
   )
 }

@@ -569,6 +569,22 @@ object Relational {
       .orderBy("o_custkey")
   }
 
+  /** EXCEPT set operator (the complement of [[qRepeatCustomers]]'
+    * INTERSECT): customers active in 1996 who LAPSED in 1997. Spark
+    * plans EXCEPT as a distinct left-anti join — the same
+    * shuffle-on-key shape as the semi-join family, no full
+    * materialization of either side. */
+  def qLapsedCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    def activeIn(from: String, to: String) = ord
+      .filter(col("o_orderdate") >= Tables.tsLit(ord, "o_orderdate", from) &&
+        col("o_orderdate") < Tables.tsLit(ord, "o_orderdate", to))
+      .select("o_custkey")
+    activeIn("1996-01-01", "1997-01-01")
+      .except(activeIn("1997-01-01", "1998-01-01"))
+      .orderBy("o_custkey")
+  }
+
   /** CUBE aggregation (all 4 grouping sets of priority × status in one
     * pass): Spark plans a single Expand + hash agg — no per-set rescans.
     * Null grouping cells are labeled 'ALL' so the cross-engine compare

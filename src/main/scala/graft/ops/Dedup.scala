@@ -65,9 +65,17 @@ object Dedup {
 
   /** n-gram Jaccard near-dup pairs (exact): prefix-filtered all-pairs
     * similarity join, Jaccard = |∩| / (|A|+|B|-|∩|), threshold 0.8. */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    exactJaccardPairs(spark, dir, BigDecimal("0.8"))
+
+  /** The parameterized exact path behind [[ngramJaccard]] (also the
+    * ground-truth generator for [[lshEval]] at a looser threshold).
+    * Returns (doc_a, doc_b, jaccard) for every pair at or above
+    * `thresholdDec`. */
+  private def exactJaccardPairs(spark: SparkSession, dir: String,
+      thresholdDec: BigDecimal): DataFrame = {
     GraftFunctions.register(spark)
-    val threshold = 0.8
+    val threshold = thresholdDec.toDouble
     // Exact all-pairs similarity join with PPJoin-style prefix
     // filtering: J(A,B) ≥ t requires |A∩B| ≥ t·|A|, so A and B must
     // share at least one of the (⌊(1-t)·|A|⌋ + 1) globally-rarest
@@ -83,7 +91,7 @@ object Dedup {
     // 1-0.8 = 0.1999...96 and n*0.8 can round up past the true product,
     // shortening the prefix below the correctness bound for n ≡ 0 (mod 5)
     // and silently losing pairs sitting exactly at the threshold.
-    val tDec = lit(BigDecimal("0.8"))
+    val tDec = lit(thresholdDec)
     // sets feeds three subtrees (prefix relation + both verification
     // sides); without a cache the scan→shingle→md5 chain runs 3×
     val sets = graft.Caches.persistTracked(
@@ -203,6 +211,44 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Index-quality evaluation of the MinHash-LSH candidate generator
+    * against exact n-gram Jaccard ground truth — the dedup counterpart
+    * of [[graft.ops.Similarity.annRecallReport]]: before trusting the
+    * approximate path at scale, measure what it misses. One row per
+    * threshold t ∈ {0.5, 0.7, 0.8, 0.9}: how many true pairs (exact
+    * J ≥ t) exist, how many the LSH bands surfaced (n_hit), recall
+    * = hit/true, and precision = hit/candidates (candidates whose true
+    * similarity clears t).
+    *
+    * Shape at scale: the candidate side is the production LSH join
+    * (collision-bounded); the exact side is the expensive QC side —
+    * [[exactJaccardPairs]]' PPJoin prefix filter bounds it, and a real
+    * 100 TB deploy runs this report over a document SAMPLE, which
+    * changes none of the plan. Both pair sets reduce to a handful of
+    * counts before the thresholds (a 4-row broadcast) ever see them. */
+  def lshEval(spark: SparkSession, dir: String): DataFrame = {
+    val cand = graft.Caches.persistTracked(
+      minhashLsh(spark, dir).select(col("doc_a"), col("doc_b")))
+    // ground truth at the loosest reported threshold; tighter ones are
+    // filters over the same relation
+    val truth = exactJaccardPairs(spark, dir, BigDecimal("0.5"))
+    val flagged = truth.join(cand.withColumn("hit", lit(1L)),
+        Seq("doc_a", "doc_b"), "left")
+      .select(col("jaccard"), coalesce(col("hit"), lit(0L)).as("hit"))
+    val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+    val thresholds = spark.range(0, 4).select(
+      element_at(array(lit(0.5), lit(0.7), lit(0.8), lit(0.9)),
+        (col("id") + 1).cast("int")).as("threshold"))
+    flagged.join(broadcast(thresholds), col("jaccard") >= col("threshold"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_true"), sum(col("hit")).as("n_hit"))
+      .crossJoin(broadcast(nCand))
+      .select(col("threshold"), col("n_candidates"), col("n_true"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_candidates"), 6).as("precision"),
+        round(col("n_hit").cast("double") / col("n_true"), 6).as("recall"))
+      .orderBy(col("threshold"))
   }
 
   /** Near-dup clustering: connected components over the MinHash-LSH

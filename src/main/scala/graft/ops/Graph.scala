@@ -140,16 +140,59 @@ object Graph {
     * which clusters nothing and makes the transitive-closure oracle
     * quadratic). */
   def componentsOverCoOccurrence(spark: SparkSession, dir: String): DataFrame = {
+    Dedup.connectedComponents(sparseCoOccurrenceEdges(spark, dir))
+      .select(col("node").as("part"), col("component"))
+      .orderBy(col("part"))
+  }
+
+  /** Canonicalized (u < v) co-occurrence edges over bulk lines only
+    * (l_quantity >= 48) — the shared sparsified graph for
+    * [[componentsOverCoOccurrence]] and [[neighborJaccard]]. The
+    * quantity gate caps hub degree, which bounds BOTH the components
+    * oracle's transitive closure and the wedge fan-out of any
+    * common-neighbor join downstream. */
+  private[ops] def sparseCoOccurrenceEdges(spark: SparkSession, dir: String): DataFrame = {
     val items = Tables.lineitem(spark, dir)
       .filter(col("l_quantity") >= 48)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
-    val edges = items.as("x").join(items.as("y"),
+    items.as("x").join(items.as("y"),
         col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
       .select(col("x.pk").as("u"), col("y.pk").as("v"))
       .distinct()
-    Dedup.connectedComponents(edges)
-      .select(col("node").as("part"), col("component"))
-      .orderBy(col("part"))
+  }
+
+  /** Node-pair neighborhood similarity: Jaccard of the two parts'
+    * neighbor sets, |N(u)∩N(v)| / |N(u)∪N(v)| ≥ 0.25 — the
+    * "customers who bought X also bought Y" similarity a recommender
+    * derives from the affinity graph (SimRank's cheap one-hop cousin).
+    *
+    * Shape at scale: common-neighbor counting is ONE self-join of the
+    * symmetric adjacency list on the shared-neighbor key — fan-out
+    * Σdeg(n)², the same wedge bound as [[triangleCounts]], kept
+    * polynomial by the sparsified graph's degree cap (a real deploy
+    * degree-caps or samples hub adjacency the same way). Degrees are a
+    * |V|-row table, broadcast to both sides of the pair stream; union
+    * size is the inclusion–exclusion identity du + dv − common, so no
+    * set materialization ever happens. */
+  def neighborJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Scale.maybeBroadcast
+    val edges = graft.Caches.persistTracked(sparseCoOccurrenceEdges(spark, dir))
+    edges.count() // materialize: the degree broadcast gate needs real sizes
+    val sym = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      .select(col("u").as("a"), col("v").as("b"))
+    val deg = sym.groupBy(col("a")).agg(count(lit(1)).as("d"))
+    val common = sym.as("x").join(sym.as("y"),
+        col("x.b") === col("y.b") && col("x.a") < col("y.a"))
+      .groupBy(col("x.a").as("u"), col("y.a").as("v"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(maybeBroadcast(deg.select(col("a").as("u"), col("d").as("du"))), "u")
+      .join(maybeBroadcast(deg.select(col("a").as("v"), col("d").as("dv"))), "v")
+      .select(col("u"), col("v"), col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("du") + col("dv") - col("n_common")), 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.25)
+      .orderBy(col("u"), col("v"))
   }
 }

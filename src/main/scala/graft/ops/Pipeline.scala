@@ -329,4 +329,49 @@ object Pipeline {
       .select(col("doc_id"), col("n_chars"), col("wkey"))
       .orderBy(col("wkey").desc, col("doc_id"))
       .limit(k)
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every doc
+    * by how much more likely its hashed-unigram bag is under the
+    * TARGET domain's n-gram distribution (here lang='en') than under
+    * the raw corpus's — weight = Σ_buckets count·ln(p_target/p_raw)
+    * with add-one smoothing over 64 hash buckets. Docs that "sound
+    * like" the target domain get positive weights; resampling by these
+    * weights steers the data mix toward the target without a model.
+    *
+    * Shape at scale: tokens hash to buckets map-side (the portable-
+    * hash spelling rewrites to the native H60 kernel); both
+    * distributions are 64-row aggregates (partial map-side) joined
+    * into one broadcast log-ratio table; the per-doc weight is ONE
+    * shuffle to (doc_id, bucket) grain — ≤64 rows per doc — then a
+    * map-side-combinable sum. Summing bucket-count × ratio instead of
+    * per-token ratios keeps each doc's sum to ≤64 addends, so
+    * cross-engine float-order drift stays far inside the 6-dp round. */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val buckets = graft.Caches.persistTracked(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"),
+          explode(expr(raw"regexp_extract_all(lower(text), '\\S+', 0)")).as("w"))
+        .select(col("doc_id"), col("lang"),
+          expr("CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT) % 64").as("bucket"))
+        .groupBy(col("doc_id"), col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("cnt")))
+    val tgt = buckets.filter(col("lang") === "en")
+      .groupBy(col("bucket")).agg(sum(col("cnt")).as("ct"))
+    val raw_ = buckets.groupBy(col("bucket")).agg(sum(col("cnt")).as("cr"))
+    val totals = buckets.agg(
+      sum(when(col("lang") === "en", col("cnt")).otherwise(lit(0L))).as("nt"),
+      sum(col("cnt")).as("nr"))
+    val llr = raw_.join(tgt, Seq("bucket"), "left")
+      .crossJoin(totals)
+      .select(col("bucket"),
+        log(((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("nt") + lit(64))) /
+          ((col("cr") + lit(1.0)) / (col("nr") + lit(64)))).as("llr"))
+    buckets.join(broadcast(llr), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        round(sum(col("cnt") * col("llr")), 6).as("weight"))
+      .orderBy(col("doc_id"))
+  }
 }

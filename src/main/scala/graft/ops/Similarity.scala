@@ -501,4 +501,49 @@ object Similarity {
       .withColumn("is_outlier", col("z") >= 2.0)
       .orderBy(col("vec_id"))
   }
+
+  /** Top principal direction of the embedding table by POWER ITERATION
+    * — pure DataFrame algebra, the dimensionality-reduction primer a
+    * pipeline runs before whitening or picking quantization bases.
+    * Three rounds of v ← normalize(Xᵀ(Xv)) from the deterministic
+    * uniform start v₀ = 1/√64 (exactly representable): each round
+    * folds the direction into ONE broadcast array row, computes the
+    * per-vector projection s = x·v map-side (graft_dot kernel — the
+    * vector relation NEVER shuffles), and back-projects with a single
+    * 64-row partial agg u_d = Σ x_d·s. The normalization constant is a
+    * 1-row cross join — nothing ever reaches the driver, and the only
+    * wide op per round moves 64 rows.
+    *
+    * Portability: u rounds to 6 dp BEFORE the norm, and the normalized
+    * components round again, so both engines renormalize the same
+    * vector each round and float-sum order (Σ over 500 vectors here,
+    * 10⁹ at scale) can't compound across iterations — same discipline
+    * as [[graft.ops.Graph.pageRank]]. Sign is pinned by the positive
+    * start vector. */
+  def pcaPower(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = graft.Caches.persistTracked(
+      Tables.embeddings(spark, dir)
+        .select(col("embedding").cast("array<double>").as("v")))
+    e.count() // materialize: every iteration re-reads this relation
+    var v = spark.range(0, 64).select(col("id").as("d"), lit(0.125).as("vd"))
+    for (_ <- 1 to iters) {
+      // fold the 64-row direction table into ONE array row and
+      // broadcast it: the projection s = x·v is then a map-side kernel
+      // call over the scan — the vector relation never shuffles, and
+      // the only wide op per round is the 64-row back-projection agg
+      val varr = v.agg(
+        expr("transform(array_sort(collect_list(struct(d, vd))), p -> p.vd)").as("va"))
+      val u = e.crossJoin(broadcast(varr))
+        .select(col("v"), expr("graft_dot(v, va)").as("s"))
+        .select(posexplode(col("v")).as(Seq("pos", "x")), col("s"))
+        .groupBy(col("pos").cast("long").as("d"))
+        .agg(round(sum(col("x") * col("s")), 6).as("u"))
+      val nrm = u.agg(sqrt(sum(col("u") * col("u"))).as("nrm"))
+      v = graft.Caches.persistTracked(
+        u.crossJoin(nrm).select(col("d"), round(col("u") / col("nrm"), 6).as("vd")))
+      v.count() // truncate: round N's plan otherwise embeds round N-1's
+    }
+    v.select(col("d").as("dim"), col("vd").as("component")).orderBy(col("dim"))
+  }
 }

