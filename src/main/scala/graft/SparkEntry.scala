@@ -140,6 +140,7 @@ object SparkEntry {
     "dedup_cluster_stats" -> Dedup.clusterStats _,
     "ann_recall_report"   -> Similarity.annRecallReport _,
     "q_lapsed_customers" -> Relational.qLapsedCustomers _,
+    "text_boilerplate_ngrams" -> TextAnalysis.boilerplateNgrams _,
     "graph_jaccard_neighbors" -> Graph.neighborJaccard _,
     "dedup_lsh_eval"      -> Dedup.lshEval _,
     "pipeline_dsir_weights" -> Pipeline.dsirWeights _,
@@ -1373,6 +1374,20 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_distinct_chars,
         |  round((ln(CAST(sum(c) AS DOUBLE)) - sum(c * ln(c)) / sum(c)) / ln(2.0), 6) AS entropy_bits
         |FROM cc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_boilerplate_ngrams" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+        |gl AS (SELECT doc_id, CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i+1]) ELSE [] END AS grams FROM t),
+        |g AS (SELECT doc_id, unnest(grams) AS gram FROM gl),
+        |nd AS (SELECT count(*) AS n FROM documents),
+        |df AS (SELECT gram, count(DISTINCT doc_id) AS dfc FROM g GROUP BY 1),
+        |freq AS (SELECT gram FROM df CROSS JOIN nd WHERE 20 * dfc >= n)
+        |SELECT doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN freq.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+        |  round(CAST(sum(CASE WHEN freq.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS boilerplate_fraction
+        |FROM g LEFT JOIN freq ON g.gram = freq.gram
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_lapsed_customers" ->
       """SELECT o_custkey FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'

@@ -197,6 +197,47 @@ object TextAnalysis {
             size(col("grams")), 6)).otherwise(lit(0.0)).as("dup_3gram_ratio"))
       .orderBy(col("doc_id"))
 
+  /** Cross-document boilerplate signal (the CCNet/RefinedWeb-style
+    * frequent-n-gram coverage score): for each doc, the fraction of
+    * its bigram OCCURRENCES whose bigram appears in ≥ 5% of all
+    * documents — headers, navigation chrome, and license blurbs score
+    * high; original prose scores low. Complements [[repetition]]
+    * (within-doc duplication) with the cross-doc axis.
+    *
+    * Shape at scale: one bigram explode feeds both the document-
+    * frequency agg (doc-distinct grams, map-side combinable) and the
+    * coverage join; the frequent set is df-thresholded RELATIVE to the
+    * corpus size (integer arithmetic, 20·df ≥ N — no float boundary)
+    * and is a tiny fraction of the gram vocabulary, so it broadcasts;
+    * the per-doc fraction is then one shuffle to doc grain. At 100 TB
+    * the df table is the only unbounded relation and it shuffles on
+    * the gram key — the same collision-bounded shape as every
+    * shingle-family op. */
+  def boilerplateNgrams(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Scale.maybeBroadcast
+    val grams = graft.Caches.persistTracked(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          expr(raw"regexp_extract_all(lower(text), '\\S+', 0)").as("toks"))
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(toks) >= 2 THEN
+               transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i+1]))
+             ELSE array() END""")).as("gram")))
+    val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n"))
+    val frequent = grams.distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("dfc"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("dfc") * 20 >= col("n"))
+      .select(col("gram"), lit(1L).as("is_common"))
+    grams.join(maybeBroadcast(frequent), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("is_common"), lit(0L))).as("n_common"),
+        round(sum(coalesce(col("is_common"), lit(0L))).cast("double") /
+          count(lit(1)), 6).as("boilerplate_fraction"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-document character-distribution Shannon entropy (bits) — the
     * cheap gibberish/boilerplate detector training pipelines run next
     * to length and stopword ratios: natural text sits in a narrow

@@ -57,6 +57,23 @@ class QualityOpsR5bSpec extends SparkSpec {
     assert(top.getAs[Double]("recall") === 1.0)
   }
 
+  test("boilerplateNgrams: fractions bounded and the frequent-gram signal fires") {
+    val r = Caches.persistTracked(ops.TextAnalysis.boilerplateNgrams(spark, sf0001))
+    assert(r.filter(col("n_common") > col("n_grams") ||
+      col("boilerplate_fraction") < 0 || col("boilerplate_fraction") > 1).count() === 0)
+    // the synthetic corpus repeats template phrases across docs, so the
+    // ≥5%-df frequent set must be non-empty and must separate docs
+    assert(r.agg(max(col("boilerplate_fraction"))).head().getDouble(0) > 0.0)
+    assert(r.select(col("boilerplate_fraction")).distinct().count() > 1)
+    // n_grams is exactly tokens-1 for every multi-token doc: cross-check
+    // against the independently-computed token counts
+    val toks = ops.TextAnalysis.tokens(spark, sf0001)
+      .select(col("doc_id"), col("n_tokens"))
+    val bad = r.join(toks, "doc_id")
+      .filter(col("n_tokens") >= 2 && col("n_grams") =!= col("n_tokens") - 1)
+    assert(bad.count() === 0)
+  }
+
   test("dsirWeights: target-domain (en) docs score higher on average") {
     val w = Pipeline.dsirWeights(spark, sf0001)
       .join(Tables.documents(spark, sf0001).select(col("doc_id"), col("lang")), "doc_id")
