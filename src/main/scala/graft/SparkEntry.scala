@@ -145,6 +145,8 @@ object SparkEntry {
     "dedup_lsh_eval"      -> Dedup.lshEval _,
     "pipeline_dsir_weights" -> Pipeline.dsirWeights _,
     "embed_pca_power"     -> ((s, d) => Similarity.pcaPower(s, d)),
+    "dedup_semdedup"      -> Similarity.semDedup _,
+    "pipeline_mixture_resample" -> Pipeline.mixtureResample _,
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. */
@@ -1374,6 +1376,34 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_distinct_chars,
         |  round((ln(CAST(sum(c) AS DOUBLE)) - sum(c * ln(c)) / sum(c)) / ln(2.0), 6) AS entropy_bits
         |FROM cc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_semdedup" ->
+      """WITH pe AS (SELECT label, i AS pos, embedding[i] AS x
+        |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
+        |c AS (SELECT CAST(label AS BIGINT) AS label, CAST(pos - 1 AS BIGINT) AS pos,
+        |   round(avg(CAST(x AS DOUBLE)), 6) AS centroid FROM pe GROUP BY 1, 2),
+        |cent AS (SELECT label AS cell, list(centroid ORDER BY pos) AS cv FROM c GROUP BY 1),
+        |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |s AS (SELECT e.vec_id, e.v, cent.cell,
+        |   round(sqrt(list_sum(list_transform(list_zip(e.v, cent.cv), z -> (z[1]-z[2])*(z[1]-z[2])))), 6) AS dist
+        |  FROM e CROSS JOIN cent),
+        |a AS (SELECT vec_id, v, cell, sqrt(list_sum(list_transform(v, x -> x*x))) AS norm
+        |  FROM s QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1),
+        |p AS (SELECT y.vec_id AS vec_id, y.cell AS cell, x.vec_id AS dup,
+        |   round(list_sum(list_transform(list_zip(x.v, y.v), z -> z[1]*z[2])) / (x.norm * y.norm), 6) AS cosine
+        |  FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id)
+        |SELECT vec_id, cell, min(dup) AS dup_of, CAST(count(*) AS BIGINT) AS n_dups,
+        |  max(cosine) AS max_cosine
+        |FROM p WHERE cosine >= 0.35 GROUP BY 1, 2 ORDER BY vec_id""".stripMargin,
+    "pipeline_mixture_resample" ->
+      """WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+        |m AS (SELECT min(n_lang) AS n_min FROM c),
+        |h AS (SELECT doc_id, lang,
+        |   ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-mix'), 1, 15))::BIGINT % 1000000 AS h
+        |  FROM documents)
+        |SELECT doc_id, h.lang AS lang FROM h
+        |JOIN c ON h.lang = c.lang CROSS JOIN m
+        |WHERE h.h * c.n_lang < 1000000 * m.n_min
+        |ORDER BY doc_id""".stripMargin,
     "text_boilerplate_ngrams" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
         |gl AS (SELECT doc_id, CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),

@@ -149,6 +149,37 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Uniform-mixture downsample: derive per-language acceptance rates
+    * FROM the corpus so the kept corpus has (expected-)equal language
+    * shares, downsample-only — the most-underrepresented language
+    * keeps 100%, every other keeps n_min/n_lang. Unlike
+    * [[stratifiedSample]] (fixed hand-tuned rates) the rates here are
+    * corpus statistics — this is the data-mixing step a training build
+    * runs to hit a target domain distribution (uniform here; any
+    * target-weight vector is the same plan with t_l·n_min replaced by
+    * the weight table).
+    *
+    * The keep decision is EXACT integer arithmetic
+    * (h·n_lang < M·n_min — no float rate boundary to flap between
+    * engines), keyed by the same deterministic md5 hash as every
+    * sampling op. Shape at scale: one tiny partial agg (|langs| rows)
+    * broadcast back onto the scan, then a map-side filter — the corpus
+    * itself never shuffles. */
+  def mixtureResample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val minN = counts.agg(min(col("n_lang")).as("n_min"))
+    docs
+      .select(col("doc_id"), col("lang"),
+        expr("CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), '-mix')), 1, 15), 16, 10) AS BIGINT) % 1000000")
+          .as("h"))
+      .join(broadcast(counts), "lang")
+      .crossJoin(broadcast(minN))
+      .filter(col("h") * col("n_lang") < lit(1000000L) * col("n_min"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Fixed-width overlapping character chunking (width 256, stride
     * 192) — the context-window splitter for embedding/RAG indexing:
     * every doc yields ceil((len−width)/stride)+1 chunks (min 1), each

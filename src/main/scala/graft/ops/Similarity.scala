@@ -310,6 +310,51 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): assign every vector to its nearest label-seeded
+    * k-means centroid (one Lloyd assignment — the coarse IVF cell),
+    * then inside each cell drop any vector that has a SMALLER-id
+    * neighbor at cosine ≥ τ, reporting the smallest such partner
+    * (the kept set is exactly the vectors with NO smaller in-cell
+    * duplicate; a reported partner may itself be dropped when
+    * duplicates chain). Differs from [[dedupEmbedCosine]] in
+    * both the blocking relation (computed cells, not the given label)
+    * and the output (a keep/drop decision per duplicate, not the raw
+    * pair list) — this is the operator a curation pipeline actually
+    * calls to shrink a corpus.
+    *
+    * Shape at scale: the centroid table broadcasts (|cells| rows, via
+    * [[kmeansAssign]]); the within-cell self-join shuffles both sides
+    * on the cell key only — O(Σ cell²) like every IVF-blocked op, never
+    * all-pairs; the duplicate-choice agg (min id / max cosine / count)
+    * is map-side combinable. τ=0.35 is calibrated to the synthetic
+    * near-orthogonal vectors (real corpora use ~0.95). */
+  /** The (vec_id, v, norm, cell) assignment relation [[semDedup]]
+    * blocks on — exposed so specs can check cell-locality of the
+    * reported duplicate partners. */
+  private[graft] def semDedupAssignments(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir).select(col("vec_id"), col("v"))
+    val cent = centroidArrays(centroids(spark, dir)
+      .select(col("label").as("cell"), col("pos"), col("centroid")))
+    kmeansAssign(e, cent)
+      .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
+      .select(col("vec_id"), col("v"), col("norm"), col("cell"))
+  }
+
+  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = graft.Caches.persistTracked(semDedupAssignments(spark, dir))
+    assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine", round(
+        expr("graft_dot(a.v, b.v)") / (col("a.norm") * col("b.norm")), 6))
+      .filter(col("cosine") >= 0.35)
+      .groupBy(col("b.vec_id").as("vec_id"), col("b.cell").as("cell"))
+      .agg(min(col("a.vec_id")).as("dup_of"),
+        count(lit(1)).as("n_dups"),
+        max(col("cosine")).as("max_cosine"))
+      .orderBy(col("vec_id"))
+  }
+
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val cent = centroids(spark, dir)
       .groupBy(col("label").as("cell"))

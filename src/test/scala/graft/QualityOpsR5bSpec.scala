@@ -74,6 +74,37 @@ class QualityOpsR5bSpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("semDedup: drops are cell-local, partner ids smaller, kept set closed") {
+    val r = Caches.persistTracked(Similarity.semDedup(spark, sf0001))
+    assert(r.count() > 0, "expected semantic duplicates at tau=0.35")
+    assert(r.filter(col("dup_of") >= col("vec_id") || col("n_dups") < 1 ||
+      col("max_cosine") < 0.35).count() === 0)
+    // every reported partner is a real vector and sits in the SAME cell
+    // (dup-of ids come from the same assignment relation, so a
+    // cross-cell partner would mean the blocking leaked)
+    val cells = r.select(col("dup_of").as("vec_id"), col("cell").as("pcell"))
+    val assignedCells = Similarity.semDedupAssignments(spark, sf0001)
+    assert(cells.join(assignedCells, "vec_id")
+      .filter(col("pcell") =!= col("cell")).count() === 0)
+  }
+
+  test("mixtureResample: min language keeps 100% and shares equalize") {
+    val kept = Pipeline.mixtureResample(spark, sf0001)
+      .groupBy(col("lang")).agg(count(lit(1)).as("kept"))
+    val orig = Tables.documents(spark, sf0001)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val j = kept.join(orig, "lang").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("kept"), r.getAs[Long]("n_lang")))
+    val nMin = j.map(_._3).min
+    // downsample-only: never keep more than exist; the rarest language
+    // is untouched; kept counts concentrate around n_min
+    assert(j.forall { case (_, k, n) => k <= n })
+    assert(j.filter(_._3 == nMin).forall { case (_, k, n) => k == n })
+    val ks = j.map(_._2)
+    assert(ks.max.toDouble / ks.min <= 1.2,
+      s"kept shares should be near-uniform, got ${j.mkString(", ")}")
+  }
+
   test("dsirWeights: target-domain (en) docs score higher on average") {
     val w = Pipeline.dsirWeights(spark, sf0001)
       .join(Tables.documents(spark, sf0001).select(col("doc_id"), col("lang")), "doc_id")
