@@ -105,6 +105,24 @@ class QualityOpsR5bSpec extends SparkSpec {
       s"kept shares should be near-uniform, got ${j.mkString(", ")}")
   }
 
+  test("semDedup / mixtureResample plans keep the big side un-shuffled") {
+    // mixture: the corpus joins the |langs|-row rate table by broadcast
+    // and never sort-merges; the only range exchange is the output sort
+    val mix = Pipeline.mixtureResample(spark, sf0001)
+    mix.collect() // AQE: final plan exists only after execution
+    val mixPlan = mix.queryExecution.executedPlan.toString
+    assert(mixPlan.contains("BroadcastHashJoin"), mixPlan.take(2000))
+    assert(!mixPlan.contains("SortMergeJoin"),
+      "rate table fell to sort-merge — the broadcast gate lost its stats")
+    // semdedup: centroid assignment must stay a broadcast cross, never
+    // an un-broadcast cartesian of the full embedding relation
+    val sd = Similarity.semDedup(spark, sf0001)
+    sd.collect()
+    val sdPlan = sd.queryExecution.executedPlan.toString
+    assert(!sdPlan.contains("CartesianProduct"),
+      "centroid cross lost its broadcast hint")
+  }
+
   test("dsirWeights: target-domain (en) docs score higher on average") {
     val w = Pipeline.dsirWeights(spark, sf0001)
       .join(Tables.documents(spark, sf0001).select(col("doc_id"), col("lang")), "doc_id")
