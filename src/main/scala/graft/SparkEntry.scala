@@ -66,6 +66,7 @@ object SparkEntry {
     "q22_wealthy_inactive" -> Relational.q22WealthyInactive _,
     "q_median_value"     -> Relational.qMedianValue _,
     "q_approx_sketches"  -> Relational.qApproxSketches _,
+    "q_hll_portable"     -> Relational.qHllPortable _,
     "q4_priority_exists" -> Relational.q4PriorityExists _,
     "q11_value_concentration" -> Relational.q11ValueConcentration _,
     "q13_cust_distribution" -> Relational.q13CustDistribution _,
@@ -1376,6 +1377,27 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_distinct_chars,
         |  round((ln(CAST(sum(c) AS DOUBLE)) - sum(c * ln(c)) / sum(c)) / ln(2.0), 6) AS entropy_bits
         |FROM cc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_hll_portable" ->
+      """WITH h AS (SELECT ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h,
+        |   l_partkey FROM lineitem),
+        |r AS (SELECT h % 256 AS bucket,
+        |   least(53 - length(bin(h // 256)), 40) AS rho FROM h),
+        |reg AS (SELECT bucket, max(rho) AS mj FROM r GROUP BY 1),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+        |   sum((1::BIGINT) << CAST(40 - mj AS INT)) AS s_present FROM reg),
+        |ex AS (SELECT count(DISTINCT l_partkey) AS n_exact FROM h),
+        |est AS (SELECT CAST(256 AS BIGINT) AS m, n_buckets, n_exact,
+        |   round(0.7183::DOUBLE * 65536 * 1099511627776 /
+        |     (s_present + (256 - n_buckets) * 1099511627776), 4) AS raw_estimate
+        |  FROM agg CROSS JOIN ex),
+        |corr AS (SELECT m, n_buckets, n_exact, raw_estimate,
+        |   CASE WHEN n_buckets < 256 AND raw_estimate <= 640.0
+        |     THEN round(256.0 * ln(256.0 / (256 - n_buckets)), 4)
+        |     ELSE raw_estimate END AS estimate
+        |  FROM est)
+        |SELECT m, n_buckets, n_exact, raw_estimate,
+        |  estimate, round(abs(estimate - n_exact) / n_exact, 4) AS rel_err
+        |FROM corr""".stripMargin,
     "dedup_semdedup" ->
       """WITH pe AS (SELECT label, i AS pos, embedding[i] AS x
         |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),

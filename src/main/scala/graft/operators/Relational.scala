@@ -379,6 +379,57 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** Portable HyperLogLog — the oracle-gated counterpart of
+    * [[qApproxSketches]]: a from-scratch HLL (Flajolet et al. 2007)
+    * whose registers are EXACT integers both engines compute
+    * identically, so even an approximate sketch gets a hash-matching
+    * DuckDB oracle. 256 buckets over a 60-bit md5-derived hash of
+    * l_partkey: bucket = h mod 256, rho = leading-zero rank of the
+    * remaining 52 bits (53 − bitlen, capped at 40 so the harmonic sum
+    * stays exact in BIGINT: Σ 2^(40−M_j) ≤ 256·2^40 = 2^48 « 2^63 and,
+    * cast to double, « 2^53 — no float rounding anywhere before the
+    * final division). Estimate = α₂₅₆·m²·2^40 / S with the same literal
+    * folding on both sides, plus the standard linear-counting
+    * correction for the small-range regime (E ≤ 2.5m with empty
+    * buckets) — the branch condition is an already-identical double,
+    * so both engines always take the same arm.
+    *
+    * Shape at scale: the register table is ONE map-side-combinable
+    * 256-group agg of a projected hash — the textbook mergeable-sketch
+    * plan; the exact countDistinct rides along only as the accuracy
+    * anchor (itself a two-phase partial agg). */
+  def qHllPortable(spark: SparkSession, dir: String): DataFrame = {
+    val m = 256L; val cap = 40L
+    val h = Tables.lineitem(spark, dir).select(
+      expr("CAST(conv(substr(md5(CAST(l_partkey AS STRING)), 1, 15), 16, 10) AS BIGINT)").as("h"),
+      col("l_partkey"))
+    val reg = h
+      // integer div, NOT `/`: Spark divide casts to double, which is
+      // lossy above 2^53 — h is 60 bits
+      .select((col("h") % m).as("bucket"), expr(s"h div $m").as("v"))
+      .withColumn("rho", least(lit(53L) - length(expr("bin(v)")), lit(cap)))
+      .groupBy(col("bucket")).agg(max(col("rho")).as("mj"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($cap - mj AS INT))")).as("s_present"))
+    val exact = h.agg(countDistinct(col("l_partkey")).as("n_exact"))
+    reg.crossJoin(broadcast(exact))
+      .select(
+        lit(m).as("m"), col("n_buckets"), col("n_exact"),
+        round(lit(0.7183) * lit(m * m) * lit(1L << cap.toInt) /
+          (col("s_present") + (lit(m) - col("n_buckets")) * lit(1L << cap.toInt)), 4)
+          .as("raw_estimate"))
+      // linear-counting small-range correction (E ≤ 2.5m with empty
+      // buckets): both engines branch on the SAME already-identical
+      // double, so the ln only ever reaches a hash compare rounded and
+      // far from a boundary
+      .withColumn("estimate",
+        when(col("n_buckets") < m && col("raw_estimate") <= lit(2.5 * m),
+          round(lit(m.toDouble) * log(lit(m.toDouble) / (lit(m) - col("n_buckets"))), 4))
+          .otherwise(col("raw_estimate")))
+      .withColumn("rel_err",
+        round(abs(col("estimate") - col("n_exact")) / col("n_exact"), 4))
+  }
+
   /** EXISTS over a date-ranged fact (TPC-H Q4 shape): filtered orders
     * left_semi lineitem — the semi join never multiplies rows, and both
     * sides' filters push to the scans. */

@@ -123,6 +123,20 @@ class QualityOpsR5bSpec extends SparkSpec {
       "centroid cross lost its broadcast hint")
   }
 
+  test("qHllPortable: registers bounded, small-range correction engages and wins") {
+    val r = graft.operators.Relational.qHllPortable(spark, sf0001).head()
+    val m = r.getAs[Long]("m"); val nb = r.getAs[Long]("n_buckets")
+    val exact = r.getAs[Long]("n_exact")
+    val raw = r.getAs[Double]("raw_estimate"); val est = r.getAs[Double]("estimate")
+    assert(nb <= m && est > 0)
+    // sf0.001 sits in the small-range regime: the linear-counting arm
+    // must fire and must beat the raw harmonic estimate
+    assert(est !== raw, "expected the small-range correction to engage")
+    assert(math.abs(est - exact) < math.abs(raw - exact))
+    assert(r.getAs[Double]("rel_err") <= 0.05,
+      s"corrected estimate $est too far from exact $exact")
+  }
+
   test("dsirWeights: target-domain (en) docs score higher on average") {
     val w = Pipeline.dsirWeights(spark, sf0001)
       .join(Tables.documents(spark, sf0001).select(col("doc_id"), col("lang")), "doc_id")
