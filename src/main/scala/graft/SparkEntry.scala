@@ -67,6 +67,8 @@ object SparkEntry {
     "q_median_value"     -> Relational.qMedianValue _,
     "q_approx_sketches"  -> Relational.qApproxSketches _,
     "q_hll_portable"     -> Relational.qHllPortable _,
+    "q_quantile_sketch"  -> Relational.qQuantileSketch _,
+    "text_cms_heavy_hitters" -> TextAnalysis.cmsHeavyHitters _,
     "q4_priority_exists" -> Relational.q4PriorityExists _,
     "q11_value_concentration" -> Relational.q11ValueConcentration _,
     "q13_cust_distribution" -> Relational.q13CustDistribution _,
@@ -1377,6 +1379,45 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_distinct_chars,
         |  round((ln(CAST(sum(c) AS DOUBLE)) - sum(c * ln(c)) / sum(c)) / ln(2.0), 6) AS entropy_bits
         |FROM cc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_cms_heavy_hitters" ->
+      """WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS w FROM documents),
+        |cells AS (SELECT w, i AS row_i,
+        |   ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || w), 1, 15))::BIGINT % 512 AS cell
+        |  FROM toks CROSS JOIN (SELECT unnest([0, 1, 2]) AS i)),
+        |sketch AS (SELECT row_i, cell, count(*) AS cnt FROM cells GROUP BY 1, 2),
+        |top AS (SELECT w, count(*) AS exact_c FROM toks GROUP BY 1
+        |  ORDER BY exact_c DESC, w LIMIT 10),
+        |probes AS (SELECT t.w, t.exact_c, i AS row_i,
+        |   ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || t.w), 1, 15))::BIGINT % 512 AS cell
+        |  FROM top t CROSS JOIN (SELECT unnest([0, 1, 2]) AS i))
+        |SELECT p.w, p.exact_c, min(s.cnt) AS cms_estimate,
+        |  CAST(min(s.cnt) - p.exact_c AS BIGINT) AS overcount
+        |FROM probes p JOIN sketch s ON p.row_i = s.row_i AND p.cell = s.cell
+        |GROUP BY 1, 2 ORDER BY p.exact_c DESC, p.w""".stripMargin,
+    "q_quantile_sketch" ->
+      """WITH h AS (SELECT event_type, CAST(floor(value * 2) AS BIGINT) AS bin, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+        |cum AS (SELECT event_type, bin, c,
+        |   sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum FROM h),
+        |ps AS (SELECT unnest([0.5::DOUBLE, 0.95::DOUBLE]) AS p),
+        |r AS (SELECT cum.event_type, bin, c, cum.cum, ps.p,
+        |   CAST(ceil(ps.p * t.n) AS BIGINT) AS rk
+        |  FROM cum JOIN t USING (event_type) CROSS JOIN ps),
+        |sel AS (SELECT *, row_number() OVER (PARTITION BY event_type, p ORDER BY bin) AS rn
+        |  FROM r WHERE cum >= rk),
+        |est AS (SELECT event_type, p,
+        |   round(bin * 0.5::DOUBLE + 0.5::DOUBLE * (rk - (cum - c)) / c, 4) AS est_q
+        |  FROM sel WHERE rn = 1),
+        |ex AS (SELECT event_type, 0.5::DOUBLE AS p, round(quantile_cont(value, 0.5), 4) AS exact_q
+        |  FROM events GROUP BY 1
+        |  UNION ALL
+        |  SELECT event_type, 0.95::DOUBLE AS p, round(quantile_cont(value, 0.95), 4) AS exact_q
+        |  FROM events GROUP BY 1)
+        |SELECT est.event_type, est.p, est_q, exact_q,
+        |  round(abs(est_q - exact_q), 4) AS abs_err
+        |FROM est JOIN ex ON est.event_type = ex.event_type AND est.p = ex.p
+        |ORDER BY est.event_type, est.p""".stripMargin,
     "q_hll_portable" ->
       """WITH h AS (SELECT ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h,
         |   l_partkey FROM lineitem),

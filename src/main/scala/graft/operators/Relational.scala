@@ -430,6 +430,50 @@ object Relational {
         round(abs(col("estimate") - col("n_exact")) / col("n_exact"), 4))
   }
 
+  /** Portable quantile sketch — the quantile counterpart of
+    * [[qHllPortable]]: a fixed-width binned histogram (bin = ⌊2·value⌋,
+    * 0.5-wide bins) whose counts are exact integers, queried by rank
+    * (r = ⌈p·n⌉) with linear interpolation inside the landing bin.
+    * Every arithmetic step is either exact-integer or a single
+    * deterministic IEEE double op mirrored literally in the oracle, so
+    * the approximation hash-matches DuckDB. The exact
+    * percentile anchor rides along to report abs_err.
+    *
+    * Shape at scale: the histogram is a map-side-combinable
+    * (type, bin) agg — ~1k bins per group regardless of row count —
+    * then all quantile logic runs on the tiny aggregated relation; the
+    * raw table is scanned once (the exact anchor, which a real deploy
+    * would drop, is the only full-sort cost). */
+  def qQuantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
+    val hist = ev
+      .groupBy(col("event_type"), floor(col("value") * 2).cast("long").as("bin"))
+      .agg(count(lit(1)).as("c"))
+    val totals = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val cum = hist.withColumn("cum",
+      sum(col("c")).over(Window.partitionBy(col("event_type")).orderBy(col("bin"))))
+    val ps = Seq(0.5, 0.95)
+    val withP = cum.join(broadcast(totals), "event_type")
+      .crossJoin(broadcast(spark.range(1)
+        .select(explode(array(ps.map(lit): _*)).as("p"))))
+      .withColumn("rk", ceil(col("p") * col("n")).cast("long"))
+    val sel = withP.filter(col("cum") >= col("rk"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type"), col("p")).orderBy(col("bin"))))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("p"),
+        round(col("bin") * lit(0.5) +
+          lit(0.5) * (col("rk") - (col("cum") - col("c"))) / col("c"), 4).as("est_q"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.5)"), 4).as("q50"),
+        round(expr("percentile(value, 0.95)"), 4).as("q95"))
+      .select(col("event_type"), explode(map(
+        lit(0.5), col("q50"), lit(0.95), col("q95"))).as(Seq("p", "exact_q")))
+    sel.join(exact, Seq("event_type", "p"))
+      .withColumn("abs_err", round(abs(col("est_q") - col("exact_q")), 4))
+      .orderBy(col("event_type"), col("p"))
+  }
+
   /** EXISTS over a date-ranged fact (TPC-H Q4 shape): filtered orders
     * left_semi lineitem — the semi join never multiplies rows, and both
     * sides' filters push to the scans. */

@@ -331,4 +331,39 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("w1"), col("w2"))
       .limit(25)
+
+  /** Portable count-min sketch (Cormode & Muthukrishnan 2005) for
+    * corpus term frequency — the third member of the oracle-gated
+    * sketch family (with Relational.qHllPortable / qQuantileSketch):
+    * d=3 salted md5 hash rows × w=512 counters, all exact integers, so
+    * the sketch state and the point estimates hash-match DuckDB. The
+    * report probes the exact top-10 tokens and shows estimate vs truth
+    * (CMS never undercounts; overcount ≤ collisions' mass).
+    *
+    * Shape at scale: the sketch is a 1536-group map-side-combinable agg
+    * — constant memory regardless of corpus size, the whole point of
+    * CMS; the exact top-10 anchor (one token agg + TakeOrdered) exists
+    * only to report the error and would be dropped in a real deploy.
+    * Probing joins the 10×3 probe cells against the broadcast 1536-row
+    * sketch. */
+  def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val toks = graft.Caches.persistTracked(
+      Tables.documents(spark, dir)
+        .select(explode(expr(raw"regexp_extract_all(lower(text), '\\S+', 0)")).as("w")))
+    def cellExpr(i: Int) =
+      expr(s"CAST(conv(substr(md5(concat('$i:', w)), 1, 15), 16, 10) AS BIGINT) % 512")
+    val sketch = toks
+      .select(posexplode(array((0 until 3).map(cellExpr): _*)).as(Seq("row_i", "cell")))
+      .groupBy(col("row_i"), col("cell")).agg(count(lit(1)).as("cnt"))
+    val top = toks.groupBy(col("w")).agg(count(lit(1)).as("exact_c"))
+      .orderBy(col("exact_c").desc, col("w")).limit(10)
+    top
+      .select(col("w"), col("exact_c"),
+        posexplode(array((0 until 3).map(cellExpr): _*)).as(Seq("row_i", "cell")))
+      .join(broadcast(sketch), Seq("row_i", "cell"))
+      .groupBy(col("w"), col("exact_c"))
+      .agg(min(col("cnt")).as("cms_estimate"))
+      .withColumn("overcount", col("cms_estimate") - col("exact_c"))
+      .orderBy(col("exact_c").desc, col("w"))
+  }
 }

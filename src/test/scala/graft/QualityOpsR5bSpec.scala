@@ -137,6 +137,34 @@ class QualityOpsR5bSpec extends SparkSpec {
       s"corrected estimate $est too far from exact $exact")
   }
 
+  test("quantileSketch: p50 <= p95 and estimates track the exact anchor") {
+    val r = graft.operators.Relational.qQuantileSketch(spark, sf0001)
+      .collect().map(x => (x.getAs[String]("event_type"), x.getAs[Double]("p"),
+        x.getAs[Double]("est_q"), x.getAs[Double]("exact_q")))
+    assert(r.nonEmpty)
+    val byType = r.groupBy(_._1)
+    byType.foreach { case (t, rows) =>
+      val q50 = rows.find(_._2 == 0.5).get._3
+      val q95 = rows.find(_._2 == 0.95).get._3
+      assert(q50 <= q95, s"$t: p50 $q50 > p95 $q95")
+    }
+    // in-bin interpolation bounds the error by one bin width + tie mass;
+    // on this distribution the estimate lands within 5% of exact
+    r.foreach { case (t, p, est, exact) =>
+      assert(math.abs(est - exact) <= math.max(0.05 * exact, 0.5),
+        s"$t p=$p est=$est exact=$exact")
+    }
+  }
+
+  test("cmsHeavyHitters never undercounts and ranks by exact frequency") {
+    val r = ops.TextAnalysis.cmsHeavyHitters(spark, sf0001).collect()
+    assert(r.length === 10)
+    r.foreach { x =>
+      assert(x.getAs[Long]("cms_estimate") >= x.getAs[Long]("exact_c"))
+      assert(x.getAs[Long]("overcount") >= 0L)
+    }
+  }
+
   test("dsirWeights: target-domain (en) docs score higher on average") {
     val w = Pipeline.dsirWeights(spark, sf0001)
       .join(Tables.documents(spark, sf0001).select(col("doc_id"), col("lang")), "doc_id")
