@@ -398,17 +398,27 @@ object Relational {
     * 256-group agg of a projected hash — the textbook mergeable-sketch
     * plan; the exact countDistinct rides along only as the accuracy
     * anchor (itself a two-phase partial agg). */
-  def qHllPortable(spark: SparkSession, dir: String): DataFrame = {
+  /** The (bucket, mj) HLL register table for an arbitrary
+    * single-column ("k", string) key relation — the mergeable sketch
+    * state itself: registers(A ∪ B) = max-merge(registers(A),
+    * registers(B)), which is exactly Spark's map-side partial max and
+    * what a spec asserts. */
+  private[graft] def hllRegisters(keys: DataFrame): DataFrame = {
     val m = 256L; val cap = 40L
-    val h = Tables.lineitem(spark, dir).select(
-      expr("CAST(conv(substr(md5(CAST(l_partkey AS STRING)), 1, 15), 16, 10) AS BIGINT)").as("h"),
-      col("l_partkey"))
-    val reg = h
+    keys
+      .select(expr("CAST(conv(substr(md5(k), 1, 15), 16, 10) AS BIGINT)").as("h"))
       // integer div, NOT `/`: Spark divide casts to double, which is
       // lossy above 2^53 — h is 60 bits
       .select((col("h") % m).as("bucket"), expr(s"h div $m").as("v"))
       .withColumn("rho", least(lit(53L) - length(expr("bin(v)")), lit(cap)))
       .groupBy(col("bucket")).agg(max(col("rho")).as("mj"))
+  }
+
+  def qHllPortable(spark: SparkSession, dir: String): DataFrame = {
+    val m = 256L; val cap = 40L
+    val h = Tables.lineitem(spark, dir)
+      .select(col("l_partkey").cast("string").as("k"), col("l_partkey"))
+    val reg = hllRegisters(h)
       .agg(count(lit(1)).as("n_buckets"),
         sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($cap - mj AS INT))")).as("s_present"))
     val exact = h.agg(countDistinct(col("l_partkey")).as("n_exact"))

@@ -346,20 +346,27 @@ object TextAnalysis {
     * only to report the error and would be dropped in a real deploy.
     * Probing joins the 10×3 probe cells against the broadcast 1536-row
     * sketch. */
+  private def cmsCellExpr(i: Int) =
+    expr(s"CAST(conv(substr(md5(concat('$i:', w)), 1, 15), 16, 10) AS BIGINT) % 512")
+
+  /** The (row_i, cell, cnt) CMS counter table for an arbitrary
+    * single-column ("w", string) token relation — the mergeable sketch
+    * state: counters of A ∪ B = sum-merge of A's and B's counters
+    * (Spark's map-side partial sum), which a spec asserts. */
+  private[graft] def cmsSketch(toks: DataFrame): DataFrame = toks
+    .select(posexplode(array((0 until 3).map(cmsCellExpr): _*)).as(Seq("row_i", "cell")))
+    .groupBy(col("row_i"), col("cell")).agg(count(lit(1)).as("cnt"))
+
   def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     val toks = graft.Caches.persistTracked(
       Tables.documents(spark, dir)
         .select(explode(expr(raw"regexp_extract_all(lower(text), '\\S+', 0)")).as("w")))
-    def cellExpr(i: Int) =
-      expr(s"CAST(conv(substr(md5(concat('$i:', w)), 1, 15), 16, 10) AS BIGINT) % 512")
-    val sketch = toks
-      .select(posexplode(array((0 until 3).map(cellExpr): _*)).as(Seq("row_i", "cell")))
-      .groupBy(col("row_i"), col("cell")).agg(count(lit(1)).as("cnt"))
+    val sketch = cmsSketch(toks)
     val top = toks.groupBy(col("w")).agg(count(lit(1)).as("exact_c"))
       .orderBy(col("exact_c").desc, col("w")).limit(10)
     top
       .select(col("w"), col("exact_c"),
-        posexplode(array((0 until 3).map(cellExpr): _*)).as(Seq("row_i", "cell")))
+        posexplode(array((0 until 3).map(cmsCellExpr): _*)).as(Seq("row_i", "cell")))
       .join(broadcast(sketch), Seq("row_i", "cell"))
       .groupBy(col("w"), col("exact_c"))
       .agg(min(col("cnt")).as("cms_estimate"))

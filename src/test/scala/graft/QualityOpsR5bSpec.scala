@@ -165,6 +165,30 @@ class QualityOpsR5bSpec extends SparkSpec {
     }
   }
 
+  test("sketch state merges: sketch(A ∪ B) equals the merged partial sketches") {
+    import graft.operators.Relational
+    // HLL: registers max-merge
+    val keys = Tables.lineitem(spark, sf0001)
+      .select(col("l_partkey").cast("string").as("k"), col("l_partkey"))
+    val (a, b) = (keys.filter(col("l_partkey") % 2 === 0).select("k"),
+      keys.filter(col("l_partkey") % 2 === 1).select("k"))
+    val full = Relational.hllRegisters(keys.select("k"))
+    val merged = Relational.hllRegisters(a).unionAll(Relational.hllRegisters(b))
+      .groupBy(col("bucket")).agg(max(col("mj")).as("mj"))
+    assert(full.exceptAll(merged).count() === 0)
+    assert(merged.exceptAll(full).count() === 0)
+    // CMS: counters sum-merge
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), explode(expr(
+        raw"regexp_extract_all(lower(text), '\\S+', 0)")).as("w"))
+    val fullC = ops.TextAnalysis.cmsSketch(docs.select("w"))
+    val mergedC = ops.TextAnalysis.cmsSketch(docs.filter(col("doc_id") % 2 === 0).select("w"))
+      .unionAll(ops.TextAnalysis.cmsSketch(docs.filter(col("doc_id") % 2 === 1).select("w")))
+      .groupBy(col("row_i"), col("cell")).agg(sum(col("cnt")).as("cnt"))
+    assert(fullC.exceptAll(mergedC).count() === 0)
+    assert(mergedC.exceptAll(fullC).count() === 0)
+  }
+
   test("dsirWeights: target-domain (en) docs score higher on average") {
     val w = Pipeline.dsirWeights(spark, sf0001)
       .join(Tables.documents(spark, sf0001).select(col("doc_id"), col("lang")), "doc_id")
