@@ -150,6 +150,7 @@ object SparkEntry {
     "embed_pca_power"     -> ((s, d) => Similarity.pcaPower(s, d)),
     "dedup_semdedup"      -> Similarity.semDedup _,
     "pipeline_mixture_resample" -> Pipeline.mixtureResample _,
+    "pipeline_dsir_resample" -> ((s, d) => Pipeline.dsirResample(s, d)),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. */
@@ -1544,6 +1545,27 @@ object SparkEntry {
         |  round(sum(cnt * lr.llr), 6) AS weight
         |FROM b JOIN lr ON b.bucket = lr.bucket
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "pipeline_dsir_resample" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '\S+')) AS w
+        |  FROM documents),
+        |b AS (SELECT doc_id, lang,
+        |    ('0x' || substr(md5(w), 1, 15))::BIGINT % 64 AS bucket, count(*) AS cnt
+        |  FROM tok GROUP BY 1, 2, 3),
+        |tgt AS (SELECT bucket, sum(cnt) AS ct FROM b WHERE lang = 'en' GROUP BY 1),
+        |rw AS (SELECT bucket, sum(cnt) AS cr FROM b GROUP BY 1),
+        |tot AS (SELECT
+        |    (SELECT sum(cnt) FROM b WHERE lang = 'en') AS nt,
+        |    (SELECT sum(cnt) FROM b) AS nr),
+        |lr AS (SELECT rw.bucket,
+        |    ln(((COALESCE(tgt.ct, 0) + 1.0) / (tot.nt + 64)) / ((rw.cr + 1.0) / (tot.nr + 64))) AS llr
+        |  FROM rw LEFT JOIN tgt ON rw.bucket = tgt.bucket CROSS JOIN tot),
+        |wt AS (SELECT b.doc_id, round(sum(cnt * lr.llr), 6) AS weight
+        |  FROM b JOIN lr ON b.bucket = lr.bucket GROUP BY 1),
+        |g AS (SELECT doc_id, weight,
+        |   round(8.0::DOUBLE * weight - ln(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-dsir'), 1, 15))::BIGINT % 1000000 + 0.5) / 1000000.0)), 6) AS gkey
+        |  FROM wt)
+        |SELECT doc_id, weight, gkey FROM g
+        |ORDER BY gkey DESC, doc_id LIMIT 100""".stripMargin,
     "embed_pca_power" ->
       """WITH e AS (SELECT vec_id, j AS d, CAST(embedding[j+1] AS DOUBLE) AS x
         |    FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS j)),

@@ -405,4 +405,27 @@ object Pipeline {
         round(sum(col("cnt") * col("llr")), 6).as("weight"))
       .orderBy(col("doc_id"))
   }
+
+  /** DSIR importance RESAMPLING — the actual selection step of Xie et
+    * al. 2023: sample k docs without replacement with probability
+    * proportional to softmax(β·weight) via the Gumbel-top-k trick
+    * (gkey = β·weight − ln(−ln u), u hash-derived uniform; the k
+    * largest gkeys ARE such a sample). β is the usual inverse
+    * temperature of tempered resampling — this corpus's weights have
+    * σ≈0.25 against Gumbel noise σ=π/√6≈1.28, so β=8 puts the signal
+    * above the noise while keeping the sample stochastic. Composes
+    * [[dsirWeights]] with the same deterministic-u +
+    * round-before-rank discipline as [[sampleWeighted]], so both
+    * engines pick the identical k docs.
+    *
+    * Shape at scale: everything dsirWeights does plus one map-side
+    * projection and a TakeOrdered(k) — never a global sort. */
+  def dsirResample(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
+    dsirWeights(spark, dir)
+      .withColumn("u",
+        expr("(CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), '-dsir')), 1, 15), 16, 10) AS BIGINT) % 1000000 + 0.5) / 1000000.0"))
+      .withColumn("gkey", round(lit(8.0) * col("weight") - log(-log(col("u"))), 6))
+      .select(col("doc_id"), col("weight"), col("gkey"))
+      .orderBy(col("gkey").desc, col("doc_id"))
+      .limit(k)
 }

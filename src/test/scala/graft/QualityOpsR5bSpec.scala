@@ -189,6 +189,16 @@ class QualityOpsR5bSpec extends SparkSpec {
     assert(mergedC.exceptAll(fullC).count() === 0)
   }
 
+  test("dsirResample: the Gumbel-top-k sample is enriched in the target domain") {
+    val langs = Tables.documents(spark, sf0001).select(col("doc_id"), col("lang"))
+    val sampleEn = Pipeline.dsirResample(spark, sf0001).join(langs, "doc_id")
+      .agg(avg(when(col("lang") === "en", 1.0).otherwise(0.0))).head().getDouble(0)
+    val corpusEn = langs
+      .agg(avg(when(col("lang") === "en", 1.0).otherwise(0.0))).head().getDouble(0)
+    assert(sampleEn > corpusEn,
+      s"resample en share $sampleEn should beat corpus share $corpusEn")
+  }
+
   test("dsirWeights: target-domain (en) docs score higher on average") {
     val w = Pipeline.dsirWeights(spark, sf0001)
       .join(Tables.documents(spark, sf0001).select(col("doc_id"), col("lang")), "doc_id")
