@@ -64,4 +64,57 @@ object CorpusStream {
       .start()
     (good, quarantine)
   }
+
+  /** Streaming maintenance of the portable CMS term-frequency sketch
+    * ([[graft.ops.TextAnalysis.cmsSketch]]): each micro-batch computes
+    * its partial (row_i, cell, cnt) counters and sum-merges them into
+    * the running state — the streaming form of the merge law
+    * QualityOpsR5bSpec proves for the batch sketch.
+    *
+    * Exactly-once without transactions: the merged state for batch N
+    * is written to `outDir/cms/batch_N` (state reads come from the
+    * HIGHEST batch dir, see [[latestCms]]). A replayed batch N
+    * recomputes the same merge from batch N−1's state and OVERWRITES
+    * its own dir — idempotent by construction, no marker files. The
+    * state is bounded (3×512 counters) regardless of stream volume, so
+    * the driver-side rewrite is constant work — the whole point of
+    * maintaining a sketch instead of exact counts. */
+  def cmsMaintain(spark: SparkSession, inDir: String, outDir: String,
+                  ckptDir: String): StreamingQuery =
+    parsedDocs(spark.readStream.text(inDir))
+      .filter(col("is_valid"))
+      .select(explode(expr(raw"regexp_extract_all(lower(text), '\\S+', 0)")).as("w"))
+      .writeStream
+      .option("checkpointLocation", s"$ckptDir/cms")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val part = graft.ops.TextAnalysis.cmsSketch(batch)
+        // merge against the highest state STRICTLY BELOW this batch:
+        // on replay, batch N must not see its own (possibly partial)
+        // batch_N dir or the merge double-counts
+        val merged = latestCms(s, outDir, below = Some(batchId)) match {
+          case Some(prev) => prev.unionAll(part)
+            .groupBy(col("row_i"), col("cell")).agg(sum(col("cnt")).as("cnt"))
+          case None => part
+        }
+        merged.coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/cms/batch_$batchId")
+        ()
+      }
+      .start()
+
+  /** The current CMS state: the highest batch_N dir under outDir/cms
+    * (optionally restricted to N < below, for replay-safe merging), or
+    * None before the first batch commits. */
+  def latestCms(spark: SparkSession, outDir: String,
+                below: Option[Long] = None): Option[DataFrame] = {
+    val root = new java.io.File(s"$outDir/cms")
+    val ids = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_"))
+      .map(_.getName.stripPrefix("batch_").toLong)
+      .filter(id => below.forall(id < _))
+    if (ids.isEmpty) None
+    else Some(spark.read.parquet(s"$outDir/cms/batch_${ids.max}"))
+  }
 }

@@ -41,4 +41,31 @@ class CorpusStreamSpec extends SparkSpec {
     val quarantine = spark.read.parquet(s"$out/quarantine")
     assert(quarantine.count() == 2)
   }
+
+  test("cmsMaintain merges micro-batch sketches into the exact batch sketch") {
+    import spark.implicits._
+    val in = tmpDir("cms-in"); val out = tmpDir("cms-out")
+    val ckpt = tmpDir("cms-ckpt")
+    Files.writeString(Paths.get(in, "b1.jsonl"),
+      """{"doc_id": 1, "text": "alpha beta gamma alpha", "lang": "en", "source": "web"}
+        |{"doc_id": 2, "text": "beta delta epsilon", "lang": "en", "source": "web"}
+        |""".stripMargin)
+    CorpusStream.cmsMaintain(spark, in, out, ckpt).awaitTermination(60000)
+    Files.writeString(Paths.get(in, "b2.jsonl"),
+      """{"doc_id": 3, "text": "alpha zeta zeta eta", "lang": "en", "source": "web"}
+        |""".stripMargin)
+    CorpusStream.cmsMaintain(spark, in, out, ckpt).awaitTermination(60000)
+
+    val state = CorpusStream.latestCms(spark, out)
+      .getOrElse(fail("no CMS state written"))
+    // the incrementally-maintained state must equal the batch sketch
+    // over the full token set — the streaming form of the merge law
+    val allToks = Seq("alpha", "beta", "gamma", "alpha", "beta", "delta",
+      "epsilon", "alpha", "zeta", "zeta", "eta").toDF("w")
+    val expected = ops.TextAnalysis.cmsSketch(allToks)
+    assert(state.exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(state).count() == 0)
+    // and both earlier states exist (batch_0 then batch_1)
+    assert(CorpusStream.latestCms(spark, out, below = Some(1)).isDefined)
+  }
 }
