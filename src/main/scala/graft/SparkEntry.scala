@@ -151,6 +151,7 @@ object SparkEntry {
     "dedup_semdedup"      -> Similarity.semDedup _,
     "pipeline_mixture_resample" -> Pipeline.mixtureResample _,
     "pipeline_dsir_resample" -> ((s, d) => Pipeline.dsirResample(s, d)),
+    "ann_knn_classify"    -> Similarity.annKnnClassify _,
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. */
@@ -1419,6 +1420,24 @@ object SparkEntry {
         |  round(abs(est_q - exact_q), 4) AS abs_err
         |FROM est JOIN ex ON est.event_type = ex.event_type AND est.p = ex.p
         |ORDER BY est.event_type, est.p""".stripMargin,
+    "ann_knn_classify" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM e),
+        |p AS (SELECT vec_id AS probe_id, v AS pv, norm AS pnorm, label AS true_label
+        |  FROM n WHERE vec_id < 25),
+        |s AS (SELECT p.probe_id, p.true_label, n.vec_id, n.label,
+        |   round(list_sum(list_transform(list_zip(p.pv, n.v), z -> z[1]*z[2])) / (p.pnorm * n.norm), 6) AS cosine
+        |  FROM p CROSS JOIN n WHERE n.vec_id <> p.probe_id),
+        |top5 AS (SELECT * FROM s
+        |  QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) <= 5),
+        |votes AS (SELECT probe_id, true_label, label, count(*) AS votes
+        |  FROM top5 GROUP BY 1, 2, 3)
+        |SELECT probe_id, CAST(true_label AS BIGINT) AS true_label,
+        |  CAST(label AS BIGINT) AS pred_label, votes,
+        |  label = true_label AS correct
+        |FROM votes
+        |QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY votes DESC, label) = 1
+        |ORDER BY probe_id""".stripMargin,
     "q_hll_portable" ->
       """WITH h AS (SELECT ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h,
         |   l_partkey FROM lineitem),

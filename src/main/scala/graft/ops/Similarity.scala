@@ -48,6 +48,43 @@ object Similarity {
       .orderBy(col("probe_id"), col("rk"))
   }
 
+  /** k-NN label vote — the weak-supervision / label-propagation
+    * primitive a curation pipeline uses to extend a small labeled set
+    * (e.g. quality labels) over an unlabeled corpus: classify each
+    * probe (vec_id < 25, its own label held out) by the majority label
+    * of its 5 nearest cosine neighbors; ties break toward the smaller
+    * label. Reports the vote count and whether the prediction matches
+    * the held-out truth — agreement doubles as an embedding-quality
+    * metric (high k-NN label agreement ⇒ the space separates classes).
+    *
+    * Shape at scale: identical to [[annBruteforce]] (probes broadcast,
+    * scan side never shuffles; the vote agg is per-probe tiny); with a
+    * large probe set the candidate stage swaps for the IVF/LSH route
+    * exactly as [[annIvfTopk]] does — the vote layer is unchanged. */
+  def annKnnClassify(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val probes = e.filter(col("vec_id") < 25)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("norm").as("pnorm"), col("label").as("true_label"))
+    val scored = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine", round(
+        expr("graft_dot(pv, v)") / (col("pnorm") * col("norm")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("vec_id"))
+    val votes = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .groupBy(col("probe_id"), col("true_label"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("votes").desc, col("label"))
+    votes.withColumn("vrk", row_number().over(wv))
+      .filter(col("vrk") === 1)
+      .select(col("probe_id"), col("true_label").cast("long").as("true_label"),
+        col("label").cast("long").as("pred_label"), col("votes"),
+        (col("label") === col("true_label")).as("correct"))
+      .orderBy(col("probe_id"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, blocked by label (the
     * IVF-cell restriction at scale: only vectors sharing a coarse cell
     * are compared, turning O(n²) into O(Σ cell²)). τ=0.35 is calibrated

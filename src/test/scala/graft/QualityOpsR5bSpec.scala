@@ -199,6 +199,15 @@ class QualityOpsR5bSpec extends SparkSpec {
       s"resample en share $sampleEn should beat corpus share $corpusEn")
   }
 
+  test("annKnnClassify: one prediction per probe with 1..5 votes") {
+    val r = Caches.persistTracked(Similarity.annKnnClassify(spark, sf0001))
+    assert(r.count() === r.select(col("probe_id")).distinct().count())
+    assert(r.filter(col("votes") < 1 || col("votes") > 5).count() === 0)
+    // the prediction must agree with the correctness flag
+    assert(r.filter((col("pred_label") === col("true_label")) =!= col("correct"))
+      .count() === 0)
+  }
+
   test("dsirWeights: target-domain (en) docs score higher on average") {
     val w = Pipeline.dsirWeights(spark, sf0001)
       .join(Tables.documents(spark, sf0001).select(col("doc_id"), col("lang")), "doc_id")
