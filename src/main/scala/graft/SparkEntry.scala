@@ -152,6 +152,7 @@ object SparkEntry {
     "pipeline_mixture_resample" -> Pipeline.mixtureResample _,
     "pipeline_dsir_resample" -> ((s, d) => Pipeline.dsirResample(s, d)),
     "ann_knn_classify"    -> Similarity.annKnnClassify _,
+    "text_langid_eval"    -> TextAnalysis.langidEval _,
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. */
@@ -1420,6 +1421,21 @@ object SparkEntry {
         |  round(abs(est_q - exact_q), 4) AS abs_err
         |FROM est JOIN ex ON est.event_type = ex.event_type AND est.p = ex.p
         |ORDER BY est.event_type, est.p""".stripMargin,
+    "text_langid_eval" ->
+      """WITH c AS (SELECT doc_id, lang AS tagged_lang,
+        |  CAST(len(regexp_extract_all(text, 'th|he|an|in|er')) AS BIGINT) AS c_en,
+        |  CAST(len(regexp_extract_all(text, 'sch|ein|der|ung')) AS BIGINT) AS c_de,
+        |  CAST(len(regexp_extract_all(text, 'el |la |de |os ')) AS BIGINT) AS c_es
+        | FROM documents),
+        |pred AS (SELECT tagged_lang,
+        |  CASE WHEN c_en >= c_de AND c_en >= c_es THEN 'en'
+        |       WHEN c_de >= c_es THEN 'de' ELSE 'es' END AS predicted_lang
+        | FROM c),
+        |cm AS (SELECT tagged_lang, predicted_lang, count(*) AS n
+        | FROM pred GROUP BY 1, 2)
+        |SELECT tagged_lang, predicted_lang, n,
+        |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY tagged_lang), 6) AS share_of_true
+        |FROM cm ORDER BY tagged_lang, predicted_lang""".stripMargin,
     "ann_knn_classify" ->
       """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |n AS (SELECT vec_id, label, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM e),

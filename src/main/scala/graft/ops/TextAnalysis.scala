@@ -90,6 +90,24 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Language-ID quality report: the confusion matrix of
+    * [[langid]]'s n-gram classifier against the corpus's tagged
+    * language, with each cell's share of its true-language row — the
+    * QC table that decides whether the cheap classifier is good
+    * enough to route low-resource strata, and the pattern for
+    * evaluating ANY per-doc classifier against a labeled column.
+    * Shape at scale: langid's single scan plus a (true, pred) agg —
+    * ≤ |langs|² rows — and a window over that tiny relation. */
+  def langidEval(spark: SparkSession, dir: String): DataFrame = {
+    val cm = langid(spark, dir)
+      .groupBy(col("tagged_lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("tagged_lang"))
+    cm.withColumn("share_of_true",
+        round(col("n").cast("double") / sum(col("n")).over(w), 6))
+      .orderBy(col("tagged_lang"), col("predicted_lang"))
+  }
+
   /** Winnowing (rolling k-gram hash) fingerprints, MOSS-style: the
     * plagiarism/near-dup fingerprint family — window-min over k-gram
     * hashes selects a deterministic ~1/w sample of each document's

@@ -208,6 +208,14 @@ class QualityOpsR5bSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("langidEval: cells partition the corpus and shares sum to one") {
+    val r = Caches.persistTracked(ops.TextAnalysis.langidEval(spark, sf0001))
+    val nDocs = Tables.documents(spark, sf0001).count()
+    assert(r.agg(sum(col("n"))).head().getLong(0) === nDocs)
+    val sums = r.groupBy(col("tagged_lang")).agg(sum(col("share_of_true")).as("s"))
+    assert(sums.filter(abs(col("s") - 1.0) > 1e-4).count() === 0)
+  }
+
   test("dsirWeights: target-domain (en) docs score higher on average") {
     val w = Pipeline.dsirWeights(spark, sf0001)
       .join(Tables.documents(spark, sf0001).select(col("doc_id"), col("lang")), "doc_id")
