@@ -153,6 +153,8 @@ object SparkEntry {
     "pipeline_dsir_resample" -> ((s, d) => Pipeline.dsirResample(s, d)),
     "ann_knn_classify"    -> Similarity.annKnnClassify _,
     "text_langid_eval"    -> TextAnalysis.langidEval _,
+    "text_gopher_rules"   -> TextAnalysis.gopherRules _,
+    "text_ccnet_buckets"  -> TextAnalysis.ccnetBuckets _,
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. */
@@ -1421,6 +1423,39 @@ object SparkEntry {
         |  round(abs(est_q - exact_q), 4) AS abs_err
         |FROM est JOIN ex ON est.event_type = ex.event_type AND est.p = ex.p
         |ORDER BY est.event_type, est.p""".stripMargin,
+    "text_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, text, regexp_extract_all(lower(text), '\S+') AS toks
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks), 6) AS mean_word_len,
+        |  round(CAST(len(regexp_extract_all(text, '[#*^~|]')) AS DOUBLE) / len(toks), 6) AS symbol_word_ratio,
+        |  round(CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) / len(toks), 6) AS alpha_word_ratio,
+        |  CAST(len(list_intersect(list_distinct(toks),
+        |    ['the','a','of','and','to','in','that','is'])) AS BIGINT) AS n_stopwords
+        | FROM t)
+        |SELECT *,
+        |  n_tokens BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+        |    AND symbol_word_ratio <= 0.1 AND alpha_word_ratio >= 0.8
+        |    AND n_stopwords >= 2 AS passes
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "text_ccnet_buckets" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> {'w1': toks[i], 'w2': toks[i+1]})) AS b
+        |  FROM t WHERE len(toks) >= 2),
+        |bs AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+        |uc AS (SELECT w1, count(*) AS uc FROM (SELECT unnest(toks) AS w1 FROM t) GROUP BY 1),
+        |bc AS (SELECT w1, w2, count(*) AS bc FROM bs GROUP BY 1, 2),
+        |v AS (SELECT count(*) AS v FROM uc),
+        |sc AS (SELECT doc_id, round(avg(ln((bc + 1.0) / (uc.uc + v.v))), 6) AS lm_score
+        |  FROM bs JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v
+        |  GROUP BY doc_id),
+        |nt AS (SELECT doc_id, lm_score,
+        |   ntile(3) OVER (ORDER BY lm_score DESC, doc_id) AS tercile FROM sc)
+        |SELECT doc_id, lm_score,
+        |  CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM nt ORDER BY doc_id""".stripMargin,
     "text_langid_eval" ->
       """WITH c AS (SELECT doc_id, lang AS tagged_lang,
         |  CAST(len(regexp_extract_all(text, 'th|he|an|in|er')) AS BIGINT) AS c_en,

@@ -108,6 +108,58 @@ object TextAnalysis {
       .orderBy(col("tagged_lang"), col("predicted_lang"))
   }
 
+  /** Gopher rule-based quality filters (Rae et al. 2021, table A1) —
+    * the fixed-threshold document gates most pretraining corpora run
+    * before any learned scoring, one boolean per rule so downstream
+    * reporting can attribute drops: token-count window [50, 100k],
+    * mean word length [3, 10], symbol-to-word ratio ≤ 0.1, ≥80% of
+    * words alphabetic, ≥2 distinct stopwords. All rules are one
+    * projection over a single scan — no joins, no shuffles except the
+    * output sort. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr(raw"regexp_extract_all(lower(text), '\\S+', 0)").as("toks"), col("text"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        round(expr("aggregate(toks, 0L, (a, t) -> a + length(t))").cast("double") /
+          size(col("toks")), 6).as("mean_word_len"),
+        round(size(expr(raw"regexp_extract_all(text, '[#*^~|]', 0)")).cast("double") /
+          size(col("toks")), 6).as("symbol_word_ratio"),
+        round(expr("size(filter(toks, t -> t rlike '[a-z]'))").cast("double") /
+          size(col("toks")), 6).as("alpha_word_ratio"),
+        expr("size(array_intersect(array_distinct(toks), " +
+          "array('the','a','of','and','to','in','that','is')))")
+          .cast("long").as("n_stopwords"))
+      .withColumn("passes",
+        col("n_tokens").between(50, 100000) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("symbol_word_ratio") <= 0.1 &&
+          col("alpha_word_ratio") >= 0.8 &&
+          col("n_stopwords") >= 2)
+      .orderBy(col("doc_id"))
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): rank the
+    * corpus by the [[lmScore]] LM log-likelihood and cut into
+    * head/middle/tail terciles — the slices CCNet publishes and
+    * training mixes draw from in different proportions.
+    * Shape at scale: lmScore's plan plus ONE window over the tiny
+    * (doc, score) projection; at 100 TB the ntile swaps for two
+    * approximate tercile cut points broadcast back — same output
+    * column, no global sort. */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("lm_score").desc, col("doc_id"))
+    lmScore(spark, dir)
+      .withColumn("tercile", ntile(3).over(w))
+      .select(col("doc_id"), col("lm_score"),
+        when(col("tercile") === 1, "head")
+          .when(col("tercile") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Winnowing (rolling k-gram hash) fingerprints, MOSS-style: the
     * plagiarism/near-dup fingerprint family — window-min over k-gram
     * hashes selects a deterministic ~1/w sample of each document's

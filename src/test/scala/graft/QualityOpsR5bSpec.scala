@@ -216,6 +216,33 @@ class QualityOpsR5bSpec extends SparkSpec {
     assert(sums.filter(abs(col("s") - 1.0) > 1e-4).count() === 0)
   }
 
+  test("gopherRules: flags match their thresholds and the gate splits the corpus") {
+    val r = Caches.persistTracked(ops.TextAnalysis.gopherRules(spark, sf0001))
+    val recomputed = r.filter(
+      (col("n_tokens").between(50, 100000) &&
+        col("mean_word_len").between(3.0, 10.0) &&
+        col("symbol_word_ratio") <= 0.1 &&
+        col("alpha_word_ratio") >= 0.8 &&
+        col("n_stopwords") >= 2) =!= col("passes"))
+    assert(recomputed.count() === 0)
+    assert(r.filter(col("passes")).count() > 0)
+    assert(r.filter(!col("passes")).count() > 0, "gate should reject something")
+  }
+
+  test("ccnetBuckets: terciles are balanced and ordered by score") {
+    val r = Caches.persistTracked(ops.TextAnalysis.ccnetBuckets(spark, sf0001))
+    val sizes = r.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .collect().map(x => x.getAs[String]("bucket") -> x.getAs[Long]("n")).toMap
+    assert(sizes.keySet === Set("head", "middle", "tail"))
+    assert(sizes.values.max - sizes.values.min <= 1)
+    // every head score >= every middle score >= every tail score
+    val mins = r.groupBy(col("bucket")).agg(min(col("lm_score")).as("mn"),
+      max(col("lm_score")).as("mx")).collect()
+      .map(x => x.getAs[String]("bucket") -> (x.getAs[Double]("mn"), x.getAs[Double]("mx"))).toMap
+    assert(mins("head")._1 >= mins("middle")._2)
+    assert(mins("middle")._1 >= mins("tail")._2)
+  }
+
   test("dsirWeights: target-domain (en) docs score higher on average") {
     val w = Pipeline.dsirWeights(spark, sf0001)
       .join(Tables.documents(spark, sf0001).select(col("doc_id"), col("lang")), "doc_id")
