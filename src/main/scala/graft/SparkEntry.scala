@@ -155,6 +155,7 @@ object SparkEntry {
     "text_langid_eval"    -> TextAnalysis.langidEval _,
     "text_gopher_rules"   -> TextAnalysis.gopherRules _,
     "text_ccnet_buckets"  -> TextAnalysis.ccnetBuckets _,
+    "graph_lpa"           -> ((s, d) => Graph.labelPropagation(s, d)),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. */
@@ -1187,6 +1188,21 @@ object SparkEntry {
         |ORDER BY column_name""".stripMargin,
     // three unrolled damped-PageRank steps; ranks round to 9 dp per
     // iteration in both engines so float-sum order can't compound
+    "graph_lpa" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |p AS (SELECT DISTINCT x.pk AS u, y.pk AS v
+        |  FROM items x JOIN items y ON x.ok = y.ok AND x.pk < y.pk),
+        |e AS (SELECT u, v FROM p UNION ALL SELECT v, u FROM p),
+        |l0 AS (SELECT DISTINCT u AS nd, u AS lbl FROM e),
+        |c1 AS (SELECT e.u, l.lbl, count(*) AS cnt
+        |  FROM e JOIN l0 l ON l.nd = e.v GROUP BY 1, 2),
+        |l1 AS (SELECT u AS nd, lbl FROM c1
+        |  QUALIFY row_number() OVER (PARTITION BY u ORDER BY cnt DESC, lbl) = 1),
+        |c2 AS (SELECT e.u, l.lbl, count(*) AS cnt
+        |  FROM e JOIN l1 l ON l.nd = e.v GROUP BY 1, 2),
+        |l2 AS (SELECT u AS nd, lbl FROM c2
+        |  QUALIFY row_number() OVER (PARTITION BY u ORDER BY cnt DESC, lbl) = 1)
+        |SELECT nd AS node, lbl AS community FROM l2 ORDER BY node""".stripMargin,
     "graph_pagerank" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
         |p AS (SELECT DISTINCT x.pk AS u, y.pk AS v

@@ -105,6 +105,42 @@ object Graph {
     * broadcast gate and [[graft.operators.Scale.maybeBroadcast]]
     * falls back to a shuffle join keyed the same way.
     */
+  /** Synchronous label propagation (Raghavan et al. 2007), the third
+    * iterative graph primitive beside [[pageRank]] and the components
+    * family: start with label = node id; each round every node adopts
+    * the most frequent label among its neighbors, ties to the SMALLEST
+    * label. The deterministic tie-break is what makes sync-LPA
+    * engine-portable (async update order isn't); two rounds already
+    * coarsen the co-occurrence graph into stable communities.
+    *
+    * Shape at scale: per round, one broadcast of the |V|-row label
+    * table onto the edge list (size-gated — at huge |V| it degrades to
+    * a shuffle join on v, still one exchange), a (u, lbl) partial-agg
+    * count, and a per-node argmax window partitioned by u. Per-round
+    * persist+count keeps plan depth flat, the pageRank discipline. */
+  def labelPropagation(spark: SparkSession, dir: String, iters: Int = 2): DataFrame = {
+    import graft.operators.Scale.maybeBroadcast
+    val p = graft.Caches.persistTracked(coOccurrenceEdges(spark, dir))
+    val edges = graft.Caches.persistTracked(
+      p.unionAll(p.select(col("v").as("u"), col("u").as("v"))))
+    edges.count() // materialize: broadcast gates need real sizes
+    var labels = edges.select(col("u").as("nd")).distinct()
+      .withColumn("lbl", col("nd"))
+    for (_ <- 1 to iters) {
+      val counts = edges
+        .join(maybeBroadcast(labels.select(col("nd").as("v"), col("lbl"))), Seq("v"))
+        .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("u")).orderBy(col("cnt").desc, col("lbl"))
+      labels = graft.Caches.persistTracked(
+        counts.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+          .select(col("u").as("nd"), col("lbl")))
+      labels.count() // keep stats real for the next round's gate
+    }
+    labels.select(col("nd").as("node"), col("lbl").as("community"))
+      .orderBy(col("node"))
+  }
+
   def pageRank(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
     import graft.operators.Scale.maybeBroadcast
     val p = graft.Caches.persistTracked(coOccurrenceEdges(spark, dir))

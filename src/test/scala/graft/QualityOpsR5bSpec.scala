@@ -243,6 +243,17 @@ class QualityOpsR5bSpec extends SparkSpec {
     assert(mins("middle")._1 >= mins("tail")._2)
   }
 
+  test("labelPropagation: total assignment, coarsening, labels are node ids") {
+    val r = Caches.persistTracked(Graph.labelPropagation(spark, sf0001))
+    val n = r.count()
+    assert(r.select(col("node")).distinct().count() === n)
+    val nComm = r.select(col("community")).distinct().count()
+    assert(nComm < n, "LPA should coarsen the graph")
+    // every community label is a real node of the graph
+    assert(r.join(r.select(col("node").as("community")).distinct(),
+      Seq("community"), "left_anti").count() === 0)
+  }
+
   test("dsirWeights: target-domain (en) docs score higher on average") {
     val w = Pipeline.dsirWeights(spark, sf0001)
       .join(Tables.documents(spark, sf0001).select(col("doc_id"), col("lang")), "doc_id")
