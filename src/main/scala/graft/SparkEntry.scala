@@ -156,6 +156,7 @@ object SparkEntry {
     "text_gopher_rules"   -> TextAnalysis.gopherRules _,
     "text_ccnet_buckets"  -> TextAnalysis.ccnetBuckets _,
     "graph_lpa"           -> ((s, d) => Graph.labelPropagation(s, d)),
+    "etl_asof_tolerance"  -> EventsEtl.asofViewWithinHour _,
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. */
@@ -314,6 +315,18 @@ object SparkEntry {
         | coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
         | coalesce(n_a, 0) = coalesce(n_b, 0) AS is_match
         |FROM a FULL OUTER JOIN b ON a.minute_epoch = b.minute_epoch ORDER BY 1""".stripMargin,
+    "etl_asof_tolerance" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id AS view_id, user_id AS vuser, ts AS vts FROM events WHERE event_type = 'view'),
+        |j AS (SELECT p.purchase_id, p.user_id, p.ts, v.view_id, v.vts
+        |  FROM p LEFT JOIN v ON p.user_id = v.vuser
+        |    AND v.vts <= p.ts AND v.vts >= p.ts - INTERVAL 1 HOUR)
+        |SELECT purchase_id, user_id,
+        | CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS purchase_sec,
+        | view_id, CAST(epoch(date_trunc('second', vts)) AS BIGINT) AS view_sec
+        |FROM j
+        |QUALIFY row_number() OVER (PARTITION BY purchase_id ORDER BY vts DESC NULLS LAST) = 1
+        |ORDER BY purchase_id""".stripMargin,
     "etl_asof_join" ->
       """WITH p AS (SELECT event_id AS purchase_id, user_id, ts FROM events WHERE event_type = 'purchase'),
         |v AS (SELECT event_id AS view_id, user_id AS vuser, ts AS vts FROM events WHERE event_type = 'view')

@@ -286,6 +286,28 @@ object EventsEtl {
       .orderBy(col("purchase_id"))
   }
 
+  /** Tolerance-bounded as-of join (the attribution-window variant of
+    * [[asofLatestView]]): latest view per purchase, but a view older
+    * than ONE HOUR is out of window and the purchase reports no match
+    * — pandas merge_asof tolerance semantics, exercised through the
+    * custom AsOfJoinExec's tolerance bound and oracle-gated here
+    * (previously spec-only). Identical plan: one exchange + sort per
+    * side, linear merge; the tolerance is a constant comparison inside
+    * the merge loop. */
+  def asofViewWithinHour(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("vuser"), col("ts").as("vts"))
+    graft.plans.AsOf.join(purchases, views, Seq("user_id"), Seq("vuser"),
+        "ts", "vts", toleranceMicros = Some(3600L * 1000000L))
+      .select(col("purchase_id"), col("user_id"),
+        epochSec(col("ts")).as("purchase_sec"),
+        col("view_id"), epochSec(col("vts")).as("view_sec"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** LOCF gap-fill (last observation carried forward): every event
     * annotated with the user's most recent purchase value as of that
     * event — the state-propagation primitive reload pipelines use to
