@@ -157,6 +157,7 @@ object SparkEntry {
     "text_ccnet_buckets"  -> TextAnalysis.ccnetBuckets _,
     "graph_lpa"           -> ((s, d) => Graph.labelPropagation(s, d)),
     "etl_asof_tolerance"  -> EventsEtl.asofViewWithinHour _,
+    "profile_join_skew"   -> Profile.profileJoinSkew _,
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. */
@@ -315,6 +316,19 @@ object SparkEntry {
         | coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
         | coalesce(n_a, 0) = coalesce(n_b, 0) AS is_match
         |FROM a FULL OUTER JOIN b ON a.minute_epoch = b.minute_epoch ORDER BY 1""".stripMargin,
+    "profile_join_skew" ->
+      """WITH a AS (SELECT 'l_orderkey' AS key_col, CAST(count(*) AS BIGINT) AS n_distinct,
+        |    max(cnt) AS max_cnt, round(avg(cnt), 6) AS avg_cnt,
+        |    round(max(cnt) / avg(cnt), 6) AS skew_ratio
+        |  FROM (SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY 1)),
+        |b AS (SELECT 'l_partkey', CAST(count(*) AS BIGINT), max(cnt), round(avg(cnt), 6),
+        |    round(max(cnt) / avg(cnt), 6)
+        |  FROM (SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY 1)),
+        |c AS (SELECT 'l_suppkey', CAST(count(*) AS BIGINT), max(cnt), round(avg(cnt), 6),
+        |    round(max(cnt) / avg(cnt), 6)
+        |  FROM (SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY 1))
+        |SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM c
+        |ORDER BY key_col""".stripMargin,
     "etl_asof_tolerance" ->
       """WITH p AS (SELECT event_id AS purchase_id, user_id, ts FROM events WHERE event_type = 'purchase'),
         |v AS (SELECT event_id AS view_id, user_id AS vuser, ts AS vts FROM events WHERE event_type = 'view'),

@@ -20,6 +20,27 @@ import graft.Tables
   */
 object Profile {
 
+  /** Join-key skew profile of the fact table — the diagnostic run
+    * BEFORE committing a 100 TB join plan, and the evidence that
+    * decides salting (Scale.saltedJoin) or AQE skew thresholds: for
+    * each candidate join key, its cardinality, the heaviest key's
+    * count, the mean count, and the max/mean skew ratio. Each key
+    * profile is one (key, cnt) partial agg rolled into a 1-row
+    * summary — three bounded shuffles total, nothing at row grain
+    * leaves the executors. */
+  def profileJoinSkew(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    def one(c: String): DataFrame = li
+      .groupBy(col(c).as("k")).agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("n_distinct"), max(col("cnt")).as("max_cnt"),
+        round(avg(col("cnt")), 6).as("avg_cnt"),
+        round(max(col("cnt")) / avg(col("cnt")), 6).as("skew_ratio"))
+      .select(lit(c).as("key_col"), col("n_distinct"), col("max_cnt"),
+        col("avg_cnt"), col("skew_ratio"))
+    one("l_orderkey").unionAll(one("l_partkey")).unionAll(one("l_suppkey"))
+      .orderBy(col("key_col"))
+  }
+
   /** Per-column profile of `orders`: n_rows, n_nulls, n_distinct
     * (non-null), and min/max rendered canonically per type (numerics
     * as numbers — not lexicographic strings — timestamps as
