@@ -158,6 +158,7 @@ object SparkEntry {
     "graph_lpa"           -> ((s, d) => Graph.labelPropagation(s, d)),
     "etl_asof_tolerance"  -> EventsEtl.asofViewWithinHour _,
     "profile_join_skew"   -> Profile.profileJoinSkew _,
+    "etl_ohlc_downsample" -> EventsEtl.ohlcDownsample _,
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. */
@@ -329,6 +330,20 @@ object SparkEntry {
         |  FROM (SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY 1))
         |SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM c
         |ORDER BY key_col""".stripMargin,
+    "etl_ohlc_downsample" ->
+      """WITH x AS (SELECT event_type, date_trunc('hour', ts) AS hr, value, ts, event_id
+        |  FROM events),
+        |w AS (SELECT *,
+        |   row_number() OVER (PARTITION BY event_type, hr ORDER BY ts, event_id) AS rn_a,
+        |   row_number() OVER (PARTITION BY event_type, hr ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM x)
+        |SELECT event_type, CAST(epoch(hr) AS BIGINT) AS hour_epoch,
+        |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18, 2))) AS DOUBLE) AS volume
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "etl_asof_tolerance" ->
       """WITH p AS (SELECT event_id AS purchase_id, user_id, ts FROM events WHERE event_type = 'purchase'),
         |v AS (SELECT event_id AS view_id, user_id AS vuser, ts AS vts FROM events WHERE event_type = 'view'),

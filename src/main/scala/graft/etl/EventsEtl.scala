@@ -286,6 +286,40 @@ object EventsEtl {
       .orderBy(col("purchase_id"))
   }
 
+  /** OHLC downsampling — the telemetry-compaction primitive (and the
+    * shape of any first/last/min/max-per-bucket rollup): per
+    * (event_type, hour), the open (first by (ts, event_id)), high,
+    * low, close (last), event count, and exact-decimal volume. First/
+    * last come from two row_number windows folded into the same agg
+    * via CASE — one shuffle to the (type, hour) grain, no self-joins;
+    * the volume sums in DECIMAL so engine aggregation order can't
+    * show up in the low bits.  At scale this is the classic
+    * 1000×-reduction compaction: output rows = |types|·|hours|. */
+  def ohlcDownsample(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hr"),
+        col("value"), col("ts"), col("event_id"))
+    val wa = Window.partitionBy(col("event_type"), col("hr"))
+      .orderBy(col("ts"), col("event_id"))
+    val wd = Window.partitionBy(col("event_type"), col("hr"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    ev.withColumn("rn_a", row_number().over(wa))
+      .withColumn("rn_d", row_number().over(wd))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(
+        max(when(col("rn_a") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rn_d") === 1, col("value"))).as("close"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("volume"))
+      .select(col("event_type"), epochSec(col("hr")).as("hour_epoch"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("n_events"), col("volume"))
+      .orderBy(col("event_type"), col("hour_epoch"))
+  }
+
   /** Tolerance-bounded as-of join (the attribution-window variant of
     * [[asofLatestView]]): latest view per purchase, but a view older
     * than ONE HOUR is out of window and the purchase reports no match
