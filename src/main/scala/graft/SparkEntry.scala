@@ -159,6 +159,7 @@ object SparkEntry {
     "etl_asof_tolerance"  -> EventsEtl.asofViewWithinHour _,
     "profile_join_skew"   -> Profile.profileJoinSkew _,
     "etl_ohlc_downsample" -> EventsEtl.ohlcDownsample _,
+    "q_hll_rollup"        -> Relational.qHllRollup _,
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. */
@@ -1457,6 +1458,30 @@ object SparkEntry {
         |  CAST(min(s.cnt) - p.exact_c AS BIGINT) AS overcount
         |FROM probes p JOIN sketch s ON p.row_i = s.row_i AND p.cell = s.cell
         |GROUP BY 1, 2 ORDER BY p.exact_c DESC, p.w""".stripMargin,
+    "q_hll_rollup" ->
+      """WITH ev AS (SELECT event_type, CAST(user_id AS VARCHAR) AS k,
+        |    date_trunc('day', ts) AS day FROM events),
+        |h AS (SELECT event_type, day,
+        |    ('0x' || substr(md5(k), 1, 15))::BIGINT AS h FROM ev),
+        |daily AS (SELECT event_type, day, h % 256 AS bucket,
+        |    max(least(53 - length(bin(h // 256)), 40)) AS mj
+        |  FROM h GROUP BY 1, 2, 3),
+        |monthly AS (SELECT event_type, bucket, max(mj) AS mj
+        |  FROM daily GROUP BY 1, 2),
+        |agg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,
+        |    sum((1::BIGINT) << CAST(40 - mj AS INT)) AS s_present
+        |  FROM monthly GROUP BY 1),
+        |ex AS (SELECT event_type, count(DISTINCT k) AS n_exact FROM ev GROUP BY 1),
+        |est AS (SELECT agg.event_type, n_buckets, n_exact,
+        |    round(0.7183::DOUBLE * 65536 * 1099511627776 /
+        |      (s_present + (256 - n_buckets) * 1099511627776), 4) AS raw_estimate
+        |  FROM agg JOIN ex ON agg.event_type = ex.event_type),
+        |corr AS (SELECT *, CASE WHEN n_buckets < 256 AND raw_estimate <= 640.0
+        |    THEN round(256.0 * ln(256.0 / (256 - n_buckets)), 4)
+        |    ELSE raw_estimate END AS estimate FROM est)
+        |SELECT event_type, n_buckets, n_exact, raw_estimate, estimate,
+        |  round(abs(estimate - n_exact) / n_exact, 4) AS rel_err
+        |FROM corr ORDER BY event_type""".stripMargin,
     "q_quantile_sketch" ->
       """WITH h AS (SELECT event_type, CAST(floor(value * 2) AS BIGINT) AS bin, count(*) AS c
         |  FROM events GROUP BY 1, 2),

@@ -440,6 +440,52 @@ object Relational {
         round(abs(col("estimate") - col("n_exact")) / col("n_exact"), 4))
   }
 
+  /** Hierarchical distinct-count rollup on MERGED HLL registers — the
+    * payoff of a mergeable sketch inside one query: daily
+    * (type, day, bucket) registers aggregate once from the fact table,
+    * then the monthly per-type estimate comes from max-merging the
+    * DAILY REGISTERS — the fact table is NOT rescanned at the coarser
+    * grain. This is exactly how a 100 TB deployment serves distinct
+    * counts at every rollup level from one register table (and how
+    * Spark's own partial aggregation works, materialized as data).
+    * Registers/estimates follow [[qHllPortable]]'s exact-integer
+    * discipline, so the whole rollup hash-matches DuckDB; the exact
+    * per-type countDistinct rides along as the accuracy anchor. */
+  def qHllRollup(spark: SparkSession, dir: String): DataFrame = {
+    val m = 256L; val cap = 40L
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id").cast("string").as("k"),
+        date_trunc("day", col("ts")).as("day"))
+    val daily = ev
+      .select(col("event_type"), col("day"),
+        expr("CAST(conv(substr(md5(k), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      .select(col("event_type"), col("day"),
+        (col("h") % m).as("bucket"), expr(s"h div $m").as("v"))
+      .withColumn("rho", least(lit(53L) - length(expr("bin(v)")), lit(cap)))
+      .groupBy(col("event_type"), col("day"), col("bucket"))
+      .agg(max(col("rho")).as("mj"))
+    // the rollup: register max-merge, never a rescan
+    val monthly = daily
+      .groupBy(col("event_type"), col("bucket")).agg(max(col("mj")).as("mj"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($cap - mj AS INT))")).as("s_present"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("k")).as("n_exact"))
+    monthly.join(exact, "event_type")
+      .select(col("event_type"), col("n_buckets"), col("n_exact"),
+        round(lit(0.7183) * lit(m * m) * lit(1L << cap.toInt) /
+          (col("s_present") + (lit(m) - col("n_buckets")) * lit(1L << cap.toInt)), 4)
+          .as("raw_estimate"))
+      .withColumn("estimate",
+        when(col("n_buckets") < m && col("raw_estimate") <= lit(2.5 * m),
+          round(lit(m.toDouble) * log(lit(m.toDouble) / (lit(m) - col("n_buckets"))), 4))
+          .otherwise(col("raw_estimate")))
+      .withColumn("rel_err",
+        round(abs(col("estimate") - col("n_exact")) / col("n_exact"), 4))
+      .orderBy(col("event_type"))
+  }
+
   /** Portable quantile sketch — the quantile counterpart of
     * [[qHllPortable]]: a fixed-width binned histogram (bin = ⌊2·value⌋,
     * 0.5-wide bins) whose counts are exact integers, queried by rank

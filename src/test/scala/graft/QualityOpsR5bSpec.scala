@@ -254,6 +254,30 @@ class QualityOpsR5bSpec extends SparkSpec {
       Seq("community"), "left_anti").count() === 0)
   }
 
+  test("qHllRollup: day-merged registers equal registers computed directly") {
+    // the in-query merge law: max-merging (type, day, bucket) registers
+    // over days must give exactly the registers computed at (type,
+    // bucket) grain with no day split
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_type"), col("user_id").cast("string").as("k"),
+        date_trunc("day", col("ts")).as("day"))
+      .select(col("event_type"), col("day"),
+        expr("CAST(conv(substr(md5(k), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      .select(col("event_type"), col("day"),
+        (col("h") % 256).as("bucket"), expr("h div 256").as("v"))
+      .withColumn("rho", least(lit(53L) - length(expr("bin(v)")), lit(40L)))
+    val merged = ev.groupBy(col("event_type"), col("day"), col("bucket"))
+      .agg(max(col("rho")).as("mj"))
+      .groupBy(col("event_type"), col("bucket")).agg(max(col("mj")).as("mj"))
+    val direct = ev.groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("mj"))
+    assert(merged.exceptAll(direct).count() === 0)
+    assert(direct.exceptAll(merged).count() === 0)
+    // and the reported estimates track the exact anchor
+    val r = graft.operators.Relational.qHllRollup(spark, sf0001)
+    assert(r.filter(col("rel_err") > 0.25).count() === 0)
+  }
+
   test("dsirWeights: target-domain (en) docs score higher on average") {
     val w = Pipeline.dsirWeights(spark, sf0001)
       .join(Tables.documents(spark, sf0001).select(col("doc_id"), col("lang")), "doc_id")
