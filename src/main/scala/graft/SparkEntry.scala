@@ -160,6 +160,7 @@ object SparkEntry {
     "profile_join_skew"   -> Profile.profileJoinSkew _,
     "etl_ohlc_downsample" -> EventsEtl.ohlcDownsample _,
     "q_hll_rollup"        -> Relational.qHllRollup _,
+    "dedup_keep_best"     -> Dedup.keepBest _,
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. */
@@ -676,6 +677,22 @@ object SparkEntry {
     // paths — the oracle (transitive closure) is identical by construction
     "dedup_components_star" -> componentsOracleSql,
     "dedup_components_minlabel" -> componentsOracleSql,
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $componentsCtes,
+        |comp AS (SELECT node AS doc_id, min(reach) AS component
+        |  FROM walk GROUP BY 1),
+        |q AS (SELECT doc_id,
+        |   round(least(CAST(length(text) AS BIGINT) / CAST(400 AS DOUBLE), CAST(1.0 AS DOUBLE))
+        |     * (1.0 - CAST(len(regexp_extract_all(text, '[^a-z0-9\\s]')) AS DOUBLE) / length(text))
+        |     * (0.5 + CAST(len(regexp_extract_all(text, '\\b(the|a|of|and|to|in)\\b')) AS DOUBLE)
+        |         / CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE)), 6) AS quality_score
+        |  FROM documents),
+        |j AS (SELECT comp.component, comp.doc_id, q.quality_score
+        |  FROM comp JOIN q ON comp.doc_id = q.doc_id)
+        |SELECT component, doc_id AS keep_doc_id, quality_score FROM j
+        |QUALIFY row_number() OVER (PARTITION BY component
+        |  ORDER BY quality_score DESC, doc_id) = 1
+        |ORDER BY component""".stripMargin,
     "pipeline_train_split" ->
       """SELECT doc_id, lang, bucket,
         | CASE WHEN bucket < 80 THEN 'train'

@@ -475,6 +475,27 @@ object Dedup {
     * the drop reclaims. Pure composition: [[components]] joined back
     * to the documents table (broadcast — the clustered subset is
     * collision-bounded), one agg at component grain. */
+  /** Quality-aware canonicalization: within each near-dup cluster keep
+    * the HIGHEST-quality member (ties → smaller doc_id) instead of the
+    * smallest id — what a curation run actually ships: dedup should
+    * discard the worse copies, not the later ones. Composes the
+    * components labels with the shared quality-score column; one argmax
+    * window over the (tiny) clustered subset. */
+  def keepBest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Scale.maybeBroadcast
+    val labels = components(spark, dir) // (doc_id, component), clustered docs
+    val q = graft.ops.TextAnalysis.quality(spark, dir)
+      .select(col("doc_id"), col("quality_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    labels.join(maybeBroadcast(q), Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("component"), col("doc_id").as("keep_doc_id"), col("quality_score"))
+      .orderBy(col("component"))
+  }
+
   def clusterStats(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Scale.maybeBroadcast
     val labels = components(spark, dir) // (doc_id, component)

@@ -278,6 +278,20 @@ class QualityOpsR5bSpec extends SparkSpec {
     assert(r.filter(col("rel_err") > 0.25).count() === 0)
   }
 
+  test("keepBest: the kept doc is its cluster's quality argmax") {
+    val kept = Caches.persistTracked(Dedup.keepBest(spark, sf0001))
+    val labels = Dedup.components(spark, sf0001)
+    val q = ops.TextAnalysis.quality(spark, sf0001)
+      .select(col("doc_id"), col("quality_score").as("member_q"))
+    // no cluster member may strictly outrank its kept doc
+    val beaten = labels.join(q, "doc_id")
+      .join(kept.select(col("component"), col("quality_score").as("kept_q")), "component")
+      .filter(col("member_q") > col("kept_q"))
+    assert(beaten.count() === 0)
+    // exactly one keeper per cluster
+    assert(kept.groupBy(col("component")).count().filter(col("count") =!= 1).count() === 0)
+  }
+
   test("dsirWeights: target-domain (en) docs score higher on average") {
     val w = Pipeline.dsirWeights(spark, sf0001)
       .join(Tables.documents(spark, sf0001).select(col("doc_id"), col("lang")), "doc_id")
