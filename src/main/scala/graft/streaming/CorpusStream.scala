@@ -108,13 +108,53 @@ object CorpusStream {
     * (optionally restricted to N < below, for replay-safe merging), or
     * None before the first batch commits. */
   def latestCms(spark: SparkSession, outDir: String,
-                below: Option[Long] = None): Option[DataFrame] = {
-    val root = new java.io.File(s"$outDir/cms")
+                below: Option[Long] = None): Option[DataFrame] =
+    latestState(spark, s"$outDir/cms", below)
+
+  /** The current HLL register state under outDir/hll — same contract
+    * as [[latestCms]]. */
+  def latestHll(spark: SparkSession, outDir: String,
+                below: Option[Long] = None): Option[DataFrame] =
+    latestState(spark, s"$outDir/hll", below)
+
+  private def latestState(spark: SparkSession, root0: String,
+                          below: Option[Long]): Option[DataFrame] = {
+    val root = new java.io.File(root0)
     val ids = Option(root.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("batch_"))
       .map(_.getName.stripPrefix("batch_").toLong)
       .filter(id => below.forall(id < _))
     if (ids.isEmpty) None
-    else Some(spark.read.parquet(s"$outDir/cms/batch_${ids.max}"))
+    else Some(spark.read.parquet(s"$root0/batch_${ids.max}"))
   }
+
+  /** Streaming distinct-document estimation: maintain the portable HLL
+    * register table ([[graft.operators.Relational.hllRegisters]]) over
+    * the stream of content hashes, max-merging each micro-batch's
+    * partial registers into bounded 256-row state — the same
+    * batch-stamped replay-idempotent layout as [[cmsMaintain]], with
+    * max instead of sum as the merge. latestHll + the qHllPortable
+    * estimate formula answer "how many distinct docs ever?" at any
+    * moment without keeping per-doc state. */
+  def hllMaintain(spark: SparkSession, inDir: String, outDir: String,
+                  ckptDir: String): StreamingQuery =
+    parsedDocs(spark.readStream.text(inDir))
+      .filter(col("is_valid"))
+      .select(md5(col("text")).as("k"))
+      .writeStream
+      .option("checkpointLocation", s"$ckptDir/hll")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val part = graft.operators.Relational.hllRegisters(batch)
+        val merged = latestHll(s, outDir, below = Some(batchId)) match {
+          case Some(prev) => prev.unionAll(part)
+            .groupBy(col("bucket")).agg(max(col("mj")).as("mj"))
+          case None => part
+        }
+        merged.coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/hll/batch_$batchId")
+        ()
+      }
+      .start()
 }

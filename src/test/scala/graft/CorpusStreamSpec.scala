@@ -68,4 +68,30 @@ class CorpusStreamSpec extends SparkSpec {
     // and both earlier states exist (batch_0 then batch_1)
     assert(CorpusStream.latestCms(spark, out, below = Some(1)).isDefined)
   }
+
+  test("hllMaintain max-merges micro-batch registers into the batch registers") {
+    val in = tmpDir("hll-in"); val out = tmpDir("hll-out")
+    val ckpt = tmpDir("hll-ckpt")
+    Files.writeString(Paths.get(in, "b1.jsonl"),
+      """{"doc_id": 1, "text": "first document text", "lang": "en", "source": "web"}
+        |{"doc_id": 2, "text": "second document text", "lang": "en", "source": "web"}
+        |""".stripMargin)
+    CorpusStream.hllMaintain(spark, in, out, ckpt).awaitTermination(60000)
+    Files.writeString(Paths.get(in, "b2.jsonl"),
+      """{"doc_id": 3, "text": "third document text", "lang": "en", "source": "web"}
+        |{"doc_id": 4, "text": "first document text", "lang": "en", "source": "web"}
+        |""".stripMargin)
+    CorpusStream.hllMaintain(spark, in, out, ckpt).awaitTermination(60000)
+
+    val state = CorpusStream.latestHll(spark, out)
+      .getOrElse(fail("no HLL state written"))
+    // streaming state == batch registers over the union of hashes
+    // (doc 4 duplicates doc 1's text — same hash, no register change)
+    import spark.implicits._
+    val expected = graft.operators.Relational.hllRegisters(
+      Seq("first document text", "second document text", "third document text",
+        "first document text").toDF("text").select(md5(col("text")).as("k")))
+    assert(state.exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(state).count() == 0)
+  }
 }
