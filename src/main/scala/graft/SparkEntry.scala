@@ -161,6 +161,7 @@ object SparkEntry {
     "etl_ohlc_downsample" -> EventsEtl.ohlcDownsample _,
     "q_hll_rollup"        -> Relational.qHllRollup _,
     "dedup_keep_best"     -> Dedup.keepBest _,
+    "ann_ivf_recall_sweep" -> Similarity.annIvfRecallSweep _,
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. */
@@ -787,6 +788,48 @@ object SparkEntry {
         |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sim, b.sim)) <= 2
         |ORDER BY 1, 2""".stripMargin,
+    "ann_ivf_recall_sweep" ->
+      """WITH pe AS (SELECT label, i AS pos, embedding[i] AS x
+        |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
+        |c AS (SELECT CAST(label AS BIGINT) AS label, CAST(pos - 1 AS BIGINT) AS pos,
+        |   round(avg(CAST(x AS DOUBLE)), 6) AS centroid FROM pe GROUP BY 1, 2),
+        |cent AS (SELECT label AS cell, list(centroid ORDER BY pos) AS cv FROM c GROUP BY 1),
+        |e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM e),
+        |p AS (SELECT vec_id AS probe_id, v AS pv, norm AS pnorm FROM n WHERE vec_id < 5),
+        |routed AS (
+        |  SELECT probe_id, pv, pnorm, cell, crk FROM (
+        |    SELECT p.probe_id, p.pv, p.pnorm, cent.cell,
+        |      row_number() OVER (PARTITION BY p.probe_id ORDER BY
+        |        round(sqrt(list_sum(list_transform(list_zip(p.pv, cent.cv),
+        |          z -> (z[1]-z[2])*(z[1]-z[2])))), 6), cent.cell) AS crk
+        |    FROM p CROSS JOIN cent) t
+        |  WHERE crk <= 4),
+        |nps AS (SELECT unnest([1, 2, 4]) AS nprobe),
+        |apx AS (SELECT nprobe, probe_id, vec_id FROM (
+        |  SELECT nps.nprobe, routed.probe_id, n.vec_id,
+        |    row_number() OVER (PARTITION BY routed.probe_id, nps.nprobe ORDER BY
+        |      round(list_sum(list_transform(list_zip(routed.pv, n.v), z -> z[1]*z[2]))
+        |        / (routed.pnorm * n.norm), 6) DESC, n.vec_id) AS rk
+        |  FROM routed CROSS JOIN nps JOIN n ON n.label = routed.cell
+        |  WHERE routed.crk <= nps.nprobe AND n.vec_id <> routed.probe_id) t
+        |  WHERE rk <= 5),
+        |ex AS (SELECT probe_id, vec_id FROM (
+        |  SELECT p.probe_id, n.vec_id,
+        |    row_number() OVER (PARTITION BY p.probe_id ORDER BY
+        |      round(list_sum(list_transform(list_zip(p.pv, n.v), z -> z[1]*z[2]))
+        |        / (p.pnorm * n.norm), 6) DESC, n.vec_id) AS rk
+        |  FROM p CROSS JOIN n WHERE n.vec_id <> p.probe_id) t
+        |  WHERE rk <= 5),
+        |tot AS (SELECT count(*) AS n_truth FROM ex)
+        |SELECT CAST(nprobe AS BIGINT) AS nprobe,
+        |  CAST(count(*) AS BIGINT) AS n_hits,
+        |  tot.n_truth,
+        |  round(CAST(count(*) AS DOUBLE) / tot.n_truth, 6) AS recall_at_5
+        |FROM apx JOIN ex ON apx.probe_id = ex.probe_id AND apx.vec_id = ex.vec_id
+        |CROSS JOIN tot
+        |GROUP BY 1, 3 ORDER BY 1""".stripMargin,
     "ann_ivf_topk" ->
       """WITH pe AS (SELECT label, i AS pos, embedding[i] AS x
         |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),

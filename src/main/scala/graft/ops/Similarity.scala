@@ -539,6 +539,52 @@ object Similarity {
       .orderBy(col("probe_id"))
   }
 
+  /** IVF tuning sweep — recall@5 vs exact brute force as a function of
+    * the route depth (nprobe ∈ {1, 2, 4}): the measurement that picks
+    * an IVF deployment's latency/recall point, produced in ONE pass
+    * (cells ranked once to depth 4, each (probe, cell) candidate then
+    * participates in every nprobe ≥ its rank — no per-nprobe rescan).
+    * Complements [[annRecallReport]] (the LSH index's report) on the
+    * IVF side. Truth comes from [[annBruteforce]]; recall is monotone
+    * non-decreasing in nprobe by construction, which the spec asserts. */
+  def annIvfRecallSweep(spark: SparkSession, dir: String): DataFrame = {
+    val cent = centroids(spark, dir)
+      .groupBy(col("label").as("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, centroid))), s -> s.centroid)").as("cv"))
+    val e = vecs(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"), col("v"), col("norm"))
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pnorm"))
+    val wCell = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("cdist"), col("cell"))
+    val routed = probes.crossJoin(broadcast(cent))
+      .withColumn("cdist", round(sqrt(expr("graft_l2sq(pv, cv)")), 6))
+      .withColumn("crk", row_number().over(wCell))
+      .filter(col("crk") <= 4)
+      .select(col("probe_id"), col("pv"), col("pnorm"), col("cell"), col("crk"))
+    val nps = spark.range(1).select(explode(array(lit(1), lit(2), lit(4))).as("nprobe"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"), col("nprobe"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val approx = routed.crossJoin(broadcast(nps))
+      .filter(col("crk") <= col("nprobe"))
+      .join(e, col("cell") === col("label"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine",
+        round(expr("graft_dot(pv, v)") / (col("pnorm") * col("norm")), 6))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 5)
+      .select(col("nprobe"), col("probe_id"), col("vec_id"))
+    val exact = annBruteforce(spark, dir).select(col("probe_id"), col("vec_id"))
+    val nTruth = exact.count()
+    approx.join(exact, Seq("probe_id", "vec_id"))
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hits"))
+      .select(col("nprobe").cast("long").as("nprobe"), col("n_hits"),
+        lit(nTruth).as("n_truth"),
+        round(col("n_hits").cast("double") / nTruth, 6).as("recall_at_5"))
+      .orderBy(col("nprobe"))
+  }
+
   /** Per-dimension distribution profile of the embedding table —
     * the QC pass run before choosing quantization ranges or catching
     * dead/saturated dimensions: one posexplode + one partial agg,

@@ -292,6 +292,16 @@ class QualityOpsR5bSpec extends SparkSpec {
     assert(kept.groupBy(col("component")).count().filter(col("count") =!= 1).count() === 0)
   }
 
+  test("annIvfRecallSweep: recall monotone in nprobe, bounded by 1") {
+    val rows = Similarity.annIvfRecallSweep(spark, sf0001)
+      .collect().sortBy(_.getAs[Long]("nprobe"))
+    assert(rows.length === 3)
+    val recalls = rows.map(_.getAs[Double]("recall_at_5"))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall must not drop as nprobe grows: ${recalls.mkString(",")}")
+    assert(recalls.forall(r => r >= 0.0 && r <= 1.0))
+  }
+
   test("dsirWeights: target-domain (en) docs score higher on average") {
     val w = Pipeline.dsirWeights(spark, sf0001)
       .join(Tables.documents(spark, sf0001).select(col("doc_id"), col("lang")), "doc_id")
