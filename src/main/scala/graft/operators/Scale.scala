@@ -80,4 +80,46 @@ object Scale {
     df.groupBy(col(key)).agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
       .orderBy(col("n").desc, col(key))
+
+  /** Z-order (Morton) interleave of two integer key columns — the
+    * multi-dimensional clustering layout behind lakehouse data
+    * skipping: sorting by the interleaved bits makes every output file
+    * tight in BOTH dimensions at once, so min/max footer stats prune
+    * scans filtered on either key (a plain sort is tight in one
+    * dimension and useless in the other). 16 bits per dimension —
+    * rank/bucket the raw keys into [0, 65536) first at real scale.
+    * Pure bit arithmetic (codegen'd), no shuffle beyond the
+    * repartitionByRange on the z-value that the writer needs anyway. */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column = {
+    // interleave: a's bit i -> position 2i+1, b's bit i -> position 2i
+    (0 until bits).map { i =>
+      val abit = shiftleft(shiftrightunsigned(a, i).bitwiseAND(lit(1L)), 2 * i + 1)
+      val bbit = shiftleft(shiftrightunsigned(b, i).bitwiseAND(lit(1L)), 2 * i)
+      abit.bitwiseOR(bbit)
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Range-partition + sort the frame by the z-value of (keyA, keyB) —
+    * the write layout that gives min/max pruning on both keys. Each
+    * key is min/max-normalized into the full 16-bit domain first:
+    * without that, a key with a small range occupies only low
+    * interleave bits and the curve degenerates to a 1-d sort on the
+    * wider key (z-order only helps when the dimensions get equal bit
+    * weight). The normalization stats are one tiny agg broadcast back. */
+  def zOrderBy(df: DataFrame, keyA: String, keyB: String,
+               partitions: Int = 32): DataFrame = {
+    val stats = df.agg(
+      min(col(keyA)).cast("double").as("amin"), max(col(keyA)).cast("double").as("amax"),
+      min(col(keyB)).cast("double").as("bmin"), max(col(keyB)).cast("double").as("bmax"))
+    def norm(c: Column, lo: Column, hi: Column): Column =
+      when(hi > lo, ((c.cast("double") - lo) / (hi - lo) * 65535.0).cast("long"))
+        .otherwise(lit(0L))
+    df.crossJoin(broadcast(stats))
+      .withColumn("__z", zValue(
+        norm(col(keyA), col("amin"), col("amax")),
+        norm(col(keyB), col("bmin"), col("bmax"))))
+      .repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z", "amin", "amax", "bmin", "bmax")
+  }
 }

@@ -224,6 +224,25 @@ class BloomAndMagicSpec extends SparkSpec {
     }
   }
 
+  test("zOrderBy keeps every file narrow in BOTH dimensions (data skipping)") {
+    val li = Tables.lineitem(spark, sf0001).select($"l_partkey", $"l_suppkey")
+    // per-partition extent of the SECOND key — the dimension a plain
+    // sort on the first key cannot help: min/max footer stats prune a
+    // file on suppkey only if its suppkey range is narrow
+    def avgSuppRange(df: org.apache.spark.sql.DataFrame): Double =
+      df.withColumn("pid", spark_partition_id())
+        .groupBy($"pid")
+        .agg((max($"l_suppkey") - min($"l_suppkey")).cast("double").as("rb"))
+        .agg(avg($"rb")).head().getDouble(0)
+    val zed = avgSuppRange(Scale.zOrderBy(li, "l_partkey", "l_suppkey", 16))
+    val oneDim = avgSuppRange(
+      li.repartitionByRange(16, $"l_partkey").sortWithinPartitions($"l_partkey"))
+    assert(zed < oneDim * 0.7,
+      s"z-order suppkey extent $zed should beat the 1-d sort's $oneDim")
+    // and the layout is a pure reordering — no rows gained or lost
+    assert(Scale.zOrderBy(li, "l_partkey", "l_suppkey", 16).count() == li.count())
+  }
+
   test("magic-byte sniffing dispatches real container headers") {
     val df = Seq(
       ("89504E470D0A1A0A", "png"),
