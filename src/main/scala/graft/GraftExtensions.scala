@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
-import graft.functions.{GraftFunctions, NativeHashRewrite}
+import graft.functions.{ApproxDistinctRewrite, GraftFunctions, NativeHashRewrite}
 import graft.plans.AsOfJoinStrategy
 
 /** Session extensions: custom planner strategy (as-of join) + optimizer
@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectOptimizerRule(_ => NativeHashRewrite)
+    e.injectOptimizerRule(_ => ApproxDistinctRewrite)
   }
 }
 
@@ -29,6 +30,10 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(NativeHashRewrite)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ NativeHashRewrite
+    }
+    if (!spark.experimental.extraOptimizations.contains(ApproxDistinctRewrite)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ ApproxDistinctRewrite
     }
     GraftFunctions.register(spark)
   }
