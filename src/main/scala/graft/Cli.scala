@@ -171,11 +171,29 @@ object Cli {
         csvOut.foreach(p =>
           bad.coalesce(1).write.mode("overwrite").option("header", "true").csv(p))
         if (n > 0 && csvOut.isEmpty) bad.show(50, truncate = false)
+      // build-corpus <inJsonl> <outDir> [minQuality] [keepLang]
+      // (the curation pipeline as one batch command: parse/quarantine →
+      // quality+lang gate → exact dedup → token budget → sharded write)
+      case "build-corpus" :: inJsonl :: outDir :: rest if rest.length <= 2 =>
+        val minQ = rest.headOption.map(_.toDouble).getOrElse(0.3)
+        val lang = rest.drop(1).headOption.getOrElse("en")
+        val (kept, quarantined) =
+          graft.ops.Pipeline.buildCorpus(spark, inJsonl, outDir,
+            minQuality = minQ, keepLang = lang)
+        println(s"corpus docs kept: $kept, quarantined lines: $quarantined")
+      // ingest-corpus <landingDir> <outDir> <ckptDir> — the streaming
+      // form: checkpointed JSONL tail with cross-batch dedup +
+      // quarantine; AvailableNow (drains the backlog, then exits)
+      case "ingest-corpus" :: inDir :: outDir :: ckptDir :: Nil =>
+        val (good, quarantine) =
+          graft.streaming.CorpusStream.ingest(spark, inDir, outDir, ckptDir)
+        good.awaitTermination(); quarantine.awaitTermination()
       case other =>
         System.err.println(s"unknown command: ${other.mkString(" ")}")
         System.err.println("commands: process-snapshots | process-snapshot | " +
           "copy-snapshots | start-daemon | update-pending-snapshots | " +
-          "process-old-missing-snapshots | validate-snapshots")
+          "process-old-missing-snapshots | validate-snapshots | " +
+          "build-corpus | ingest-corpus")
     }
     if (!preexisting) spark.stop()
   }

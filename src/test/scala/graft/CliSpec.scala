@@ -124,4 +124,19 @@ class CliSpec extends SparkSpec {
     assert(st("2023/03/10/09/00") == ("error", "no parseable visits"))
     assert(st("2023/03/10/09/01") == ("loaded", ""))
   }
+
+  test("build-corpus command runs the curation pipeline end to end") {
+    val in = Files.createTempDirectory("cli-corpus-in").toString
+    val out = Files.createTempDirectory("cli-corpus-out").toString
+    Files.write(Paths.get(s"$in/dump.jsonl"),
+      ("""{"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog and the story continues in a long narrative of plain english prose that clears the quality gate with room to spare because it keeps using common stopwords and ordinary words", "lang": "en", "source": "web"}""" + "\n" +
+       """{"doc_id": 2, "text": "zz", "lang": "en", "source": "web"}""" + "\n" +
+       "broken json line\n").getBytes("UTF-8"))
+    Cli.main(Array("build-corpus", s"$in/dump.jsonl", out, "0.1", "en"))
+    // sharded corpus at the out root; quarantine under _quarantine
+    val docs = spark.read.parquet(out)
+    assert(docs.count() >= 1, "the good doc must survive the gates")
+    assert(docs.filter(col("doc_id") === 2).count() == 0, "low-quality doc must drop")
+    assert(spark.read.parquet(s"$out/_quarantine").count() == 1)
+  }
 }
