@@ -162,6 +162,7 @@ object SparkEntry {
     "q_hll_rollup"        -> Relational.qHllRollup _,
     "dedup_keep_best"     -> Dedup.keepBest _,
     "ann_ivf_recall_sweep" -> Similarity.annIvfRecallSweep _,
+    "q_hll_set_ops"       -> Relational.qHllSetOps _,
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. */
@@ -1518,6 +1519,48 @@ object SparkEntry {
         |  CAST(min(s.cnt) - p.exact_c AS BIGINT) AS overcount
         |FROM probes p JOIN sketch s ON p.row_i = s.row_i AND p.cell = s.cell
         |GROUP BY 1, 2 ORDER BY p.exact_c DESC, p.w""".stripMargin,
+    "q_hll_set_ops" ->
+      """WITH a AS (SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+        |b AS (SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+        |ra AS (SELECT ('0x' || substr(md5(k), 1, 15))::BIGINT % 256 AS bucket,
+        |   max(least(53 - length(bin((('0x' || substr(md5(k), 1, 15))::BIGINT) // 256)), 40)) AS mj
+        |  FROM a GROUP BY 1),
+        |rb AS (SELECT ('0x' || substr(md5(k), 1, 15))::BIGINT % 256 AS bucket,
+        |   max(least(53 - length(bin((('0x' || substr(md5(k), 1, 15))::BIGINT) // 256)), 40)) AS mj
+        |  FROM b GROUP BY 1),
+        |ru AS (SELECT bucket, max(mj) AS mj
+        |  FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY 1),
+        |ea AS (SELECT CAST(count(*) AS BIGINT) AS nb,
+        |   sum((1::BIGINT) << CAST(40 - mj AS INT)) AS sp FROM ra),
+        |eb AS (SELECT CAST(count(*) AS BIGINT) AS nb,
+        |   sum((1::BIGINT) << CAST(40 - mj AS INT)) AS sp FROM rb),
+        |eu AS (SELECT CAST(count(*) AS BIGINT) AS nb,
+        |   sum((1::BIGINT) << CAST(40 - mj AS INT)) AS sp FROM ru),
+        |ca AS (SELECT CASE WHEN nb < 256 AND raw <= 640.0
+        |    THEN round(256.0 * ln(256.0 / (256 - nb)), 4) ELSE raw END AS est
+        |  FROM (SELECT nb, round(0.7183::DOUBLE * 65536 * 1099511627776
+        |      / (sp + (256 - nb) * 1099511627776), 4) AS raw FROM ea)),
+        |cb AS (SELECT CASE WHEN nb < 256 AND raw <= 640.0
+        |    THEN round(256.0 * ln(256.0 / (256 - nb)), 4) ELSE raw END AS est
+        |  FROM (SELECT nb, round(0.7183::DOUBLE * 65536 * 1099511627776
+        |      / (sp + (256 - nb) * 1099511627776), 4) AS raw FROM eb)),
+        |cu AS (SELECT CASE WHEN nb < 256 AND raw <= 640.0
+        |    THEN round(256.0 * ln(256.0 / (256 - nb)), 4) ELSE raw END AS est
+        |  FROM (SELECT nb, round(0.7183::DOUBLE * 65536 * 1099511627776
+        |      / (sp + (256 - nb) * 1099511627776), 4) AS raw FROM eu)),
+        |ex AS (SELECT CAST(count(*) AS BIGINT) AS nx
+        |  FROM (SELECT DISTINCT k FROM a INTERSECT SELECT DISTINCT k FROM b)),
+        |na AS (SELECT count(DISTINCT k) AS n_exact_a FROM a),
+        |nb2 AS (SELECT count(DISTINCT k) AS n_exact_b FROM b)
+        |SELECT na.n_exact_a, ca.est AS est_a, nb2.n_exact_b, cb.est AS est_b,
+        |  cu.est AS est_union, ex.nx AS n_exact_intersection,
+        |  round(ca.est + cb.est - cu.est, 4) AS est_intersection,
+        |  round(abs(round(ca.est + cb.est - cu.est, 4) - ex.nx) / ex.nx, 4) AS rel_err
+        |FROM ca CROSS JOIN cb CROSS JOIN cu CROSS JOIN ex CROSS JOIN na CROSS JOIN nb2""".stripMargin,
     "q_hll_rollup" ->
       """WITH ev AS (SELECT event_type, CAST(user_id AS VARCHAR) AS k,
         |    date_trunc('day', ts) AS day FROM events),

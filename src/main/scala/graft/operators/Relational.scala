@@ -414,6 +414,25 @@ object Relational {
       .groupBy(col("bucket")).agg(max(col("rho")).as("mj"))
   }
 
+  /** Corrected HLL estimate from a (bucket, mj) register table, as a
+    * 1-row (n_buckets, estimate) frame — the [[qHllPortable]] formula
+    * factored out so register-algebra consumers ([[qHllSetOps]]) reuse
+    * it on derived (merged) register tables. */
+  private[graft] def hllEstimate(reg: DataFrame): DataFrame = {
+    val m = 256L; val cap = 40L
+    reg
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($cap - mj AS INT))")).as("s_present"))
+      .select(col("n_buckets"),
+        round(lit(0.7183) * lit(m * m) * lit(1L << cap.toInt) /
+          (col("s_present") + (lit(m) - col("n_buckets")) * lit(1L << cap.toInt)), 4)
+          .as("raw_estimate"))
+      .withColumn("estimate",
+        when(col("n_buckets") < m && col("raw_estimate") <= lit(2.5 * m),
+          round(lit(m.toDouble) * log(lit(m.toDouble) / (lit(m) - col("n_buckets"))), 4))
+          .otherwise(col("raw_estimate")))
+  }
+
   def qHllPortable(spark: SparkSession, dir: String): DataFrame = {
     val m = 256L; val cap = 40L
     val h = Tables.lineitem(spark, dir)
@@ -438,6 +457,47 @@ object Relational {
           .otherwise(col("raw_estimate")))
       .withColumn("rel_err",
         round(abs(col("estimate") - col("n_exact")) / col("n_exact"), 4))
+  }
+
+  /** HLL set algebra — union and intersection cardinalities from
+    * REGISTER operations alone: |A∪B| comes from max-merging A's and
+    * B's registers (exact sketch union — no rescan, no row-level set
+    * op), and |A∩B| from inclusion–exclusion
+    * est(A) + est(B) − est(A∪B). Here A/B = distinct customers
+    * ordering in 1996 / 1997; the exact intersection rides along as
+    * the anchor. At 100 TB this is how per-segment audience-overlap
+    * questions are answered from a register table without ever
+    * joining the raw sets. (Inclusion–exclusion error grows when the
+    * overlap is small relative to the sets — the reported rel_err
+    * makes that visible rather than hiding it.) */
+  def qHllSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    def year(y: Int) = ord
+      .filter(col("o_orderdate") >= Tables.tsLit(ord, "o_orderdate", s"$y-01-01") &&
+        col("o_orderdate") < Tables.tsLit(ord, "o_orderdate", s"${y + 1}-01-01"))
+      .select(col("o_custkey").cast("string").as("k"))
+    val a = graft.Caches.persistTracked(year(1996))
+    val b = graft.Caches.persistTracked(year(1997))
+    val regA = graft.Caches.persistTracked(hllRegisters(a))
+    val regB = graft.Caches.persistTracked(hllRegisters(b))
+    val regU = regA.unionAll(regB)
+      .groupBy(col("bucket")).agg(max(col("mj")).as("mj"))
+    val estA = hllEstimate(regA).select(col("estimate").as("est_a"))
+    val estB = hllEstimate(regB).select(col("estimate").as("est_b"))
+    val estU = hllEstimate(regU).select(col("estimate").as("est_union"))
+    val exact = a.select(col("k")).intersect(b.select(col("k")))
+      .agg(count(lit(1)).as("n_exact_intersection"))
+      .crossJoin(a.distinct().agg(count(lit(1)).as("n_exact_a")))
+      .crossJoin(b.distinct().agg(count(lit(1)).as("n_exact_b")))
+    estA.crossJoin(estB).crossJoin(estU).crossJoin(broadcast(exact))
+      .withColumn("est_intersection",
+        round(col("est_a") + col("est_b") - col("est_union"), 4))
+      .withColumn("rel_err", round(
+        abs(col("est_intersection") - col("n_exact_intersection")) /
+          col("n_exact_intersection"), 4))
+      .select(col("n_exact_a"), col("est_a"), col("n_exact_b"), col("est_b"),
+        col("est_union"), col("n_exact_intersection"),
+        col("est_intersection"), col("rel_err"))
   }
 
   /** Hierarchical distinct-count rollup on MERGED HLL registers — the

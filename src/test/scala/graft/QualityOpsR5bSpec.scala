@@ -302,6 +302,21 @@ class QualityOpsR5bSpec extends SparkSpec {
     assert(recalls.forall(r => r >= 0.0 && r <= 1.0))
   }
 
+  test("qHllSetOps: sketch set algebra is internally consistent") {
+    val r = graft.operators.Relational.qHllSetOps(spark, sf0001).head()
+    val (ea, eb, eu) = (r.getAs[Double]("est_a"), r.getAs[Double]("est_b"),
+      r.getAs[Double]("est_union"))
+    // union registers dominate both inputs, so the estimate does too
+    assert(eu >= ea && eu >= eb, s"union $eu must dominate $ea / $eb")
+    // inclusion-exclusion stays below either input estimate
+    val ei = r.getAs[Double]("est_intersection")
+    assert(ei <= math.min(ea, eb) + 1e-6)
+    // and within a loose band of the exact overlap
+    val nx = r.getAs[Long]("n_exact_intersection")
+    assert(nx == 0 || math.abs(ei - nx) / nx <= 0.5,
+      s"intersection estimate $ei vs exact $nx")
+  }
+
   test("dsirWeights: target-domain (en) docs score higher on average") {
     val w = Pipeline.dsirWeights(spark, sf0001)
       .join(Tables.documents(spark, sf0001).select(col("doc_id"), col("lang")), "doc_id")
