@@ -163,6 +163,7 @@ object SparkEntry {
     "dedup_keep_best"     -> Dedup.keepBest _,
     "ann_ivf_recall_sweep" -> Similarity.annIvfRecallSweep _,
     "q_hll_set_ops"       -> Relational.qHllSetOps _,
+    "dedup_apply"         -> Dedup.applyDedup _,
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. */
@@ -695,6 +696,26 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY component
         |  ORDER BY quality_score DESC, doc_id) = 1
         |ORDER BY component""".stripMargin,
+    "dedup_apply" ->
+      s"""WITH RECURSIVE $componentsCtes,
+        |comp AS (SELECT node AS doc_id, min(reach) AS component
+        |  FROM walk GROUP BY 1),
+        |q AS (SELECT doc_id,
+        |   round(least(CAST(length(text) AS BIGINT) / CAST(400 AS DOUBLE), CAST(1.0 AS DOUBLE))
+        |     * (1.0 - CAST(len(regexp_extract_all(text, '[^a-z0-9\\s]')) AS DOUBLE) / length(text))
+        |     * (0.5 + CAST(len(regexp_extract_all(text, '\\b(the|a|of|and|to|in)\\b')) AS DOUBLE)
+        |         / CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE)), 6) AS quality_score
+        |  FROM documents),
+        |keepers AS (SELECT doc_id FROM (
+        |  SELECT comp.component, comp.doc_id, qq.quality_score,
+        |    row_number() OVER (PARTITION BY comp.component
+        |      ORDER BY qq.quality_score DESC, comp.doc_id) AS rk
+        |  FROM comp JOIN q qq ON comp.doc_id = qq.doc_id) t WHERE rk = 1),
+        |dropped AS (SELECT doc_id FROM comp
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM keepers))
+        |SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        |ORDER BY doc_id""".stripMargin,
     "pipeline_train_split" ->
       """SELECT doc_id, lang, bucket,
         | CASE WHEN bucket < 80 THEN 'train'

@@ -496,6 +496,24 @@ object Dedup {
       .orderBy(col("component"))
   }
 
+  /** Apply the dedup decision: the corpus AFTER near-dup removal —
+    * every unclustered doc plus each cluster's [[keepBest]] canonical.
+    * This is the relation a training run actually reads; the other
+    * dedup queries are its evidence/audit trail. One left_anti of the
+    * (tiny) drop list against the corpus — the corpus itself never
+    * shuffles. */
+  def applyDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Scale.maybeBroadcast
+    val labels = graft.Caches.persistTracked(components(spark, dir))
+    val keepers = keepBest(spark, dir).select(col("keep_doc_id").as("doc_id"))
+    val dropped = labels.select(col("doc_id"))
+      .join(maybeBroadcast(keepers), Seq("doc_id"), "left_anti")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .join(maybeBroadcast(dropped), Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
   def clusterStats(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Scale.maybeBroadcast
     val labels = components(spark, dir) // (doc_id, component)

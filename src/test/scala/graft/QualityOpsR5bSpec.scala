@@ -317,6 +317,19 @@ class QualityOpsR5bSpec extends SparkSpec {
       s"intersection estimate $ei vs exact $nx")
   }
 
+  test("applyDedup: keeps singletons + exactly one doc per cluster") {
+    val kept = Caches.persistTracked(Dedup.applyDedup(spark, sf0001))
+    val labels = Caches.persistTracked(Dedup.components(spark, sf0001))
+    val nDocs = Tables.documents(spark, sf0001).count()
+    val nClustered = labels.count()
+    val nClusters = labels.select(col("component")).distinct().count()
+    assert(kept.count() === nDocs - (nClustered - nClusters))
+    // each cluster contributes exactly one survivor
+    val survivorsPerCluster = labels.join(kept.select(col("doc_id")), "doc_id")
+      .groupBy(col("component")).count()
+    assert(survivorsPerCluster.filter(col("count") =!= 1).count() === 0)
+  }
+
   test("dsirWeights: target-domain (en) docs score higher on average") {
     val w = Pipeline.dsirWeights(spark, sf0001)
       .join(Tables.documents(spark, sf0001).select(col("doc_id"), col("lang")), "doc_id")
