@@ -481,9 +481,15 @@ object Dedup {
     * discard the worse copies, not the later ones. Composes the
     * components labels with the shared quality-score column; one argmax
     * window over the (tiny) clustered subset. */
-  def keepBest(spark: SparkSession, dir: String): DataFrame = {
+  def keepBest(spark: SparkSession, dir: String): DataFrame =
+    keepBestFrom(spark, dir, components(spark, dir))
+
+  /** [[keepBest]] over an already-computed (doc_id, component) label
+    * relation — [[applyDedup]] passes its persisted labels so the
+    * clustering runs once, not twice. */
+  private[graft] def keepBestFrom(spark: SparkSession, dir: String,
+                                  labels: DataFrame): DataFrame = {
     import graft.operators.Scale.maybeBroadcast
-    val labels = components(spark, dir) // (doc_id, component), clustered docs
     val q = graft.ops.TextAnalysis.quality(spark, dir)
       .select(col("doc_id"), col("quality_score"))
     val w = org.apache.spark.sql.expressions.Window
@@ -505,7 +511,8 @@ object Dedup {
   def applyDedup(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Scale.maybeBroadcast
     val labels = graft.Caches.persistTracked(components(spark, dir))
-    val keepers = keepBest(spark, dir).select(col("keep_doc_id").as("doc_id"))
+    val keepers = keepBestFrom(spark, dir, labels)
+      .select(col("keep_doc_id").as("doc_id"))
     val dropped = labels.select(col("doc_id"))
       .join(maybeBroadcast(keepers), Seq("doc_id"), "left_anti")
     Tables.documents(spark, dir)
