@@ -164,6 +164,7 @@ object SparkEntry {
     "ann_ivf_recall_sweep" -> Similarity.annIvfRecallSweep _,
     "q_hll_set_ops"       -> Relational.qHllSetOps _,
     "dedup_apply"         -> Dedup.applyDedup _,
+    "pipeline_shard_manifest" -> Pipeline.shardManifest _,
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. */
@@ -1804,6 +1805,15 @@ object SparkEntry {
         |  round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS recall
         |FROM flagged JOIN th ON flagged.j >= th.threshold CROSS JOIN nc
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "pipeline_shard_manifest" ->
+      """WITH s AS (SELECT doc_id, n_chars,
+        |   ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ''), 1, 15))::BIGINT % 16 AS shard,
+        |   printf('%020d', doc_id) || ':' || md5(text) AS entry
+        |  FROM documents)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  md5(string_agg(entry, ',' ORDER BY entry)) AS content_digest
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     "pipeline_dsir_weights" ->
       """WITH tok AS (SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '\S+')) AS w
         |  FROM documents),

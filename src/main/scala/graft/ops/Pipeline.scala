@@ -361,6 +361,29 @@ object Pipeline {
       .orderBy(col("wkey").desc, col("doc_id"))
       .limit(k)
 
+  /** Shard manifest — the reproducibility record a dataset release
+    * ships beside its shards: per shard (same hash-assignment as
+    * [[shardOrder]]), the row count, total chars, and a content
+    * checksum (md5 over the shard's doc hashes in doc_id order).
+    * Re-running the manifest after any rebuild proves bit-identical
+    * shards without comparing data. One (shard) agg; the checksum
+    * concat is per-shard bounded (n/16 hashes of 32 chars).
+    * collect_list is wrapped in array_sort so partial-agg arrival
+    * order can never leak into the checksum. */
+  def shardManifest(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        expr("CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), '')), 1, 15), 16, 10) AS BIGINT) % 16")
+          .as("shard"),
+        // doc-id-prefixed so the sort equals doc_id order and the
+        // digest still covers the content hash
+        concat(format_string("%020d", col("doc_id")), lit(":"), md5(col("text"))).as("entry"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        md5(concat_ws(",", array_sort(collect_list(col("entry"))))).as("content_digest"))
+      .orderBy(col("shard"))
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score every doc
     * by how much more likely its hashed-unigram bag is under the

@@ -330,6 +330,17 @@ class QualityOpsR5bSpec extends SparkSpec {
     assert(survivorsPerCluster.filter(col("count") =!= 1).count() === 0)
   }
 
+  test("shardManifest: covers every doc once and digests are content-sensitive") {
+    val m = Caches.persistTracked(Pipeline.shardManifest(spark, sf0001))
+    val docs = Tables.documents(spark, sf0001)
+    assert(m.agg(sum(col("n_docs"))).head().getLong(0) === docs.count())
+    assert(m.agg(sum(col("total_chars"))).head().getLong(0) ===
+      docs.agg(sum(col("n_chars"))).head().getLong(0))
+    // 16 distinct digests — any collision across shards would mean the
+    // digest ignores content
+    assert(m.select(col("content_digest")).distinct().count() === m.count())
+  }
+
   test("dsirWeights: target-domain (en) docs score higher on average") {
     val w = Pipeline.dsirWeights(spark, sf0001)
       .join(Tables.documents(spark, sf0001).select(col("doc_id"), col("lang")), "doc_id")
