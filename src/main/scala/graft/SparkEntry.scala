@@ -165,6 +165,7 @@ object SparkEntry {
     "q_hll_set_ops"       -> Relational.qHllSetOps _,
     "dedup_apply"         -> Dedup.applyDedup _,
     "pipeline_shard_manifest" -> Pipeline.shardManifest _,
+    "embed_quantize_error" -> Similarity.quantizeError _,
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. */
@@ -878,6 +879,23 @@ object SparkEntry {
         |SELECT probe_id, vec_id, cosine,
         | CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rk
         |FROM s QUALIFY rk <= 5 ORDER BY probe_id, rk""".stripMargin,
+    "embed_quantize_error" ->
+      """WITH pe AS (SELECT CAST(i - 1 AS BIGINT) AS pos,
+        |    CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
+        |st AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM pe GROUP BY 1),
+        |d AS (SELECT pe.pos, x, mn, mx,
+        |   CASE WHEN mx = mn THEN 0
+        |        ELSE CAST(floor((x - mn) / (mx - mn) * 255) AS BIGINT) END AS q
+        |  FROM pe JOIN st ON pe.pos = st.pos),
+        |e AS (SELECT pos, mn, mx,
+        |   abs(x - (CASE WHEN mx = mn THEN mn
+        |        ELSE mn + (q + 0.5::DOUBLE) * (mx - mn) / 255 END)) AS abs_err
+        |  FROM d)
+        |SELECT pos, round(avg(abs_err), 6) AS avg_abs_err,
+        |  round(max(abs_err), 6) AS max_abs_err,
+        |  round(max((mx - mn) / 255), 6) AS cell_width
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
     "embed_quantize" ->
       """WITH pe AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
         |    CAST(embedding[i] AS DOUBLE) AS x

@@ -265,6 +265,33 @@ object Similarity {
       .orderBy(col("vec_id"), col("pos"))
   }
 
+  /** Reconstruction-error report for the scalar quantizer — the QC
+    * that decides whether 8-bit codes are safe for a given embedding
+    * table (the quantization counterpart of [[annRecallReport]]):
+    * per dimension, the mean/max |x − decode(q)| against the cell
+    * width, decoding each code to its cell midpoint. max_abs_err ≤
+    * cell_width/2 (+ the q=255 overshoot) by construction — the spec
+    * asserts it. Same single-scan + broadcast-stats plan as
+    * [[quantize]]; output is |dims| rows. */
+  def quantizeError(spark: SparkSession, dir: String): DataFrame = {
+    val pe = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col("pos").cast("long").as("pos"), col("xf").cast("double").as("x"))
+    val stats = pe.groupBy(col("pos")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    pe.join(broadcast(stats), "pos")
+      .withColumn("q", when(col("mx") === col("mn"), lit(0L))
+        .otherwise(floor((col("x") - col("mn")) / (col("mx") - col("mn")) * 255))
+        .cast("long"))
+      .withColumn("decoded", when(col("mx") === col("mn"), col("mn"))
+        .otherwise(col("mn") + (col("q") + lit(0.5)) * (col("mx") - col("mn")) / 255))
+      .withColumn("abs_err", abs(col("x") - col("decoded")))
+      .groupBy(col("pos"))
+      .agg(round(avg(col("abs_err")), 6).as("avg_abs_err"),
+        round(max(col("abs_err")), 6).as("max_abs_err"),
+        round(max((col("mx") - col("mn")) / 255), 6).as("cell_width"))
+      .orderBy(col("pos"))
+  }
+
   /** IVF-style assignment: nearest (L2) per-label centroid for every
     * vector. The centroid table is tiny → broadcast; the scan side never
     * shuffles. `matches_label` measures cluster purity. */

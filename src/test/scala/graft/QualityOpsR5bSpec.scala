@@ -341,6 +341,18 @@ class QualityOpsR5bSpec extends SparkSpec {
     assert(m.select(col("content_digest")).distinct().count() === m.count())
   }
 
+  test("quantizeError: max error bounded by the half cell (plus overshoot)") {
+    val r = Similarity.quantizeError(spark, sf0001).collect()
+    assert(r.length === 64)
+    r.foreach { x =>
+      val w = x.getAs[Double]("cell_width")
+      // both columns round at 6 dp, so the half-cell bound carries up
+      // to 1e-6 of rounding slack
+      assert(x.getAs[Double]("max_abs_err") <= w / 2 + 1e-6)
+      assert(x.getAs[Double]("avg_abs_err") <= x.getAs[Double]("max_abs_err"))
+    }
+  }
+
   test("dsirWeights: target-domain (en) docs score higher on average") {
     val w = Pipeline.dsirWeights(spark, sf0001)
       .join(Tables.documents(spark, sf0001).select(col("doc_id"), col("lang")), "doc_id")
