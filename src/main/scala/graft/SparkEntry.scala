@@ -166,6 +166,7 @@ object SparkEntry {
     "dedup_apply"         -> Dedup.applyDedup _,
     "pipeline_shard_manifest" -> Pipeline.shardManifest _,
     "embed_quantize_error" -> Similarity.quantizeError _,
+    "text_zipf_slope"     -> TextAnalysis.zipfSlope _,
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. */
@@ -1649,6 +1650,17 @@ object SparkEntry {
         |  round(abs(est_q - exact_q), 4) AS abs_err
         |FROM est JOIN ex ON est.event_type = ex.event_type AND est.p = ex.p
         |ORDER BY est.event_type, est.p""".stripMargin,
+    "text_zipf_slope" ->
+      """WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS w FROM documents),
+        |c AS (SELECT w, count(*) AS c FROM t GROUP BY 1 ORDER BY c DESC, w LIMIT 100),
+        |r AS (SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, w) AS DOUBLE)) AS x,
+        |   ln(CAST(c AS DOUBLE)) AS y FROM c)
+        |SELECT CAST(count(*) AS BIGINT) AS n_points,
+        |  round((count(*) * sum(x*y) - sum(x) * sum(y)) /
+        |    (count(*) * sum(x*x) - sum(x) * sum(x)), 4) AS zipf_slope,
+        |  round((sum(y) - ((count(*) * sum(x*y) - sum(x) * sum(y)) /
+        |    (count(*) * sum(x*x) - sum(x) * sum(x))) * sum(x)) / count(*), 4) AS intercept
+        |FROM r""".stripMargin,
     "text_gopher_rules" ->
       """WITH t AS (SELECT doc_id, text, regexp_extract_all(lower(text), '\S+') AS toks
         |  FROM documents),

@@ -160,6 +160,31 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Zipf-law fit over the token frequency distribution — the corpus
+    * health statistic (natural language sits near slope −1 on
+    * log-rank/log-frequency; templated or synthetic text drifts):
+    * least-squares slope/intercept over the top-100 tokens, x=ln rank,
+    * y=ln count, ties broken by token so the ranking is deterministic.
+    * Shape at scale: one token count agg (map-side combinable), a
+    * TakeOrdered(100), then closed-form regression on 100 rows. */
+  def zipfSlope(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(explode(expr(raw"regexp_extract_all(lower(text), '\\S+', 0)")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(100)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("w"))
+    counts.withColumn("x", log(row_number().over(w).cast("double")))
+      .withColumn("y", log(col("c").cast("double")))
+      .agg(count(lit(1)).as("n_points"),
+        round((count(lit(1)) * sum(col("x") * col("y")) - sum(col("x")) * sum(col("y"))) /
+          (count(lit(1)) * sum(col("x") * col("x")) - sum(col("x")) * sum(col("x"))), 4)
+          .as("zipf_slope"),
+        round((sum(col("y")) - ((count(lit(1)) * sum(col("x") * col("y")) - sum(col("x")) * sum(col("y"))) /
+          (count(lit(1)) * sum(col("x") * col("x")) - sum(col("x")) * sum(col("x")))) * sum(col("x"))) /
+          count(lit(1)), 4).as("intercept"))
+  }
+
   /** Winnowing (rolling k-gram hash) fingerprints, MOSS-style: the
     * plagiarism/near-dup fingerprint family — window-min over k-gram
     * hashes selects a deterministic ~1/w sample of each document's

@@ -353,6 +353,14 @@ class QualityOpsR5bSpec extends SparkSpec {
     }
   }
 
+  test("zipfSlope: negative slope over the full (small) vocabulary") {
+    val r = ops.TextAnalysis.zipfSlope(spark, sf0001).head()
+    // frequency is non-increasing in rank, so the LS slope must be < 0;
+    // the synthetic template corpus sits far above the natural -1
+    assert(r.getAs[Double]("zipf_slope") < 0.0)
+    assert(r.getAs[Long]("n_points") >= 10)
+  }
+
   test("dsirWeights: target-domain (en) docs score higher on average") {
     val w = Pipeline.dsirWeights(spark, sf0001)
       .join(Tables.documents(spark, sf0001).select(col("doc_id"), col("lang")), "doc_id")
