@@ -167,6 +167,7 @@ object SparkEntry {
     "pipeline_shard_manifest" -> Pipeline.shardManifest _,
     "embed_quantize_error" -> Similarity.quantizeError _,
     "text_zipf_slope"     -> TextAnalysis.zipfSlope _,
+    "etl_conversion_rate" -> EventsEtl.conversionRate _,
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. */
@@ -352,6 +353,20 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18, 2))) AS DOUBLE) AS volume
         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "etl_conversion_rate" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id AS view_id, user_id AS vuser, ts AS vts FROM events WHERE event_type = 'view'),
+        |j AS (SELECT p.purchase_id, p.ts, v.view_id, v.vts
+        |  FROM p LEFT JOIN v ON p.user_id = v.vuser
+        |    AND v.vts <= p.ts AND v.vts >= p.ts - INTERVAL 1 HOUR),
+        |m AS (SELECT purchase_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS purchase_sec, view_id
+        |  FROM j
+        |  QUALIFY row_number() OVER (PARTITION BY purchase_id ORDER BY vts DESC NULLS LAST) = 1)
+        |SELECT CAST(floor(purchase_sec / 86400) AS BIGINT) AS day_num,
+        |  CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(count(view_id) AS BIGINT) AS n_converted,
+        |  round(CAST(count(view_id) AS DOUBLE) / count(*), 6) AS conversion_rate
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "etl_asof_tolerance" ->
       """WITH p AS (SELECT event_id AS purchase_id, user_id, ts FROM events WHERE event_type = 'purchase'),
         |v AS (SELECT event_id AS view_id, user_id AS vuser, ts AS vts FROM events WHERE event_type = 'view'),

@@ -342,6 +342,19 @@ object EventsEtl {
       .orderBy(col("purchase_id"))
   }
 
+  /** Attribution-funnel conversion rate: per day, how many purchases
+    * had a view inside the one-hour window ([[asofViewWithinHour]]) —
+    * the percentage a product dashboard tracks. Consumes the as-of
+    * output at purchase grain; one (day) agg on top. */
+  def conversionRate(spark: SparkSession, dir: String): DataFrame =
+    asofViewWithinHour(spark, dir)
+      .groupBy(floor(col("purchase_sec") / 86400).cast("long").as("day_num"))
+      .agg(count(lit(1)).as("n_purchases"),
+        count(col("view_id")).as("n_converted"),
+        round(count(col("view_id")).cast("double") / count(lit(1)), 6)
+          .as("conversion_rate"))
+      .orderBy(col("day_num"))
+
   /** LOCF gap-fill (last observation carried forward): every event
     * annotated with the user's most recent purchase value as of that
     * event — the state-propagation primitive reload pipelines use to
