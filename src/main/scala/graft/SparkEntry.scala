@@ -168,6 +168,7 @@ object SparkEntry {
     "embed_quantize_error" -> Similarity.quantizeError _,
     "text_zipf_slope"     -> TextAnalysis.zipfSlope _,
     "etl_conversion_rate" -> EventsEtl.conversionRate _,
+    "etl_dq_checks"       -> EventsEtl.dqChecks _,
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. */
@@ -353,6 +354,25 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18, 2))) AS DOUBLE) AS volume
         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "etl_dq_checks" ->
+      """SELECT 'lineitem_orphan_orderkey' AS rule, CAST(count(*) AS BIGINT) AS n_violations
+        |  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |UNION ALL
+        |SELECT 'orders_orphan_custkey', CAST(count(*) AS BIGINT)
+        |  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |UNION ALL
+        |SELECT 'lineitem_nonpositive_quantity', CAST(count(*) AS BIGINT)
+        |  FROM lineitem WHERE l_quantity <= 0
+        |UNION ALL
+        |SELECT 'lineitem_nonpositive_price', CAST(count(*) AS BIGINT)
+        |  FROM lineitem WHERE l_extendedprice <= 0
+        |UNION ALL
+        |SELECT 'lineitem_discount_out_of_range', CAST(count(*) AS BIGINT)
+        |  FROM lineitem WHERE l_discount < 0 OR l_discount > 1
+        |UNION ALL
+        |SELECT 'orders_null_custkey', CAST(count(*) AS BIGINT)
+        |  FROM orders WHERE o_custkey IS NULL
+        |ORDER BY rule""".stripMargin,
     "etl_conversion_rate" ->
       """WITH p AS (SELECT event_id AS purchase_id, user_id, ts FROM events WHERE event_type = 'purchase'),
         |v AS (SELECT event_id AS view_id, user_id AS vuser, ts AS vts FROM events WHERE event_type = 'view'),

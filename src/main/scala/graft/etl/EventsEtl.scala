@@ -355,6 +355,41 @@ object EventsEtl {
           .as("conversion_rate"))
       .orderBy(col("day_num"))
 
+  /** Data-quality assertion suite (the deequ/dbt-tests surface) as one
+    * query: referential integrity (lineitem orphans vs orders, orders
+    * orphans vs customer), domain checks (non-positive quantity /
+    * price, discount outside [0,1]), and null-key checks — one row per
+    * rule with its violation count, so a scheduler can alert on any
+    * n_violations > 0. Each rule is a filter-agg or an anti-join
+    * count; the unions are of 1-row relations. At 100 TB the two
+    * anti-joins are the only wide ops and both sides shuffle on
+    * their join key once. */
+  def dqChecks(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    def rule(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("rule"), col("n_violations"))
+    rule("lineitem_orphan_orderkey",
+        li.select(col("l_orderkey"))
+          .join(ord.select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"), "left_anti"))
+      .unionAll(rule("orders_orphan_custkey",
+        ord.select(col("o_custkey"))
+          .join(cust.select(col("c_custkey")),
+            col("o_custkey") === col("c_custkey"), "left_anti")))
+      .unionAll(rule("lineitem_nonpositive_quantity",
+        li.filter(col("l_quantity") <= 0)))
+      .unionAll(rule("lineitem_nonpositive_price",
+        li.filter(col("l_extendedprice") <= 0)))
+      .unionAll(rule("lineitem_discount_out_of_range",
+        li.filter(col("l_discount") < 0 || col("l_discount") > 1)))
+      .unionAll(rule("orders_null_custkey",
+        ord.filter(col("o_custkey").isNull)))
+      .orderBy(col("rule"))
+  }
+
   /** LOCF gap-fill (last observation carried forward): every event
     * annotated with the user's most recent purchase value as of that
     * event — the state-propagation primitive reload pipelines use to
