@@ -356,10 +356,10 @@ object SparkEntry {
         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "etl_dq_checks" ->
       """SELECT 'lineitem_orphan_orderkey' AS rule, CAST(count(*) AS BIGINT) AS n_violations
-        |  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |  FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
         |UNION ALL
         |SELECT 'orders_orphan_custkey', CAST(count(*) AS BIGINT)
-        |  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |  FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
         |UNION ALL
         |SELECT 'lineitem_nonpositive_quantity', CAST(count(*) AS BIGINT)
         |  FROM lineitem WHERE l_quantity <= 0

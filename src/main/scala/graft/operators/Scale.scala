@@ -29,8 +29,8 @@ object Scale {
       key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
 
-  /** Salted join for skewed keys: the big (skewed) side gets a random-
-    * but-deterministic salt in [0, salts); the small side is exploded
+  /** Salted join for skewed keys: the big (skewed) side gets a
+    * content-derived salt in [0, salts); the small side is exploded
     * ×salts so every (key, salt) pair finds its match. Equivalent to
     * the plain join, but the hot key's rows spread over `salts`
     * reducers instead of one straggler.
@@ -41,10 +41,13 @@ object Scale {
     * not be.) */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts > 0)
-    // deterministic salt: stable under retries (a random salt would
-    // break idempotent reload semantics)
+    // salt = hash of the whole row: stable under retries AND under
+    // partition-layout changes (monotonically_increasing_id is only
+    // stable for an identical layout). Exact duplicate rows share a
+    // salt — they spread no further, which is the best any
+    // content-derived salt can do.
     val saltedBig = big.withColumn("__salt",
-      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(salts)).cast("int"))
+      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(salts)).cast("int"))
     val saltedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedBig.join(saltedSmall, Seq(key, "__salt")).drop("__salt")

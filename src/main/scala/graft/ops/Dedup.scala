@@ -469,12 +469,6 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Per-cluster audit of the near-dup clustering — the report a
-    * curation run ships with its dedup decisions: for every duplicate
-    * family, its size, the canonical (kept) doc, and how many chars
-    * the drop reclaims. Pure composition: [[components]] joined back
-    * to the documents table (broadcast — the clustered subset is
-    * collision-bounded), one agg at component grain. */
   /** Quality-aware canonicalization: within each near-dup cluster keep
     * the HIGHEST-quality member (ties → smaller doc_id) instead of the
     * smallest id — what a curation run actually ships: dedup should
@@ -521,6 +515,12 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-cluster audit of the near-dup clustering — the report a
+    * curation run ships with its dedup decisions: for every duplicate
+    * family, its size, the canonical (kept) doc, and how many chars
+    * the drop reclaims. Pure composition: [[components]] joined back
+    * to the documents table (broadcast — the clustered subset is
+    * collision-bounded), one agg at component grain. */
   def clusterStats(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Scale.maybeBroadcast
     val labels = components(spark, dir) // (doc_id, component)
