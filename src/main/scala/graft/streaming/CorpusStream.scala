@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -16,12 +16,12 @@ import graft.sources.CorpusIO
   *
   * Good rows and quarantine run as TWO queries over the same landing
   * dir (each with its own checkpoint): the good path gets Structured
-  * Streaming's exactly-once parquet sink AND CROSS-BATCH dedup state
-  * (`dropDuplicates` on the content hash — one 16-byte key per
-  * distinct doc ever seen; bound it with a TTL'd state store or
-  * output compaction when the stream outlives the state budget), and
-  * the quarantine path can lag or replay independently — a dropped
-  * line never blocks the corpus. */
+  * Streaming's exactly-once parquet sink AND cross-batch dedup state
+  * that is BOUNDED by a watermark horizon — the [[SnapshotStream
+  * .dedupedVisits]] discipline (`dropDuplicatesWithinWatermark` +
+  * RocksDB state), so state size is horizon × arrival rate, never
+  * stream lifetime — and the quarantine path can lag or replay
+  * independently — a dropped line never blocks the corpus. */
 object CorpusStream {
 
   /** Parse a text stream of JSONL lines into the documents shape +
@@ -34,13 +34,31 @@ object CorpusStream {
       .withColumn("is_valid", col("doc_id").isNotNull && col("text").isNotNull)
 
   /** Start both ingest queries: good rows (valid, quality ≥
-    * minQuality, first occurrence of each content hash) append to
-    * `outDir/docs`; invalid lines land in `outDir/quarantine` with the
-    * raw line. AvailableNow processes the current backlog and stops —
-    * run from a scheduler for batch semantics, or swap the trigger for
-    * continuous tailing. */
+    * minQuality, first occurrence of each content hash within the
+    * `dedupTtl` horizon) append to `outDir/docs`; invalid lines land
+    * in `outDir/quarantine` with the raw line. AvailableNow processes
+    * the current backlog and stops — run from a scheduler for batch
+    * semantics, or swap the trigger for continuous tailing.
+    *
+    * Dedup state is BOUNDED: `dropDuplicatesWithinWatermark` keys
+    * state by content hash and EVICTS entries once the watermark
+    * passes their event time + `dedupTtl`, so a duplicate landing
+    * within the horizon is dropped and state size is horizon ×
+    * arrival rate — never one key per distinct doc ever seen. A
+    * re-crawl older than the horizon re-admits the doc; downstream
+    * batch dedup ([[graft.ops.Dedup]]) owns whole-corpus exactness.
+    * State lives in RocksDB ([[SnapshotStream.rocksDbStateConfs]],
+    * applied here before start) — per-doc keys on the default on-heap
+    * provider would OOM executors at corpus scale.
+    *
+    * `eventTime` defaults to processing time (`current_timestamp()`),
+    * which makes `dedupTtl` a wall-clock TTL; pass a real event-time
+    * column when the landing files carry one. */
   def ingest(spark: SparkSession, inDir: String, outDir: String, ckptDir: String,
-             minQuality: Double = 0.0): (StreamingQuery, StreamingQuery) = {
+             minQuality: Double = 0.0,
+             dedupTtl: String = "24 hours",
+             eventTime: Column = current_timestamp()): (StreamingQuery, StreamingQuery) = {
+    SnapshotStream.rocksDbStateConfs.foreach { case (k, v) => spark.conf.set(k, v) }
     val good = parsedDocs(spark.readStream.text(inDir))
       .filter(col("is_valid"))
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
@@ -48,7 +66,10 @@ object CorpusStream {
       .withColumn("quality_score", graft.ops.TextAnalysis.qualityScoreCol)
       .filter(col("quality_score") >= minQuality)
       .withColumn("content_hash", md5(col("text")))
-      .dropDuplicates("content_hash")
+      .withColumn("ingest_ts", eventTime)
+      .withWatermark("ingest_ts", dedupTtl)
+      .dropDuplicatesWithinWatermark("content_hash")
+      .drop("ingest_ts")
       .writeStream
       .option("checkpointLocation", s"$ckptDir/docs")
       .option("path", s"$outDir/docs")
@@ -73,9 +94,11 @@ object CorpusStream {
     *
     * Exactly-once without transactions: the merged state for batch N
     * is written to `outDir/cms/batch_N` (state reads come from the
-    * HIGHEST batch dir, see [[latestCms]]). A replayed batch N
-    * recomputes the same merge from batch N−1's state and OVERWRITES
-    * its own dir — idempotent by construction, no marker files. The
+    * HIGHEST COMMITTED batch dir — `_SUCCESS` present — see
+    * [[latestCms]]; a reused state root under a fresh checkpoint is
+    * refused at batch 0, see [[requireFreshStateRoot]]). A replayed
+    * batch N recomputes the same merge from batch N−1's state and
+    * OVERWRITES its own dir — idempotent by construction. The
     * state is bounded (3×512 counters) regardless of stream volume, so
     * the driver-side rewrite is constant work — the whole point of
     * maintaining a sketch instead of exact counts. */
@@ -89,6 +112,7 @@ object CorpusStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
+        requireFreshStateRoot(s, s"$outDir/cms", batchId)
         val part = graft.ops.TextAnalysis.cmsSketch(batch)
         // merge against the highest state STRICTLY BELOW this batch:
         // on replay, batch N must not see its own (possibly partial)
@@ -117,16 +141,47 @@ object CorpusStream {
                 below: Option[Long] = None): Option[DataFrame] =
     latestState(spark, s"$outDir/hll", below)
 
+  /** Batch ids of COMMITTED state dirs under `root0`: `batch_N`
+    * directories carrying the `_SUCCESS` marker. Listed through the
+    * Hadoop FileSystem API so the state layout works on HDFS/S3/any
+    * mounted store, not just the local filesystem; a partially-written
+    * dir (crash mid-overwrite, no `_SUCCESS`) is never treated as
+    * state — its batch replays and rewrites it. */
+  private def committedIds(spark: SparkSession, root0: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(root0)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.matches("batch_\\d+"))
+      .filter(st => fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("batch_").toLong)
+  }
+
   private def latestState(spark: SparkSession, root0: String,
                           below: Option[Long]): Option[DataFrame] = {
-    val root = new java.io.File(root0)
-    val ids = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("batch_"))
-      .map(_.getName.stripPrefix("batch_").toLong)
-      .filter(id => below.forall(id < _))
+    val ids = committedIds(spark, root0).filter(id => below.forall(id < _))
     if (ids.isEmpty) None
     else Some(spark.read.parquet(s"$root0/batch_${ids.max}"))
   }
+
+  /** Guard against silent state corruption when an output dir is
+    * reused with a FRESH checkpoint: batch ids restart at 0, and once
+    * the new run's id exceeds a stale `batch_N` left by the prior run,
+    * the stale dir would win the "latest below N" pick and double-count
+    * the old data into the new state (external [[latestCms]] readers
+    * would see it immediately). A resume of the SAME checkpoint never
+    * replays batch 0 with higher committed ids present, so at batch 0
+    * any committed id ≥ 1 proves a mismatched (checkpoint, state-root)
+    * pairing — refuse loudly instead of merging garbage. */
+  private def requireFreshStateRoot(spark: SparkSession, root0: String,
+                                    batchId: Long): Unit =
+    if (batchId == 0) {
+      val stale = committedIds(spark, root0).filter(_ >= 1)
+      if (stale.nonEmpty) throw new IllegalStateException(
+        s"state root $root0 holds batch dirs ${stale.sorted.mkString(", ")} " +
+          "from a previous run but this checkpoint is at batch 0; " +
+          "point the query at an empty state root (or resume the original checkpoint)")
+    }
 
   /** Streaming distinct-document estimation: maintain the portable HLL
     * register table ([[graft.operators.Relational.hllRegisters]]) over
@@ -146,6 +201,7 @@ object CorpusStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
+        requireFreshStateRoot(s, s"$outDir/hll", batchId)
         val part = graft.operators.Relational.hllRegisters(batch)
         val merged = latestHll(s, outDir, below = Some(batchId)) match {
           case Some(prev) => prev.unionAll(part)

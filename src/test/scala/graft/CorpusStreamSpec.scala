@@ -42,6 +42,68 @@ class CorpusStreamSpec extends SparkSpec {
     assert(quarantine.count() == 2)
   }
 
+  test("ingest dedup state is watermark-bounded: in-horizon dup dropped, evicted key re-admitted") {
+    val in = tmpDir("cstream-ttl-in"); val out = tmpDir("cstream-ttl-out")
+    val ckpt = tmpDir("cstream-ttl-ckpt")
+    val sharedText = "the quick brown fox and the lazy dog of a tale in a field"
+    def doc(id: Int, ts: String) =
+      s"""{"doc_id": $id, "text": "$sharedText", "lang": "en", "source": "$ts"}"""
+    // event time rides in `source`; 1h TTL
+    def run(): Unit = {
+      val (g, q) = CorpusStream.ingest(spark, in, out, ckpt,
+        dedupTtl = "1 hour", eventTime = to_timestamp(col("source")))
+      g.awaitTermination(60000); q.awaitTermination(60000)
+    }
+    def other(id: Int, ts: String) =
+      s"""{"doc_id": $id, "text": "an unrelated watermark advancing document number $id", "lang": "en", "source": "$ts"}"""
+    Files.writeString(Paths.get(in, "t1.jsonl"), doc(1, "2026-01-01 00:00:00") + "\n")
+    run()
+    // doc 2: same text 30min later — within the 1h horizon, dup dropped
+    Files.writeString(Paths.get(in, "t2.jsonl"), doc(2, "2026-01-01 00:30:00") + "\n")
+    run()
+    // two unrelated docs march the watermark well past doc 1's expiry
+    // (event time + 1h TTL), forcing the eviction pass to run — robust
+    // to whether eviction applies the pre- or post-batch watermark
+    Files.writeString(Paths.get(in, "t3.jsonl"), other(10, "2026-01-01 05:00:00") + "\n")
+    run()
+    Files.writeString(Paths.get(in, "t4.jsonl"), other(11, "2026-01-01 06:00:00") + "\n")
+    run()
+    // doc 3: same text, far past the horizon — doc 1's key was EVICTED
+    // (state is bounded by the horizon), so the text is re-admitted
+    Files.writeString(Paths.get(in, "t5.jsonl"), doc(3, "2026-01-01 10:00:00") + "\n")
+    run()
+    val ids = spark.read.parquet(s"$out/docs")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(ids.contains(1L), "first occurrence must be emitted")
+    assert(!ids.contains(2L), "duplicate within the watermark horizon must be dropped")
+    assert(ids.contains(3L),
+      "duplicate past the horizon must be re-admitted — proves state eviction, i.e. bounded state")
+  }
+
+  test("sketch state refuses a reused state root under a fresh checkpoint") {
+    val in = tmpDir("cms-stale-in"); val out = tmpDir("cms-stale-out")
+    Files.writeString(Paths.get(in, "b1.jsonl"),
+      """{"doc_id": 1, "text": "alpha beta gamma", "lang": "en", "source": "web"}
+        |""".stripMargin)
+    // first run commits batch_0; a second FILE advances the same
+    // checkpoint to batch_1
+    val ckpt1 = tmpDir("cms-stale-ckpt1")
+    CorpusStream.cmsMaintain(spark, in, out, ckpt1).awaitTermination(60000)
+    Files.writeString(Paths.get(in, "b2.jsonl"),
+      """{"doc_id": 2, "text": "delta epsilon", "lang": "en", "source": "web"}
+        |""".stripMargin)
+    CorpusStream.cmsMaintain(spark, in, out, ckpt1).awaitTermination(60000)
+    assert(CorpusStream.latestCms(spark, out).isDefined)
+    // fresh checkpoint + same outDir: batch ids restart at 0 while
+    // batch_1 state from the prior run survives — must fail loudly
+    // instead of silently double-counting the old data
+    val ckpt2 = tmpDir("cms-stale-ckpt2")
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      CorpusStream.cmsMaintain(spark, in, out, ckpt2).awaitTermination(60000)
+    }
+    assert(ex.getMessage.contains("batch 0") || ex.getCause.getMessage.contains("batch 0"))
+  }
+
   test("cmsMaintain merges micro-batch sketches into the exact batch sketch") {
     import spark.implicits._
     val in = tmpDir("cms-in"); val out = tmpDir("cms-out")
