@@ -1762,6 +1762,41 @@ object SparkEntry {
         |FROM votes
         |QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY votes DESC, label) = 1
         |ORDER BY probe_id""".stripMargin,
+    "q_approx_sketches" ->
+      """WITH h AS (SELECT event_type,
+        |   ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h FROM events),
+        |r AS (SELECT event_type, h % 256 AS bucket,
+        |   least(53 - length(bin(h // 256)), 40) AS rho FROM h),
+        |reg AS (SELECT event_type, bucket, max(rho) AS mj FROM r GROUP BY 1, 2),
+        |agg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,
+        |   sum((1::BIGINT) << CAST(40 - mj AS INT)) AS s_present FROM reg GROUP BY 1),
+        |users AS (SELECT event_type,
+        |   CASE WHEN n_buckets < 256 AND raw <= 640.0
+        |     THEN round(256.0 * ln(256.0 / (256 - n_buckets)), 4) ELSE raw END AS approx_users
+        |  FROM (SELECT event_type, n_buckets,
+        |     round(0.7183::DOUBLE * 65536 * 1099511627776 /
+        |       (s_present + (256 - n_buckets) * 1099511627776), 4) AS raw FROM agg)),
+        |hist AS (SELECT event_type, CAST(floor(value * 2) AS BIGINT) AS bin, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+        |cum AS (SELECT event_type, bin, c,
+        |   sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum FROM hist),
+        |ps AS (SELECT unnest([0.5::DOUBLE, 0.95::DOUBLE]) AS p),
+        |r2 AS (SELECT cum.event_type, bin, c, cum.cum, ps.p,
+        |   CAST(ceil(ps.p * t.n) AS BIGINT) AS rk
+        |  FROM cum JOIN t USING (event_type) CROSS JOIN ps),
+        |sel AS (SELECT *, row_number() OVER (PARTITION BY event_type, p ORDER BY bin) AS rn
+        |  FROM r2 WHERE cum >= rk),
+        |est AS (SELECT event_type, p,
+        |   round(bin * 0.5::DOUBLE + 0.5::DOUBLE * (rk - (cum - c)) / c, 4) AS est_q
+        |  FROM sel WHERE rn = 1),
+        |quants AS (SELECT event_type,
+        |   max(CASE WHEN p = 0.5 THEN est_q END) AS approx_p50,
+        |   max(CASE WHEN p = 0.95 THEN est_q END) AS approx_p95
+        |  FROM est GROUP BY 1)
+        |SELECT users.event_type AS event_type, approx_users, approx_p50, approx_p95, n
+        |FROM users JOIN quants USING (event_type) JOIN t USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     "q_hll_portable" ->
       """WITH h AS (SELECT ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h,
         |   l_partkey FROM lineitem),

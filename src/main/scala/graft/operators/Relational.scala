@@ -361,21 +361,59 @@ object Relational {
       .orderBy(col("cohort_wk"), col("week_offset"))
   }
 
-  /** Sketch aggregates — the 100 TB path for distinct counts and
-    * quantiles (bounded-memory HLL / quantile sketch, map-side
-    * mergeable). No DuckDB oracle: sketch internals are
-    * engine-specific, so the driver records a rows-only check; the
-    * exact anchors are q16_distinct_count / q_median_value. */
+  /** Sketch dashboard — the 100 TB path for per-group distinct counts
+    * and quantiles, via the PORTABLE kernels (so, unlike Spark's
+    * approx_count_distinct / approx_percentile whose sketch internals
+    * are engine-private, every number hash-matches a DuckDB oracle):
+    * per-event-type [[hllRegisters]]-style HLL (exact-integer register
+    * math, see [[qHllPortable]]) for approx_users and the binned
+    * quantile sketch (see [[qQuantileSketch]]) for approx_p50/p95.
+    *
+    * Shape at scale: registers are ONE map-side-combinable
+    * (group, bucket) agg — ≤ |groups|·256 rows; the histogram is one
+    * (group, bin) agg; both tiny relations then join broadcast. The
+    * fact table is scanned twice but never shuffled at fact grain. */
   def qApproxSketches(spark: SparkSession, dir: String): DataFrame = {
-    Tables.events(spark, dir)
+    val m = 256L; val cap = 40L
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"), col("value"))
+    val reg = ev
+      .select(col("event_type"),
+        expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      .select(col("event_type"), (col("h") % m).as("bucket"), expr(s"h div $m").as("v"))
+      .withColumn("rho", least(lit(53L) - length(expr("bin(v)")), lit(cap)))
+      .groupBy(col("event_type"), col("bucket")).agg(max(col("rho")).as("mj"))
+    val users = reg.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($cap - mj AS INT))")).as("s_present"))
+      .withColumn("raw", round(lit(0.7183) * lit(m * m) * lit(1L << cap.toInt) /
+        (col("s_present") + (lit(m) - col("n_buckets")) * lit(1L << cap.toInt)), 4))
+      .select(col("event_type"),
+        when(col("n_buckets") < m && col("raw") <= lit(2.5 * m),
+          round(lit(m.toDouble) * log(lit(m.toDouble) / (lit(m) - col("n_buckets"))), 4))
+          .otherwise(col("raw")).as("approx_users"))
+    val hist = ev
+      .groupBy(col("event_type"), floor(col("value") * 2).cast("long").as("bin"))
+      .agg(count(lit(1)).as("c"))
+    val totals = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val cum = hist.withColumn("cum",
+      sum(col("c")).over(Window.partitionBy(col("event_type")).orderBy(col("bin"))))
+    val quants = cum.join(broadcast(totals), "event_type")
+      .crossJoin(broadcast(spark.range(1)
+        .select(explode(array(Seq(0.5, 0.95).map(lit): _*)).as("p"))))
+      .withColumn("rk", ceil(col("p") * col("n")).cast("long"))
+      .filter(col("cum") >= col("rk"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type"), col("p")).orderBy(col("bin"))))
+      .filter(col("rn") === 1)
+      .withColumn("est_q", round(col("bin") * lit(0.5) +
+        lit(0.5) * (col("rk") - (col("cum") - col("c"))) / col("c"), 4))
       .groupBy(col("event_type"))
-      .agg(
-        approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
-        // scalar columns (not an array) so the driver's rows-only
-        // comparator, which sorts every column, can handle the result
-        expr("approx_percentile(value, 0.5, 10000)").as("approx_p50"),
-        expr("approx_percentile(value, 0.95, 10000)").as("approx_p95"),
-        count(lit(1)).as("n"))
+      .agg(max(when(col("p") === 0.5, col("est_q"))).as("approx_p50"),
+        max(when(col("p") === 0.95, col("est_q"))).as("approx_p95"))
+    users.join(quants, "event_type").join(totals, "event_type")
+      .select(col("event_type"), col("approx_users"), col("approx_p50"),
+        col("approx_p95"), col("n"))
       .orderBy(col("event_type"))
   }
 

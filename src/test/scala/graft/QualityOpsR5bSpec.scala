@@ -156,6 +156,30 @@ class QualityOpsR5bSpec extends SparkSpec {
     }
   }
 
+  test("qApproxSketches: per-group portable estimates track exact users and quantiles") {
+    val spark2 = spark
+    import spark2.implicits._
+    val r = graft.operators.Relational.qApproxSketches(spark, sf0001).collect()
+    assert(r.nonEmpty)
+    val exact = graft.Tables.events(spark, sf0001)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("users"),
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.95)").as("p95"))
+      .as[(String, Long, Double, Double)].collect()
+      .map(x => x._1 -> (x._2, x._3, x._4)).toMap
+    r.foreach { row =>
+      val t = row.getAs[String]("event_type")
+      val (users, p50, p95) = exact(t)
+      // 256-register HLL: ~6.5% rsd — allow 3 sigma
+      assert(math.abs(row.getAs[Double]("approx_users") - users) <= math.max(0.2 * users, 3.0),
+        s"$t approx_users=${row.getAs[Double]("approx_users")} exact=$users")
+      assert(math.abs(row.getAs[Double]("approx_p50") - p50) <= math.max(0.05 * p50, 0.5))
+      assert(math.abs(row.getAs[Double]("approx_p95") - p95) <= math.max(0.05 * p95, 0.5))
+      assert(row.getAs[Double]("approx_p50") <= row.getAs[Double]("approx_p95"))
+    }
+  }
+
   test("cmsHeavyHitters never undercounts and ranks by exact frequency") {
     val r = ops.TextAnalysis.cmsHeavyHitters(spark, sf0001).collect()
     assert(r.length === 10)

@@ -32,7 +32,7 @@ class SmokeSpec extends SparkSpec {
     // the correctness contract (SparkEntry scaladoc): every key gets an
     // oracleSql unless the op is not SQL-expressible — those exemptions
     // are enumerated HERE so a new ungated query fails the suite
-    val exempt = Set("q_approx_sketches") // sketch internals engine-specific
+    val exempt = Set.empty[String] // every query is oracle-gated
     val ungated = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- exempt
     assert(ungated.isEmpty, s"queries without oracleSql: ${ungated.toSeq.sorted.mkString(", ")}")
     val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
