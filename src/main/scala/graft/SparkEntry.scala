@@ -175,6 +175,35 @@ object SparkEntry {
   /** MinHash band-bucket CTE chain (documents → shingles → signatures
     * → LSH bands) — the shared candidate-generation surface for the
     * components oracles and the decontamination oracle. */
+  /** Trained-IVF CTE chain — mirrors Similarity.trainedIndex (label-
+    * seeded centroids → one Lloyd refinement → refined centroid table
+    * `cent` + refined assignment `asg` with v/norm/dist). Shared by the
+    * four IVF oracles so they all route through the SAME trained index
+    * the Spark paths use. */
+  private val ivfCtes: String =
+    """pe0 AS (SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
+      |c0p AS (SELECT CAST(label AS BIGINT) AS cell, CAST(pos - 1 AS BIGINT) AS pos,
+      |   round(avg(x), 6) AS centroid FROM pe0 GROUP BY 1, 2),
+      |c0 AS (SELECT cell, list(centroid ORDER BY pos) AS cv FROM c0p GROUP BY 1),
+      |e0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |s1 AS (SELECT e0.vec_id, e0.v, c0.cell,
+      |   round(sqrt(list_sum(list_transform(list_zip(e0.v, c0.cv), z -> (z[1]-z[2])*(z[1]-z[2])))), 6) AS dist
+      |  FROM e0 CROSS JOIN c0),
+      |a1c AS (SELECT vec_id, v, cell AS cell1 FROM s1
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1),
+      |p1 AS (SELECT cell1, i AS pos, v[i] AS x
+      |  FROM a1c CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
+      |c1p AS (SELECT cell1 AS cell, CAST(pos - 1 AS BIGINT) AS pos,
+      |   round(avg(x), 6) AS centroid FROM p1 GROUP BY 1, 2),
+      |cent AS (SELECT cell, list(centroid ORDER BY pos) AS cv FROM c1p GROUP BY 1),
+      |s2 AS (SELECT e0.vec_id, e0.v, cent.cell,
+      |   round(sqrt(list_sum(list_transform(list_zip(e0.v, cent.cv), z -> (z[1]-z[2])*(z[1]-z[2])))), 6) AS dist
+      |  FROM e0 CROSS JOIN cent),
+      |asg AS (SELECT vec_id, v, cell, dist,
+      |   sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM s2
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1)""".stripMargin
+
   private val bandsCtes: String =
     """t AS (SELECT doc_id, text, regexp_extract_all(text, '\S+') AS toks FROM documents),
       |shl AS (SELECT doc_id, list_distinct(
@@ -849,15 +878,8 @@ object SparkEntry {
         |WHERE bit_count(xor(a.sim, b.sim)) <= 2
         |ORDER BY 1, 2""".stripMargin,
     "ann_ivf_recall_sweep" ->
-      """WITH pe AS (SELECT label, i AS pos, embedding[i] AS x
-        |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
-        |c AS (SELECT CAST(label AS BIGINT) AS label, CAST(pos - 1 AS BIGINT) AS pos,
-        |   round(avg(CAST(x AS DOUBLE)), 6) AS centroid FROM pe GROUP BY 1, 2),
-        |cent AS (SELECT label AS cell, list(centroid ORDER BY pos) AS cv FROM c GROUP BY 1),
-        |e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
-        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |n AS (SELECT vec_id, label, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM e),
-        |p AS (SELECT vec_id AS probe_id, v AS pv, norm AS pnorm FROM n WHERE vec_id < 5),
+      s"""WITH $ivfCtes,
+        |p AS (SELECT vec_id AS probe_id, v AS pv, norm AS pnorm FROM asg WHERE vec_id < 5),
         |routed AS (
         |  SELECT probe_id, pv, pnorm, cell, crk FROM (
         |    SELECT p.probe_id, p.pv, p.pnorm, cent.cell,
@@ -872,7 +894,7 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY routed.probe_id, nps.nprobe ORDER BY
         |      round(list_sum(list_transform(list_zip(routed.pv, n.v), z -> z[1]*z[2]))
         |        / (routed.pnorm * n.norm), 6) DESC, n.vec_id) AS rk
-        |  FROM routed CROSS JOIN nps JOIN n ON n.label = routed.cell
+        |  FROM routed CROSS JOIN nps JOIN asg n ON n.cell = routed.cell
         |  WHERE routed.crk <= nps.nprobe AND n.vec_id <> routed.probe_id) t
         |  WHERE rk <= 5),
         |ex AS (SELECT probe_id, vec_id FROM (
@@ -880,7 +902,7 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY p.probe_id ORDER BY
         |      round(list_sum(list_transform(list_zip(p.pv, n.v), z -> z[1]*z[2]))
         |        / (p.pnorm * n.norm), 6) DESC, n.vec_id) AS rk
-        |  FROM p CROSS JOIN n WHERE n.vec_id <> p.probe_id) t
+        |  FROM p CROSS JOIN asg n WHERE n.vec_id <> p.probe_id) t
         |  WHERE rk <= 5),
         |tot AS (SELECT count(*) AS n_truth FROM ex)
         |SELECT CAST(nprobe AS BIGINT) AS nprobe,
@@ -891,15 +913,8 @@ object SparkEntry {
         |CROSS JOIN tot
         |GROUP BY 1, 3 ORDER BY 1""".stripMargin,
     "ann_ivf_topk" ->
-      """WITH pe AS (SELECT label, i AS pos, embedding[i] AS x
-        |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
-        |c AS (SELECT CAST(label AS BIGINT) AS label, CAST(pos - 1 AS BIGINT) AS pos,
-        |   round(avg(CAST(x AS DOUBLE)), 6) AS centroid FROM pe GROUP BY 1, 2),
-        |cent AS (SELECT label AS cell, list(centroid ORDER BY pos) AS cv FROM c GROUP BY 1),
-        |e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
-        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |n AS (SELECT vec_id, label, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM e),
-        |p AS (SELECT vec_id AS probe_id, v AS pv, norm AS pnorm FROM n WHERE vec_id < 5),
+      s"""WITH $ivfCtes,
+        |p AS (SELECT vec_id AS probe_id, v AS pv, norm AS pnorm FROM asg WHERE vec_id < 5),
         |routed AS (
         |  SELECT probe_id, pv, pnorm, cell FROM (
         |    SELECT p.probe_id, p.pv, p.pnorm, cent.cell,
@@ -907,11 +922,11 @@ object SparkEntry {
         |        z -> (z[1]-z[2])*(z[1]-z[2])))), 6) AS cdist
         |    FROM p CROSS JOIN cent) t
         |  QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cdist, cell) <= 2),
-        |s AS (SELECT routed.probe_id, n.vec_id,
-        |   round(list_sum(list_transform(list_zip(routed.pv, n.v), z -> z[1]*z[2]))
-        |     / (routed.pnorm * n.norm), 6) AS cosine
-        |  FROM routed JOIN n ON n.label = routed.cell
-        |  WHERE n.vec_id <> routed.probe_id)
+        |s AS (SELECT routed.probe_id, asg.vec_id,
+        |   round(list_sum(list_transform(list_zip(routed.pv, asg.v), z -> z[1]*z[2]))
+        |     / (routed.pnorm * asg.norm), 6) AS cosine
+        |  FROM routed JOIN asg ON asg.cell = routed.cell
+        |  WHERE asg.vec_id <> routed.probe_id)
         |SELECT probe_id, vec_id, cosine,
         | CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rk
         |FROM s QUALIFY rk <= 5 ORDER BY probe_id, rk""".stripMargin,
@@ -952,18 +967,10 @@ object SparkEntry {
         | CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rk
         |FROM s QUALIFY rk <= 5 ORDER BY probe_id, rk""".stripMargin,
     "ann_ivf" ->
-      """WITH pe AS (SELECT label, i AS pos, embedding[i] AS x
-        |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
-        |c AS (SELECT CAST(label AS BIGINT) AS label, CAST(pos - 1 AS BIGINT) AS pos,
-        |   round(avg(CAST(x AS DOUBLE)), 6) AS centroid FROM pe GROUP BY 1, 2),
-        |cent AS (SELECT label AS cell, list(centroid ORDER BY pos) AS cv FROM c GROUP BY 1),
-        |e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |s AS (SELECT e.vec_id, e.label, cent.cell,
-        |   round(sqrt(list_sum(list_transform(list_zip(e.v, cent.cv), z -> (z[1]-z[2])*(z[1]-z[2])))), 6) AS dist
-        |  FROM e CROSS JOIN cent)
-        |SELECT vec_id, cell, dist AS dist_to_cell, cell = CAST(label AS BIGINT) AS matches_label
-        |FROM s QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1
-        |ORDER BY vec_id""".stripMargin,
+      s"""WITH $ivfCtes
+        |SELECT asg.vec_id AS vec_id, asg.cell AS cell, asg.dist AS dist_to_cell,
+        |  asg.cell = CAST(emb.label AS BIGINT) AS matches_label
+        |FROM asg JOIN embeddings emb USING (vec_id) ORDER BY vec_id""".stripMargin,
     "ann_kmeans_refine" ->
       """WITH pe AS (SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
         |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
@@ -1429,7 +1436,8 @@ object SparkEntry {
     // IVF routing (nprobe=2 coarse cells) + PQ asymmetric distance —
     // same codebook/encoding CTEs as ann_pq_adc plus the cell filter
     "ann_ivf_pq" ->
-      """WITH pe AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+      s"""WITH $ivfCtes,
+        |pe AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
         |   CAST(i - 1 AS BIGINT) AS pos, CAST(embedding[i] AS DOUBLE) AS x
         |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
         |sub AS (SELECT vec_id, label, pos // 8 AS s, pos % 8 AS j, x FROM pe),
@@ -1444,21 +1452,16 @@ object SparkEntry {
         |dtab AS (SELECT v.vec_id AS probe_id, v.s, cbarr.code,
         |   round(list_sum(list_transform(list_zip(v.sv, cbarr.cw), z -> (z[1]-z[2])*(z[1]-z[2]))), 6) AS dsq
         |  FROM vsub v JOIN cbarr ON v.s = cbarr.s WHERE v.vec_id < 5),
-        |cp AS (SELECT CAST(label AS BIGINT) AS label, CAST(pos AS BIGINT) AS pos,
-        |   round(avg(x), 6) AS centroid FROM pe GROUP BY 1, 2),
-        |cent AS (SELECT label AS cell, list(centroid ORDER BY pos) AS cv FROM cp GROUP BY 1),
-        |ev AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
-        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |pr AS (SELECT vec_id AS probe_id, v AS pv FROM ev WHERE vec_id < 5),
+        |pr AS (SELECT vec_id AS probe_id, v AS pv FROM asg WHERE vec_id < 5),
         |routed AS (SELECT probe_id, cell FROM (
         |   SELECT pr.probe_id, cent.cell,
         |     round(sqrt(list_sum(list_transform(list_zip(pr.pv, cent.cv),
         |       z -> (z[1]-z[2])*(z[1]-z[2])))), 6) AS cdist
         |   FROM pr CROSS JOIN cent) t
         |  QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cdist, cell) <= 2),
-        |cand AS (SELECT routed.probe_id, ev.vec_id
-        |  FROM routed JOIN ev ON ev.label = routed.cell
-        |  WHERE ev.vec_id <> routed.probe_id),
+        |cand AS (SELECT routed.probe_id, asg.vec_id
+        |  FROM routed JOIN asg ON asg.cell = routed.cell
+        |  WHERE asg.vec_id <> routed.probe_id),
         |adc AS (SELECT cand.probe_id, cand.vec_id, round(sqrt(sum(dsq)), 6) AS adist
         |  FROM cand JOIN enc ON enc.vec_id = cand.vec_id
         |  JOIN dtab ON dtab.probe_id = cand.probe_id

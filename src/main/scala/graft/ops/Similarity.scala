@@ -214,18 +214,17 @@ object Similarity {
         count(lit(1)).as("n_vecs"))
       .orderBy(col("label"), col("pos"))
 
-  /** Full IVF search: per probe, rank the coarse cells by centroid
-    * distance, search ONLY the nearest nprobe=2 cells, exact cosine
-    * top-5 within them. The probe→cell routing is a broadcast cross of
-    * |probes|×|cells| (tiny); the candidate join restricts the scan to
-    * nprobe/|cells| of the corpus — the access-path shape that makes
-    * ANN sublinear at 100 TB. */
+  /** Full IVF search over the TRAINED index ([[trainedIndex]]): per
+    * probe, rank the refined coarse cells by centroid distance, search
+    * ONLY the nearest nprobe=2 cells (candidates = vectors the trained
+    * quantizer assigned there), exact cosine top-5 within them. The
+    * probe→cell routing is a broadcast cross of |probes|×|cells|
+    * (tiny); the candidate join restricts the scan to nprobe/|cells|
+    * of the corpus — the access-path shape that makes ANN sublinear at
+    * 100 TB. */
   def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
-    val cent = centroids(spark, dir)
-      .groupBy(col("label").as("cell"))
-      .agg(expr("transform(array_sort(collect_list(struct(pos, centroid))), s -> s.centroid)").as("cv"))
-    val e = vecs(spark, dir)
-      .select(col("vec_id"), col("label").cast("long").as("label"), col("v"), col("norm"))
+    val (cent, assign) = trainedIndex(spark, dir)
+    val e = assign.select(col("vec_id"), col("cell"), col("v"), col("norm"))
     val probes = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pnorm"))
     val wCell = org.apache.spark.sql.expressions.Window
@@ -237,7 +236,7 @@ object Similarity {
       .select(col("probe_id"), col("pv"), col("pnorm"), col("cell"))
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("vec_id"))
-    routed.join(e, col("cell") === col("label"))
+    broadcast(routed).join(e, Seq("cell"))
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("cosine",
         round(expr("graft_dot(pv, v)") / (col("pnorm") * col("norm")), 6))
@@ -419,20 +418,49 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** The TRAINED coarse index every IVF search path routes through:
+    * one Lloyd refinement over the label-seeded centroids (exactly the
+    * c1 that [[annKmeansRefine]] computes and oracle-proves), returned
+    * as (refined centroid table (cell, cv), refined assignment
+    * (vec_id, v, norm, cell, dist)). Searching through TRAINED
+    * centroids instead of the raw label seed is what a real IVF build
+    * does — train, assign, then route queries by the same centroids
+    * the data was assigned with. The centroid table is |cells| rows
+    * (materialized so the broadcast gate sees real stats); the
+    * assignment is one broadcast-cross + argmin scan of the corpus —
+    * at 100 TB this is the index-build cost, amortized across every
+    * query that routes through it (persistTracked here plays the role
+    * of the stored index). */
+  private[graft] def trainedIndex(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = graft.Caches.persistTracked(
+      vecs(spark, dir).select(col("vec_id"), col("v")))
+    val c0 = centroidArrays(centroids(spark, dir)
+      .select(col("label").as("cell"), col("pos"), col("centroid")))
+    val a1 = kmeansAssign(e, c0)
+    val c1 = graft.Caches.persistTracked(
+      recomputeCentroids(a1.select(col("cell"), col("v"))))
+    c1.count() // materialize — broadcast gates need real sizes
+    val assign = graft.Caches.persistTracked(
+      kmeansAssign(e, c1)
+        .withColumn("norm", sqrt(expr("graft_dot(v, v)")))
+        .select(col("vec_id"), col("v"), col("norm"), col("cell"), col("dist")))
+    (c1, assign)
+  }
+
+  /** Cell assignment report over the TRAINED index ([[trainedIndex]]):
+    * every vector's refined cell, its distance, and whether the cell
+    * agrees with the seed label — the cluster-purity audit of the
+    * trained coarse quantizer. */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    val cent = centroids(spark, dir)
-      .groupBy(col("label").as("cell"))
-      .agg(expr("transform(array_sort(collect_list(struct(pos, centroid))), s -> s.centroid)").as("cv"))
-    val e = vecs(spark, dir)
-    val scored = e.join(broadcast(cent))
-      .withColumn("dist", round(sqrt(expr("graft_l2sq(v, cv)")), 6))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("dist"), col("cell"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
+    val (_, assign) = trainedIndex(spark, dir)
+    assign
+      .join(vecs(spark, dir).select(col("vec_id"),
+        col("label").cast("long").as("label")), "vec_id")
       .select(col("vec_id"), col("cell"),
         col("dist").as("dist_to_cell"),
-        (col("cell") === col("label").cast("long")).as("matches_label"))
+        (col("cell") === col("label")).as("matches_label"))
       .orderBy(col("vec_id"))
   }
 
@@ -509,11 +537,8 @@ object Similarity {
     * bytes per vector instead of the embedding. */
   def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val (_, enc, dtab) = pqParts(spark, dir)
-    val cent = centroids(spark, dir)
-      .groupBy(col("label").as("cell"))
-      .agg(expr("transform(array_sort(collect_list(struct(pos, centroid))), s -> s.centroid)").as("cv"))
-    val e = vecs(spark, dir)
-    val probes = e.filter(col("vec_id") < 5)
+    val (cent, assign) = trainedIndex(spark, dir)
+    val probes = assign.filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"))
     val wCell = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id")).orderBy(col("cdist"), col("cell"))
@@ -522,9 +547,10 @@ object Similarity {
       .withColumn("crk", row_number().over(wCell))
       .filter(col("crk") <= 2)
       .select(col("probe_id"), col("cell"))
-    // candidates: vectors whose coarse cell was routed to
-    val cand = graft.Caches.persistTracked(routed.join(
-        e.select(col("vec_id"), col("label").cast("long").as("cell")), Seq("cell"))
+    // candidates: vectors the TRAINED quantizer assigned to a routed
+    // cell — routed is |probes|·nprobe rows, always the broadcast side
+    val cand = graft.Caches.persistTracked(broadcast(routed).join(
+        assign.select(col("vec_id"), col("cell")), Seq("cell"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id")))
     cand.count() // materialize — the broadcast gate needs real size,
@@ -575,11 +601,8 @@ object Similarity {
     * IVF side. Truth comes from [[annBruteforce]]; recall is monotone
     * non-decreasing in nprobe by construction, which the spec asserts. */
   def annIvfRecallSweep(spark: SparkSession, dir: String): DataFrame = {
-    val cent = centroids(spark, dir)
-      .groupBy(col("label").as("cell"))
-      .agg(expr("transform(array_sort(collect_list(struct(pos, centroid))), s -> s.centroid)").as("cv"))
-    val e = vecs(spark, dir)
-      .select(col("vec_id"), col("label").cast("long").as("label"), col("v"), col("norm"))
+    val (cent, assign) = trainedIndex(spark, dir)
+    val e = assign.select(col("vec_id"), col("cell"), col("v"), col("norm"))
     val probes = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pnorm"))
     val wCell = org.apache.spark.sql.expressions.Window
@@ -588,14 +611,15 @@ object Similarity {
       .withColumn("cdist", round(sqrt(expr("graft_l2sq(pv, cv)")), 6))
       .withColumn("crk", row_number().over(wCell))
       .filter(col("crk") <= 4)
-      .select(col("probe_id"), col("pv"), col("pnorm"), col("cell"), col("crk"))
+      .select(col("probe_id"), col("pv"), col("pnorm"),
+        col("cell").as("rcell"), col("crk"))
     val nps = spark.range(1).select(explode(array(lit(1), lit(2), lit(4))).as("nprobe"))
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id"), col("nprobe"))
       .orderBy(col("cosine").desc, col("vec_id"))
     val approx = routed.crossJoin(broadcast(nps))
       .filter(col("crk") <= col("nprobe"))
-      .join(e, col("cell") === col("label"))
+      .join(e, col("rcell") === col("cell"))
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("cosine",
         round(expr("graft_dot(pv, v)") / (col("pnorm") * col("norm")), 6))

@@ -178,12 +178,13 @@ class SimilaritySpec extends SparkSpec {
     val ivf = Similarity.annIvfTopk(spark, sf0001).collect()
     val perProbe = ivf.groupBy(_.getLong(0)).map(_._2.length)
     assert(perProbe.nonEmpty && perProbe.forall(_ == 5))
-    val labelOf = Tables.embeddings(spark, sf0001)
-      .selectExpr("vec_id", "CAST(label AS LONG) AS label").collect()
+    // cells come from the TRAINED index (refined assignment), not the
+    // seed label — candidates must come from the probe's 2 routed cells
+    val cellOf = Similarity.trainedIndex(spark, sf0001)._2
+      .selectExpr("vec_id", "cell").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // every returned vector must come from one of its probe's 2 cells
     val cellsPerProbe = ivf.groupBy(_.getLong(0))
-      .view.mapValues(_.map(r => labelOf(r.getLong(1))).toSet).toMap
+      .view.mapValues(_.map(r => cellOf(r.getLong(1))).toSet).toMap
     assert(cellsPerProbe.values.forall(_.size <= 2))
     // ranking is dense, descending, deterministic
     ivf.groupBy(_.getLong(0)).values.foreach { rows =>
