@@ -21,8 +21,21 @@ import org.apache.spark.sql.SparkSession
   *   reported on stderr so a slow round is loud, not archaeological.
   */
 object Bench {
+  /** Optional comma-separated query subset (SPARK_GRAFT_BENCH_ONLY) —
+    * the knob the isolate mode and targeted scale runs (sf1 heavy
+    * families) use. */
+  private def onlySet: Option[Set[String]] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+    .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+
+  /** Child runs (isolate mode) print their JSON line but never write
+    * bench/ files or the regression report — the parent owns those. */
+  private def isChild: Boolean = sys.env.contains("SPARK_GRAFT_BENCH_CHILD")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (sys.env.get("SPARK_GRAFT_BENCH_ISOLATE").contains("1")) {
+      runIsolated(sfDir); return
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.max(4, Runtime.getRuntime.availableProcessors()).toString)
     val spark = SparkSession.builder()
@@ -54,6 +67,7 @@ object Bench {
     // empirically separates cache/GC bleed from real regressions
     val ordered = {
       val s = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => onlySet.forall(_(n)) }
       if (sys.env.get("SPARK_GRAFT_BENCH_ORDER").contains("reverse")) s.reverse else s
     }
     val results = ordered.map { case (name, fn) =>
@@ -76,6 +90,17 @@ object Bench {
       name -> dt
     }
 
+    spark.stop()
+    emit(results, errors.toSeq, sfDir)
+  }
+
+  /** Render the one-line JSON, persist bench files + the regression
+    * report (skipped in child JVMs), print the budget-capped stdout
+    * line, and exit nonzero on any failure. Shared by the in-process
+    * path and the isolate-mode parent. */
+  private def emit(results: Seq[(String, Double)],
+                   errorsSeq: Seq[(String, String)], sfDir: String): Unit = {
+    val errors = scala.collection.mutable.LinkedHashMap(errorsSeq: _*)
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
@@ -126,8 +151,9 @@ object Bench {
     // Regression report vs the previous persisted run AT THE SAME SF
     // (same machine, successive rounds): anything >1.5× slower and
     // >0.5s absolute. A shared baseline would diff across scale
-    // factors and flag nonsense.
-    try {
+    // factors and flag nonsense. Child JVMs (isolate mode) skip all
+    // file bookkeeping — the parent persists the merged run.
+    if (!isChild) try {
       val sfName = Paths.get(sfDir).getFileName.toString
       val latest = Paths.get("bench", s"latest_$sfName.json")
       if (Files.exists(latest)) {
@@ -156,7 +182,52 @@ object Bench {
     }
 
     println(stdoutLine)
-    spark.stop()
     if (errors.nonEmpty) sys.exit(3)
+  }
+
+  /** SPARK_GRAFT_BENCH_ISOLATE=1: run every (selected) query in a
+    * FRESH JVM — each child re-warms and times exactly one query, so
+    * page-cache/GC/JIT state cannot bleed between entries. This is the
+    * gating-artifact mode: slower wall-clock, but per-query numbers
+    * are environment-independent by construction. The child command
+    * replicates this JVM's flags (add-opens, heap) and classpath. */
+  private def runIsolated(sfDir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val names = SparkEntry.queries.keySet.toSeq.sorted
+      .filter(n => onlySet.forall(_(n)))
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala.toSeq
+    val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
+    val cp = sys.props("java.class.path")
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val errors = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val timing = """"([A-Za-z0-9_]+)":([0-9.]+)""".r
+    names.foreach { n =>
+      val pb = new ProcessBuilder(
+        (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")).asJava)
+      val env = pb.environment()
+      env.put("SPARK_GRAFT_SF_DIR", sfDir)
+      env.put("SPARK_GRAFT_BENCH_ONLY", n)
+      env.put("SPARK_GRAFT_BENCH_CHILD", "1")
+      env.remove("SPARK_GRAFT_BENCH_ISOLATE")
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val proc = pb.start()
+      val out = new String(proc.getInputStream.readAllBytes())
+      val rc = proc.waitFor()
+      val qIdx = out.indexOf("\"queries\":")
+      val t = if (qIdx < 0) None
+        else timing.findFirstMatchIn(out.substring(qIdx))
+          .filter(_.group(1) == n).map(_.group(2).toDouble)
+      t match {
+        case Some(v) =>
+          results += n -> v
+          System.err.println(f"[bench-isolate] $n%-28s $v%8.3fs rc=$rc")
+          if (rc != 0) errors += n -> s"child exited $rc"
+        case None =>
+          errors += n -> s"child rc=$rc, no timing parsed (stdout ${out.length} chars)"
+          System.err.println(s"[bench-isolate] $n FAILED rc=$rc")
+      }
+    }
+    emit(results.toSeq, errors.toSeq, sfDir)
   }
 }
