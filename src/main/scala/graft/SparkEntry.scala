@@ -87,6 +87,7 @@ object SparkEntry {
     "q_repeat_customers" -> Relational.qRepeatCustomers _,
     "q_market_share"     -> Relational.qMarketShare _,
     "ann_knn_graph"      -> Similarity.annKnnGraph _,
+    "ann_nndescent"      -> Similarity.annNnDescent _,
     // §2.3 training-data pipeline ops (documents / embeddings)
     "text_tokens"         -> TextAnalysis.tokens _,
     "text_quality"        -> TextAnalysis.quality _,
@@ -1206,6 +1207,35 @@ object SparkEntry {
         | CAST(count(*) AS BIGINT) AS n_users
         |FROM u JOIN c ON u.user_id = c.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ann_nndescent" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS norm,
+        |   ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS bkt FROM e),
+        |g0 AS (SELECT u, w FROM (
+        |   SELECT vec_id AS u, unnest([
+        |     lead(vec_id, 1) OVER (PARTITION BY bkt ORDER BY vec_id),
+        |     lead(vec_id, 2) OVER (PARTITION BY bkt ORDER BY vec_id),
+        |     lead(vec_id, 3) OVER (PARTITION BY bkt ORDER BY vec_id)]) AS w
+        |   FROM n) WHERE w IS NOT NULL),
+        |adj AS (SELECT DISTINCT m, x FROM (
+        |   SELECT u AS m, w AS x FROM g0 UNION ALL SELECT w, u FROM g0)),
+        |meet AS (SELECT DISTINCT a.x AS u, b.x AS w
+        |  FROM adj a JOIN adj b ON a.m = b.m AND a.x < b.x),
+        |cand AS (SELECT DISTINCT u, w FROM (
+        |   SELECT u, w FROM meet UNION ALL SELECT w, u FROM meet
+        |   UNION ALL SELECT u, w FROM g0)),
+        |sc AS (SELECT cand.u, cand.w,
+        |   round(list_sum(list_transform(list_zip(x.v, y.v), z -> z[1]*z[2]))
+        |     / (x.norm * y.norm), 6) AS cosine
+        |  FROM cand JOIN n x ON x.vec_id = cand.u JOIN n y ON y.vec_id = cand.w),
+        |top AS (SELECT u, w, cosine,
+        |   CAST(row_number() OVER (PARTITION BY u ORDER BY cosine DESC, w) AS BIGINT) AS rk
+        |  FROM sc QUALIFY rk <= 3)
+        |SELECT top.u AS vec_id, top.w AS nbr_id, cosine, rk,
+        |  g0.u IS NULL AS gained
+        |FROM top LEFT JOIN g0 ON g0.u = top.u AND g0.w = top.w
+        |ORDER BY vec_id, rk""".stripMargin,
     "ann_knn_graph" ->
       """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
         |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -204,6 +204,66 @@ object Similarity {
       .orderBy(col("vec_id"), col("rk"))
   }
 
+  /** One NN-Descent iteration (Dong et al., WWW 2011: "Efficient
+    * k-nearest neighbor graph construction for generic similarity
+    * measures") — the blocking-free way a billion-vector k-NN graph is
+    * built: start from an arbitrary cheap seed graph, then repeatedly
+    * score each vector against its NEIGHBORS' NEIGHBORS and keep the
+    * best k; neighborhoods converge in O(log n) rounds without any
+    * IVF/LSH cell ever bounding recall.
+    *
+    * Seed: a deterministic "random" graph — vectors ring-linked to
+    * their 3 successors within an 8-way portable-hash bucket (the
+    * md5-prefix hash the sketch family uses, so DuckDB reproduces it;
+    * the per-bucket lead() window is distributed — no global sort).
+    * One round then: undirected adjacency → pairs meeting at a shared
+    * neighbor (Σ adj(m)² candidates, adj ≤ 2k — O(k²·n), never n²) →
+    * exact cosine → merge with seed edges → top-3. `gained` marks
+    * edges the descent discovered; the spec asserts the refined graph
+    * strictly dominates the seed on recall vs brute force. */
+  def annNnDescent(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.Caches.persistTracked(
+      vecs(spark, dir).select(col("vec_id"), col("v"), col("norm")))
+    val wRing = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bkt")).orderBy(col("vec_id"))
+    val seeded = e
+      .withColumn("bkt",
+        expr("CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 8"))
+    val g0 = graft.Caches.persistTracked(seeded
+      .select(col("vec_id").as("u"),
+        lead(col("vec_id"), 1).over(wRing).as("w1"),
+        lead(col("vec_id"), 2).over(wRing).as("w2"),
+        lead(col("vec_id"), 3).over(wRing).as("w3"))
+      .select(col("u"), explode(array(col("w1"), col("w2"), col("w3"))).as("w"))
+      .filter(col("w").isNotNull))
+    g0.count() // materialize: adjacency + merge + gained all reread it
+    val adj = g0.select(col("u").as("m"), col("w").as("x"))
+      .unionByName(g0.select(col("w").as("m"), col("u").as("x")))
+      .distinct()
+    val meet = adj.as("a").join(adj.as("b"),
+        col("a.m") === col("b.m") && col("a.x") < col("b.x"))
+      .select(col("a.x").as("u"), col("b.x").as("w"))
+      .distinct()
+    val cand = meet
+      .unionByName(meet.select(col("w").as("u"), col("u").as("w")))
+      .unionByName(g0)
+      .distinct()
+    val scored = cand
+      .join(e.select(col("vec_id").as("u"), col("v").as("uv"), col("norm").as("un")), "u")
+      .join(e.select(col("vec_id").as("w"), col("v").as("wv"), col("norm").as("wn")), "w")
+      .withColumn("cosine",
+        round(expr("graft_dot(uv, wv)") / (col("un") * col("wn")), 6))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("u")).orderBy(col("cosine").desc, col("w"))
+    scored.withColumn("rk", row_number().over(wTop).cast("long"))
+      .filter(col("rk") <= 3)
+      .join(g0.withColumn("had", lit(true)), Seq("u", "w"), "left")
+      .select(col("u").as("vec_id"), col("w").as("nbr_id"),
+        col("cosine"), col("rk"),
+        not(coalesce(col("had"), lit(false))).as("gained"))
+      .orderBy(col("vec_id"), col("rk"))
+  }
+
   /** Per-label centroids (rounded to 6 so cross-engine float-sum order
     * can't flip anything downstream) + population stats. */
   def centroids(spark: SparkSession, dir: String): DataFrame =

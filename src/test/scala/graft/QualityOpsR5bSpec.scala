@@ -156,6 +156,49 @@ class QualityOpsR5bSpec extends SparkSpec {
     }
   }
 
+  test("annNnDescent: one round strictly improves recall over the seed ring graph") {
+    val out = graft.ops.Similarity.annNnDescent(spark, sf0001)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("nbr_id"),
+        r.getAs[Long]("rk"), r.getAs[Boolean]("gained")))
+    // structure: <=3 per vector, dense ranks
+    out.groupBy(_._1).values.foreach { rows =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length))
+    }
+    assert(out.exists(_._4), "descent discovered no new edges")
+    // truth: exact top-3 by cosine over all pairs
+    val e = graft.Tables.embeddings(spark, sf0001)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i) }
+      d / math.sqrt(na * nb)
+    }
+    val truth = e.keys.map { u =>
+      u -> e.keys.filter(_ != u).toSeq
+        .sortBy(w => (-cos(e(u), e(w)), w)).take(3).toSet
+    }.toMap
+    // seed graph: same portable-hash ring the operator uses
+    val bkt = e.keys.toSeq.groupBy { id =>
+      val h = java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString).take(15), 16)
+      h % 8
+    }
+    val seedNbrs = bkt.values.flatMap { ids =>
+      val s = ids.sorted
+      s.zipWithIndex.map { case (u, i) =>
+        u -> (1 to 3).flatMap(k => s.lift(i + k)).toSet }
+    }.toMap
+    def recall(g: Map[Long, Set[Long]]): Double = {
+      val hits = truth.map { case (u, t) => (g.getOrElse(u, Set.empty) & t).size }.sum
+      hits.toDouble / truth.values.map(_.size).sum
+    }
+    val refined = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val (rSeed, rRef) = (recall(seedNbrs), recall(refined))
+    assert(rRef > rSeed,
+      f"descent did not improve recall: seed $rSeed%.3f -> refined $rRef%.3f")
+  }
+
   test("qApproxSketches: per-group portable estimates track exact users and quantiles") {
     val spark2 = spark
     import spark2.implicits._
