@@ -677,8 +677,10 @@ object Similarity {
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id"), col("nprobe"))
       .orderBy(col("cosine").desc, col("vec_id"))
-    val approx = routed.crossJoin(broadcast(nps))
-      .filter(col("crk") <= col("nprobe"))
+    // probes × operating points is |probes|·maxdepth·|nps| rows —
+    // always the broadcast side of the candidate join
+    val approx = broadcast(routed.crossJoin(nps)
+        .filter(col("crk") <= col("nprobe")))
       .join(e, col("rcell") === col("cell"))
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("cosine",
@@ -688,7 +690,8 @@ object Similarity {
       .select(col("nprobe"), col("probe_id"), col("vec_id"))
     val exact = annBruteforce(spark, dir).select(col("probe_id"), col("vec_id"))
     val nTruth = exact.count()
-    approx.join(exact, Seq("probe_id", "vec_id"))
+    // |probes|·k truth rows — broadcast against the approx hit stream
+    approx.join(broadcast(exact), Seq("probe_id", "vec_id"))
       .groupBy(col("nprobe")).agg(count(lit(1)).as("n_hits"))
       .select(col("nprobe").cast("long").as("nprobe"), col("n_hits"),
         lit(nTruth).as("n_truth"),
