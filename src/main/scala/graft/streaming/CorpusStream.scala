@@ -57,7 +57,8 @@ object CorpusStream {
   def ingest(spark: SparkSession, inDir: String, outDir: String, ckptDir: String,
              minQuality: Double = 0.0,
              dedupTtl: String = "24 hours",
-             eventTime: Column = current_timestamp()): (StreamingQuery, StreamingQuery) = {
+             eventTime: Column = current_timestamp(),
+             trigger: Trigger = Trigger.AvailableNow()): (StreamingQuery, StreamingQuery) = {
     SnapshotStream.rocksDbStateConfs.foreach { case (k, v) => spark.conf.set(k, v) }
     val good = parsedDocs(spark.readStream.text(inDir))
       .filter(col("is_valid"))
@@ -73,7 +74,7 @@ object CorpusStream {
       .writeStream
       .option("checkpointLocation", s"$ckptDir/docs")
       .option("path", s"$outDir/docs")
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
     val quarantine = parsedDocs(spark.readStream.text(inDir))
       .filter(!col("is_valid"))
@@ -81,10 +82,64 @@ object CorpusStream {
       .writeStream
       .option("checkpointLocation", s"$ckptDir/quarantine")
       .option("path", s"$outDir/quarantine")
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
     (good, quarantine)
   }
+
+  /** The continuous form of [[ingest]] with the snapshot daemon's
+    * lifecycle discipline ([[SnapshotStream.daemon]]): a periodic
+    * trigger tails the landing dir forever, and a shutdown hook stops
+    * both queries AFTER their in-flight batch — SIGTERM never tears a
+    * half-written micro-batch (the reference's GracefulKiller
+    * semantics, applied to the corpus surface). */
+  def daemon(spark: SparkSession, inDir: String, outDir: String, ckptDir: String,
+             minQuality: Double = 0.0,
+             dedupTtl: String = "24 hours",
+             trigger: Trigger = Trigger.ProcessingTime("60 seconds")):
+      (StreamingQuery, StreamingQuery) = {
+    val (good, quarantine) =
+      ingest(spark, inDir, outDir, ckptDir, minQuality, dedupTtl, trigger = trigger)
+    sys.addShutdownHook {
+      if (good.isActive) good.stop()
+      if (quarantine.isActive) quarantine.stop()
+    }
+    (good, quarantine)
+  }
+
+  /** Per-batch ingest quality monitor — an INDEPENDENT query over the
+    * same landing dir (own checkpoint, like the quarantine sink): for
+    * every micro-batch, one stats row (lines, valid, quarantined,
+    * below-quality, ingestable) overwritten to
+    * `outDir/ingest_stats/batch_N` — the same replay-idempotent
+    * batch-stamped layout as the sketch state, so a replayed batch
+    * rewrites its own row and operators can watch quality drift
+    * without ever scanning the corpus. State is ONE row per trigger —
+    * nothing grows. */
+  def ingestStats(spark: SparkSession, inDir: String, outDir: String,
+                  ckptDir: String, minQuality: Double = 0.0): StreamingQuery =
+    parsedDocs(spark.readStream.text(inDir))
+      .writeStream
+      .option("checkpointLocation", s"$ckptDir/ingest_stats")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val stats = batch
+          .withColumn("q", when(col("is_valid"),
+            graft.ops.TextAnalysis.qualityScoreCol))
+          .agg(
+            count(lit(1)).as("n_lines"),
+            sum(when(col("is_valid"), 1L).otherwise(0L)).as("n_valid"),
+            sum(when(col("is_valid"), 0L).otherwise(1L)).as("n_quarantined"),
+            sum(when(col("is_valid") && col("q") < minQuality, 1L).otherwise(0L))
+              .as("n_below_quality"))
+          .select(lit(batchId).as("batch_id"), col("n_lines"), col("n_valid"),
+            col("n_quarantined"), col("n_below_quality"),
+            (col("n_valid") - col("n_below_quality")).as("n_ingestable"))
+        stats.coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/ingest_stats/batch_$batchId")
+        ()
+      }
+      .start()
 
   /** Streaming maintenance of the portable CMS term-frequency sketch
     * ([[graft.ops.TextAnalysis.cmsSketch]]): each micro-batch computes

@@ -104,6 +104,44 @@ class CorpusStreamSpec extends SparkSpec {
     assert(ex.getMessage.contains("batch 0") || ex.getCause.getMessage.contains("batch 0"))
   }
 
+  test("ingestStats writes one replay-idempotent stats row per batch") {
+    val in = tmpDir("cstats-in"); val out = tmpDir("cstats-out")
+    val ckpt = tmpDir("cstats-ckpt")
+    Files.writeString(Paths.get(in, "s1.jsonl"),
+      """{"doc_id": 1, "text": "a first valid document of reasonable length for the gate", "lang": "en", "source": "web"}
+        |{"doc_id": 2, "text": "a second valid document of reasonable length for the gate", "lang": "en", "source": "web"}
+        |not json at all
+        |""".stripMargin)
+    CorpusStream.ingestStats(spark, in, out, ckpt).awaitTermination(60000)
+    val b0 = spark.read.parquet(s"$out/ingest_stats/batch_0").head()
+    assert(b0.getAs[Long]("n_lines") == 3)
+    assert(b0.getAs[Long]("n_valid") == 2)
+    assert(b0.getAs[Long]("n_quarantined") == 1)
+    assert(b0.getAs[Long]("n_ingestable") == 2)
+    // a second drop lands in its own batch row; batch_0 is untouched
+    Files.writeString(Paths.get(in, "s2.jsonl"),
+      """{"doc_id": 3, "text": "a third valid document of reasonable length for the gate", "lang": "en", "source": "web"}
+        |""".stripMargin)
+    CorpusStream.ingestStats(spark, in, out, ckpt).awaitTermination(60000)
+    val b1 = spark.read.parquet(s"$out/ingest_stats/batch_1").head()
+    assert(b1.getAs[Long]("n_lines") == 1 && b1.getAs[Long]("n_valid") == 1)
+    assert(spark.read.parquet(s"$out/ingest_stats/batch_0")
+      .head().getAs[Long]("n_lines") == 3)
+  }
+
+  test("daemon ingests the backlog and terminates cleanly with AvailableNow") {
+    val in = tmpDir("cdaemon-in"); val out = tmpDir("cdaemon-out")
+    val ckpt = tmpDir("cdaemon-ckpt")
+    Files.writeString(Paths.get(in, "d1.jsonl"),
+      """{"doc_id": 1, "text": "a daemon-ingested document of reasonable length to keep", "lang": "en", "source": "web"}
+        |""".stripMargin)
+    val (g, q) = CorpusStream.daemon(spark, in, out, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    g.awaitTermination(60000); q.awaitTermination(60000)
+    assert(!g.isActive && !q.isActive)
+    assert(spark.read.parquet(s"$out/docs").count() == 1)
+  }
+
   test("cmsMaintain merges micro-batch sketches into the exact batch sketch") {
     import spark.implicits._
     val in = tmpDir("cms-in"); val out = tmpDir("cms-out")
