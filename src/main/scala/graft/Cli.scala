@@ -188,12 +188,19 @@ object Cli {
         val (good, quarantine) =
           graft.streaming.CorpusStream.ingest(spark, inDir, outDir, ckptDir)
         good.awaitTermination(); quarantine.awaitTermination()
+      // corpus-daemon <landingDir> <outDir> <ckptDir> — continuous
+      // corpus tail (60s trigger) with the graceful-stop hook; runs
+      // until SIGTERM, which finishes the in-flight batch first
+      case "corpus-daemon" :: inDir :: outDir :: ckptDir :: Nil =>
+        val (good, quarantine) =
+          graft.streaming.CorpusStream.daemon(spark, inDir, outDir, ckptDir)
+        good.awaitTermination(); quarantine.awaitTermination()
       case other =>
         System.err.println(s"unknown command: ${other.mkString(" ")}")
         System.err.println("commands: process-snapshots | process-snapshot | " +
           "copy-snapshots | start-daemon | update-pending-snapshots | " +
           "process-old-missing-snapshots | validate-snapshots | " +
-          "build-corpus | ingest-corpus")
+          "build-corpus | ingest-corpus | corpus-daemon")
     }
     if (!preexisting) spark.stop()
   }

@@ -215,7 +215,9 @@ object Similarity {
     * Seed: a deterministic "random" graph — vectors ring-linked to
     * their 3 successors within an 8-way portable-hash bucket (the
     * md5-prefix hash the sketch family uses, so DuckDB reproduces it;
-    * the per-bucket lead() window is distributed — no global sort).
+    * the per-bucket lead() window is distributed — no global sort.
+    * 8 buckets pins the oracle; a real deployment sizes the bucket
+    * count ∝ n/10⁶ so no window partition outgrows a task).
     * One round then: undirected adjacency → pairs meeting at a shared
     * neighbor (Σ adj(m)² candidates, adj ≤ 2k — O(k²·n), never n²) →
     * exact cosine → merge with seed edges → top-3. `gained` marks
