@@ -146,6 +146,7 @@ object SparkEntry {
     "q_lapsed_customers" -> Relational.qLapsedCustomers _,
     "text_boilerplate_ngrams" -> TextAnalysis.boilerplateNgrams _,
     "graph_jaccard_neighbors" -> Graph.neighborJaccard _,
+    "graph_kcore_peel"   -> ((s: SparkSession, d: String) => Graph.kCorePeel(s, d)),
     "dedup_lsh_eval"      -> Dedup.lshEval _,
     "pipeline_dsir_weights" -> Pipeline.dsirWeights _,
     "embed_pca_power"     -> ((s, d) => Similarity.pcaPower(s, d)),
@@ -1902,6 +1903,42 @@ object SparkEntry {
         |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |ORDER BY o_custkey""".stripMargin,
+    "graph_kcore_peel" ->
+      """WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT DISTINCT x.pk AS u, y.pk AS v FROM items x
+        |  JOIN items y ON x.ok = y.ok AND x.pk < y.pk),
+        |d0 AS MATERIALIZED (SELECT n, count(*) AS d FROM (SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0) GROUP BY 1),
+        |kk AS MATERIALIZED (SELECT CAST(floor(median(d)) AS BIGINT) AS k FROM d0),
+        |k1 AS MATERIALIZED (SELECT n FROM d0 CROSS JOIN kk WHERE d >= k),
+        |e1 AS MATERIALIZED (SELECT u, v FROM e0 WHERE u IN (SELECT n FROM k1) AND v IN (SELECT n FROM k1)),
+        |d1 AS MATERIALIZED (SELECT n, count(*) AS d FROM (SELECT u AS n FROM e1 UNION ALL SELECT v FROM e1) GROUP BY 1),
+        |k2 AS MATERIALIZED (SELECT n FROM d1 CROSS JOIN kk WHERE d >= k),
+        |e2 AS MATERIALIZED (SELECT u, v FROM e1 WHERE u IN (SELECT n FROM k2) AND v IN (SELECT n FROM k2)),
+        |d2 AS MATERIALIZED (SELECT n, count(*) AS d FROM (SELECT u AS n FROM e2 UNION ALL SELECT v FROM e2) GROUP BY 1),
+        |k3 AS MATERIALIZED (SELECT n FROM d2 CROSS JOIN kk WHERE d >= k),
+        |e3 AS MATERIALIZED (SELECT u, v FROM e2 WHERE u IN (SELECT n FROM k3) AND v IN (SELECT n FROM k3)),
+        |d3 AS MATERIALIZED (SELECT n, count(*) AS d FROM (SELECT u AS n FROM e3 UNION ALL SELECT v FROM e3) GROUP BY 1),
+        |k4 AS MATERIALIZED (SELECT n FROM d3 CROSS JOIN kk WHERE d >= k),
+        |e4 AS MATERIALIZED (SELECT u, v FROM e3 WHERE u IN (SELECT n FROM k4) AND v IN (SELECT n FROM k4)),
+        |s AS (
+        | SELECT 0 AS round,
+        |  (SELECT count(DISTINCT n) FROM (SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0)) AS n_nodes,
+        |  (SELECT count(*) FROM e0) AS n_edges
+        | UNION ALL SELECT 1,
+        |  (SELECT count(DISTINCT n) FROM (SELECT u AS n FROM e1 UNION ALL SELECT v FROM e1)),
+        |  (SELECT count(*) FROM e1)
+        | UNION ALL SELECT 2,
+        |  (SELECT count(DISTINCT n) FROM (SELECT u AS n FROM e2 UNION ALL SELECT v FROM e2)),
+        |  (SELECT count(*) FROM e2)
+        | UNION ALL SELECT 3,
+        |  (SELECT count(DISTINCT n) FROM (SELECT u AS n FROM e3 UNION ALL SELECT v FROM e3)),
+        |  (SELECT count(*) FROM e3)
+        | UNION ALL SELECT 4,
+        |  (SELECT count(DISTINCT n) FROM (SELECT u AS n FROM e4 UNION ALL SELECT v FROM e4)),
+        |  (SELECT count(*) FROM e4))
+        |SELECT CAST(round AS BIGINT) AS round, kk.k AS k,
+        |  CAST(n_nodes AS BIGINT) AS n_nodes, CAST(n_edges AS BIGINT) AS n_edges
+        |FROM s CROSS JOIN kk ORDER BY round""".stripMargin,
     "graph_jaccard_neighbors" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |  FROM lineitem WHERE l_quantity >= 48),

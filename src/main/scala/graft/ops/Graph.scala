@@ -231,4 +231,52 @@ object Graph {
       .filter(col("jaccard") >= 0.25)
       .orderBy(col("u"), col("v"))
   }
+
+  /** k-core peel profile of the co-occurrence graph: with k pinned to
+    * the (floor of the) median degree, run 4 peel rounds — drop nodes
+    * with degree < k, then every edge touching one — and report the
+    * (nodes, edges) trajectory per round. This is the density-collapse
+    * audit a graph-based curation pass runs BEFORE trusting a core
+    * filter: a near-random graph (this synthetic one) collapses
+    * all-at-once within 2–3 rounds, while a community-structured graph
+    * sheds a thin periphery per round — the trajectory's shape, not
+    * the final core, is the signal.
+    *
+    * Per round: ONE map-side-combinable degree agg + two semi-joins of
+    * the edge list against the ≤|V|-row keep set (maybeBroadcast), and
+    * an eager localCheckpoint so round N's plan doesn't embed rounds
+    * 1..N−1 — the componentsStar loop discipline. The per-round node/
+    * edge counts are bounded driver scalars (the same convergence-
+    * telemetry shape as pageRank's per-round count). The round count
+    * is oracle-pinned at 4; production peels to fixpoint with the
+    * identical per-round plan. */
+  def kCorePeel(spark: SparkSession, dir: String, rounds: Int = 4): DataFrame = {
+    import graft.operators.Scale.maybeBroadcast
+    def degrees(e: DataFrame): DataFrame =
+      e.select(explode(array(col("u"), col("v"))).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    def stats(e: DataFrame): (Long, Long) =
+      (e.select(explode(array(col("u"), col("v"))).as("n")).distinct().count(),
+        e.count())
+    var edges = graft.Caches.persistTracked(coOccurrenceEdges(spark, dir))
+    edges.count()
+    val k = math.floor(degrees(edges)
+      .agg(expr("percentile(d, 0.5)")).head().getDouble(0)).toLong
+    val traj = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    var st = stats(edges)
+    traj += ((0L, k, st._1, st._2))
+    for (r <- 1 to rounds) {
+      val keep = graft.Caches.persistTracked(
+        degrees(edges).filter(col("d") >= k).select(col("n")))
+      keep.count() // materialize: the semi-join broadcast gates need real sizes
+      edges = edges
+        .join(maybeBroadcast(keep.select(col("n").as("u"))), Seq("u"), "left_semi")
+        .join(maybeBroadcast(keep.select(col("n").as("v"))), Seq("v"), "left_semi")
+        .localCheckpoint(true)
+      st = stats(edges)
+      traj += ((r.toLong, k, st._1, st._2))
+    }
+    import spark.implicits._
+    traj.toSeq.toDF("round", "k", "n_nodes", "n_edges").orderBy(col("round"))
+  }
 }

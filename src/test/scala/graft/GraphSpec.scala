@@ -59,4 +59,35 @@ class GraphSpec extends SparkSpec {
       spark.catalog.clearCache()
     }
   }
+
+  test("kCorePeel trajectory is monotone and round 1 matches a naive peel") {
+    try {
+      val traj = Graph.kCorePeel(spark, sf0001, rounds = 2).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+      assert(traj.length == 3, s"expected rounds 0..2, got ${traj.length}")
+      assert(traj.map(_._2).distinct.length == 1, "k must be pinned across rounds")
+      traj.sliding(2).foreach { case Array(a, b) =>
+        assert(b._3 <= a._3 && b._4 <= a._4,
+          s"peel must be monotone non-increasing: $a -> $b")
+      }
+      // naive round 1: degrees over the full edge set, keep n with d >= k,
+      // keep edges with both endpoints kept
+      val edges = Graph.coOccurrenceEdges(spark, sf0001).cache()
+      val k = traj.head._2
+      val deg = edges.select(explode(array(col("u"), col("v"))).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select(col("n"))
+      val e1 = edges
+        .join(keep.select(col("n").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("n").as("v")), Seq("v"), "left_semi")
+      val nodes1 = e1.select(explode(array(col("u"), col("v"))).as("n")).distinct().count()
+      assert(traj(1)._4 == e1.count(), "round-1 edge count diverges from the naive peel")
+      assert(traj(1)._3 == nodes1, "round-1 node count diverges from the naive peel")
+      edges.unpersist()
+    } finally {
+      Caches.releaseAll()
+      spark.catalog.clearCache()
+    }
+  }
 }
