@@ -147,6 +147,8 @@ object SparkEntry {
     "text_boilerplate_ngrams" -> TextAnalysis.boilerplateNgrams _,
     "graph_jaccard_neighbors" -> Graph.neighborJaccard _,
     "graph_kcore_peel"   -> ((s: SparkSession, d: String) => Graph.kCorePeel(s, d)),
+    "ann_matryoshka_rerank" -> ((s: SparkSession, d: String) => Similarity.annMatryoshkaRerank(s, d)),
+    "pipeline_epoch_shuffle" -> ((s: SparkSession, d: String) => Pipeline.epochShuffle(s, d)),
     "dedup_lsh_eval"      -> Dedup.lshEval _,
     "pipeline_dsir_weights" -> Pipeline.dsirWeights _,
     "embed_pca_power"     -> ((s, d) => Similarity.pcaPower(s, d)),
@@ -1903,6 +1905,35 @@ object SparkEntry {
         |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |ORDER BY o_custkey""".stripMargin,
+    "ann_matryoshka_rerank" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, v[1:16] AS v16,
+        |  sqrt(list_sum(list_transform(v, x -> x*x))) AS norm,
+        |  sqrt(list_sum(list_transform(v[1:16], x -> x*x))) AS n16 FROM e),
+        |p AS (SELECT vec_id AS probe_id, v AS pv, v16 AS p16, norm AS pnorm, n16 AS pn16
+        |  FROM n WHERE vec_id < 25),
+        |c AS (SELECT p.probe_id, n.vec_id, n.v, n.norm, p.pv, p.pnorm,
+        |   round(list_sum(list_transform(list_zip(p.p16, n.v16), z -> z[1]*z[2])) / (p.pn16 * n.n16), 6) AS cos16
+        |  FROM p CROSS JOIN n WHERE n.vec_id <> p.probe_id),
+        |cand AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos16 DESC, vec_id) AS BIGINT) AS coarse_rk
+        |  FROM c QUALIFY coarse_rk <= 20),
+        |r AS (SELECT probe_id, vec_id, coarse_rk,
+        |   round(list_sum(list_transform(list_zip(pv, v), z -> z[1]*z[2])) / (pnorm * norm), 6) AS cosine
+        |  FROM cand)
+        |SELECT probe_id, vec_id, cosine, coarse_rk,
+        | CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rk
+        |FROM r QUALIFY rk <= 5 ORDER BY probe_id, rk""".stripMargin,
+    "pipeline_epoch_shuffle" ->
+      """WITH x AS (SELECT doc_id, e.epoch FROM documents
+        |  CROSS JOIN (SELECT CAST(0 AS BIGINT) AS epoch UNION ALL SELECT 1) e),
+        |h AS (SELECT epoch, doc_id,
+        |  md5(concat('ep', CAST(epoch AS VARCHAR), ':', CAST(doc_id AS VARCHAR))) AS hkey FROM x),
+        |s AS (SELECT epoch, doc_id, hkey,
+        |  CAST((strpos('0123456789abcdef', substr(hkey, 1, 1)) - 1) % 8 AS BIGINT) AS shard FROM h)
+        |SELECT epoch, shard,
+        | CAST(row_number() OVER (PARTITION BY epoch, shard ORDER BY hkey, doc_id) AS BIGINT) AS pos,
+        | doc_id
+        |FROM s ORDER BY epoch, shard, pos""".stripMargin,
     "graph_kcore_peel" ->
       """WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
         |e0 AS MATERIALIZED (SELECT DISTINCT x.pk AS u, y.pk AS v FROM items x

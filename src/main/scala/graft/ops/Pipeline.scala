@@ -451,4 +451,32 @@ object Pipeline {
       .select(col("doc_id"), col("weight"), col("gkey"))
       .orderBy(col("gkey").desc, col("doc_id"))
       .limit(k)
+
+  /** Deterministic epoch shuffle + sharding — the reproducible
+    * data-order primitive of a training run: each epoch, every doc
+    * gets a pseudorandom position derived ONLY from (epoch, doc_id),
+    * so any worker recomputes its own shard's order with zero
+    * coordination and a re-run yields the identical byte order.
+    *
+    * Shard = top md5 nibble mod nShards (pure map-side, no exchange
+    * to decide placement); position = rank of the hash within
+    * (epoch, shard). Global order is lexicographic (shard, pos).
+    * Shape at scale: one hash-partition exchange on (epoch, shard)
+    * then a per-shard local sort — bounded windows, never a global
+    * total-order sort; shard files write partition-local. */
+  def epochShuffle(spark: SparkSession, dir: String,
+      epochs: Int = 2, nShards: Int = 8): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val keyed = docs
+      .withColumn("epoch", explode(array((0 until epochs).map(e => lit(e.toLong)): _*)))
+      .withColumn("hkey", md5(concat(lit("ep"), col("epoch").cast("string"),
+        lit(":"), col("doc_id").cast("string"))))
+      .withColumn("shard",
+        ((expr("instr('0123456789abcdef', substr(hkey, 1, 1))") - 1) % nShards).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("epoch"), col("shard")).orderBy(col("hkey"), col("doc_id"))
+    keyed.withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("epoch"), col("shard"), col("pos"), col("doc_id"))
+      .orderBy(col("epoch"), col("shard"), col("pos"))
+  }
 }

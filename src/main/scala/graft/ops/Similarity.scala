@@ -790,4 +790,43 @@ object Similarity {
     }
     v.select(col("d").as("dim"), col("vd").as("component")).orderBy(col("dim"))
   }
+
+  /** Matryoshka two-stage retrieval (Kusupati et al. 2022 prefix-dim
+    * property): stage 1 retrieves coarse top-20 candidates per probe
+    * (vec_id < 25) by cosine over the FIRST 16 dims only; stage 2
+    * reranks exactly those candidates by full-dim cosine and keeps
+    * top-5. Both ranks are reported, so the reordering the cheap
+    * prefix caused is visible (coarse_rk vs rk) — the standard
+    * cheap-filter / exact-rerank funnel of production retrieval.
+    *
+    * Shape at scale: the stage-1 scan reads 16/64 of the vector bytes
+    * (in a real layout the prefix is its own parquet column, so the
+    * reader prunes the rest); probes broadcast against it like
+    * [[annBruteforce]]; stage 2 touches |probes|·20 rows that already
+    * carry their full vectors — no second scan, the corpus never
+    * shuffles. */
+  def annMatryoshkaRerank(spark: SparkSession, dir: String,
+      prefixDims: Int = 16, coarseK: Int = 20, k: Int = 5): DataFrame = {
+    val e = vecs(spark, dir)
+      .withColumn("v16", slice(col("v"), 1, prefixDims))
+      .withColumn("n16", sqrt(expr("graft_dot(v16, v16)")))
+    val probes = e.filter(col("vec_id") < 25)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("norm").as("pnorm"), col("v16").as("p16"), col("n16").as("pn16"))
+    val wCoarse = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("cos16").desc, col("vec_id"))
+    val cand = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("cos16", round(
+        expr("graft_dot(p16, v16)") / (col("pn16") * col("n16")), 6))
+      .withColumn("coarse_rk", row_number().over(wCoarse).cast("long"))
+      .filter(col("coarse_rk") <= coarseK)
+    val wFull = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("vec_id"))
+    cand.withColumn("cosine", round(
+        expr("graft_dot(pv, v)") / (col("pnorm") * col("norm")), 6))
+      .withColumn("rk", row_number().over(wFull).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("vec_id"), col("cosine"), col("coarse_rk"), col("rk"))
+      .orderBy(col("probe_id"), col("rk"))
+  }
 }
