@@ -149,6 +149,9 @@ object SparkEntry {
     "graph_kcore_peel"   -> ((s: SparkSession, d: String) => Graph.kCorePeel(s, d)),
     "ann_matryoshka_rerank" -> ((s: SparkSession, d: String) => Similarity.annMatryoshkaRerank(s, d)),
     "pipeline_epoch_shuffle" -> ((s: SparkSession, d: String) => Pipeline.epochShuffle(s, d)),
+    "graph_bfs_levels"    -> ((s: SparkSession, d: String) => Graph.bfsLevels(s, d)),
+    "text_ngram_novelty"  -> TextAnalysis.ngramNovelty _,
+    "etl_lateness_profile" -> EventsEtl.latenessProfile _,
     "dedup_lsh_eval"      -> Dedup.lshEval _,
     "pipeline_dsir_weights" -> Pipeline.dsirWeights _,
     "embed_pca_power"     -> ((s, d) => Similarity.pcaPower(s, d)),
@@ -1905,6 +1908,53 @@ object SparkEntry {
         |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |ORDER BY o_custkey""".stripMargin,
+    "graph_bfs_levels" ->
+      """WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT DISTINCT x.pk AS u, y.pk AS v FROM items x
+        |  JOIN items y ON x.ok = y.ok AND x.pk < y.pk),
+        |e AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        |l0 AS MATERIALIZED (SELECT min(u) AS node FROM e),
+        |l1 AS MATERIALIZED (SELECT DISTINCT e.v AS node FROM e JOIN l0 ON e.u = l0.node
+        |  WHERE e.v NOT IN (SELECT node FROM l0)),
+        |l2 AS MATERIALIZED (SELECT DISTINCT e.v AS node FROM e JOIN l1 ON e.u = l1.node
+        |  WHERE e.v NOT IN (SELECT node FROM l0)
+        |    AND e.v NOT IN (SELECT node FROM l1)),
+        |l3 AS MATERIALIZED (SELECT DISTINCT e.v AS node FROM e JOIN l2 ON e.u = l2.node
+        |  WHERE e.v NOT IN (SELECT node FROM l0)
+        |    AND e.v NOT IN (SELECT node FROM l1)
+        |    AND e.v NOT IN (SELECT node FROM l2))
+        |SELECT node, CAST(0 AS BIGINT) AS level FROM l0
+        |UNION ALL SELECT node, 1 FROM l1
+        |UNION ALL SELECT node, 2 FROM l2
+        |UNION ALL SELECT node, 3 FROM l3
+        |ORDER BY node""".stripMargin,
+    "text_ngram_novelty" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+        |gl AS (SELECT doc_id, CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i+1]) ELSE [] END AS grams FROM t),
+        |g AS (SELECT DISTINCT doc_id, unnest(grams) AS gram FROM gl),
+        |f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1)
+        |SELECT g.doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  round(CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS novelty
+        |FROM g JOIN f ON g.gram = f.gram
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "etl_lateness_profile" ->
+      """WITH s AS (SELECT user_id, event_id,
+        |   CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec FROM events),
+        |h AS (SELECT user_id, event_id, sec,
+        |   max(sec) OVER (PARTITION BY user_id ORDER BY event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm FROM s),
+        |l AS (SELECT greatest(coalesce(hwm - sec, 0), 0) AS late_s FROM h),
+        |b AS (SELECT CASE WHEN late_s = 0 THEN 'a_ontime'
+        |   WHEN late_s <= 60 THEN 'b_1min'
+        |   WHEN late_s <= 300 THEN 'c_5min'
+        |   WHEN late_s <= 3600 THEN 'd_1hr'
+        |   ELSE 'e_over_1hr' END AS bucket, late_s FROM l)
+        |SELECT bucket, count(*) AS n_events, max(late_s) AS max_late_s
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "ann_matryoshka_rerank" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |n AS (SELECT vec_id, v, v[1:16] AS v16,

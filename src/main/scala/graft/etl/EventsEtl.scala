@@ -544,4 +544,37 @@ object EventsEtl {
       .select(col("user_id"), col("event_id"), col("session_num"))
       .orderBy(col("user_id"), col("event_id"))
   }
+
+  /** Out-of-order lateness profile — the evidence a streaming
+    * watermark delay is chosen from: treating event_id order per user
+    * as arrival order, an event's lateness is (running max event time
+    * seen before it) − (its own event time), clamped at 0. Buckets the
+    * lateness into the watermark-relevant ranges and reports count and
+    * worst case per bucket; a pipeline re-runs this per ingest day to
+    * check its `withWatermark` delay still covers the observed p-tail.
+    *
+    * Shape at scale: ONE per-user running-max window (hash exchange on
+    * user_id) feeding a 5-row map-side-combinable agg — no join, no
+    * global sort of the events. The driver corpus is fully in-order,
+    * so its oracle-gated result is the single a_ontime bucket (the
+    * [[dqChecks]] "clean reads all-zero" shape); the disorder
+    * semantics are exercised by spec on an injected out-of-order
+    * feed. */
+  def latenessProfile(spark: SparkSession, dir: String): DataFrame = {
+    val byArrival = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), epochSec(col("ts")).as("sec"))
+      .withColumn("hwm", max(col("sec")).over(byArrival))
+      .withColumn("late_s", greatest(coalesce(col("hwm") - col("sec"), lit(0L)), lit(0L)))
+      .withColumn("bucket",
+        when(col("late_s") === 0, "a_ontime")
+          .when(col("late_s") <= 60, "b_1min")
+          .when(col("late_s") <= 300, "c_5min")
+          .when(col("late_s") <= 3600, "d_1hr")
+          .otherwise("e_over_1hr"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_events"), max(col("late_s")).as("max_late_s"))
+      .orderBy(col("bucket"))
+  }
 }

@@ -250,6 +250,45 @@ object Graph {
     * telemetry shape as pageRank's per-round count). The round count
     * is oracle-pinned at 4; production peels to fixpoint with the
     * identical per-round plan. */
+  /** BFS reachability levels from the minimum node of the full
+    * co-occurrence graph, up to maxHops: the blast-radius primitive
+    * behind "everything within N hops of a flagged item" curation
+    * sweeps. (The full graph, not the sparsified one — its components
+    * are ≤6-node stars where every BFS dies at hop 1; the full graph
+    * is small-world and saturates at hop 2, which is the behavior the
+    * trajectory is meant to show.)
+    *
+    * Classic frontier expansion: per hop, the frontier (≤|V| rows,
+    * broadcast-gated) semi-joins the symmetrized edge list, newly
+    * reached nodes are anti-joined against the visited set, and the
+    * visited accumulator is localCheckpoint'd so hop N's plan never
+    * embeds hops 1..N−1 — the same loop discipline as [[kCorePeel]]
+    * and componentsStar. At 100 TB each hop is one semi-join shuffled
+    * only on the edge key plus a bounded distinct; the frontier and
+    * visited relations stay |V|-bounded. */
+  def bfsLevels(spark: SparkSession, dir: String, maxHops: Int = 3): DataFrame = {
+    import graft.operators.Scale.maybeBroadcast
+    import spark.implicits._
+    val e0 = coOccurrenceEdges(spark, dir)
+    val sym = graft.Caches.persistTracked(
+      e0.union(e0.select(col("v").as("u"), col("u").as("v"))))
+    sym.count()
+    val seed = sym.agg(min(col("u"))).head().getLong(0)
+    var visited = Seq((seed, 0L)).toDF("node", "level").localCheckpoint(true)
+    var frontier = visited.select(col("node"))
+    for (h <- 1 to maxHops) {
+      val next = graft.Caches.persistTracked(
+        sym.join(maybeBroadcast(frontier.select(col("node").as("u"))), Seq("u"), "left_semi")
+          .select(col("v").as("node")).distinct()
+          .join(maybeBroadcast(visited.select(col("node"))), Seq("node"), "left_anti")
+          .withColumn("level", lit(h.toLong)))
+      next.count() // materialize: broadcast gates + flat plan depth
+      visited = visited.union(next).localCheckpoint(true)
+      frontier = next.select(col("node"))
+    }
+    visited.orderBy(col("node"))
+  }
+
   def kCorePeel(spark: SparkSession, dir: String, rounds: Int = 4): DataFrame = {
     import graft.operators.Scale.maybeBroadcast
     def degrees(e: DataFrame): DataFrame =

@@ -468,4 +468,36 @@ object TextAnalysis {
       .withColumn("overcount", col("cms_estimate") - col("exact_c"))
       .orderBy(col("exact_c").desc, col("w"))
   }
+
+  /** Per-doc n-gram novelty — the redundancy-growth telemetry of a
+    * crawl: a doc's novelty is the fraction of its DISTINCT bigrams
+    * whose corpus-wide first appearance (min doc_id — ingest-order
+    * proxy) is this doc. When the marginal docs' novelty flatlines,
+    * additional crawl is buying pure duplication — the saturation
+    * curve that decides when to stop ingesting a source.
+    *
+    * Shape at scale: doc-distinct grams → min-doc agg on the gram key
+    * (map-side combinable) → join back on the same gram key (no
+    * second shuffle of the gram relation under co-partitioning) →
+    * doc-grain agg. Two bounded shuffles, no window, no global sort;
+    * the gram relation is the only unbounded one and it shuffles on
+    * the collision-bounded gram key like every shingle-family op. */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val grams = graft.Caches.persistTracked(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          expr(raw"regexp_extract_all(lower(text), '\\S+', 0)").as("toks"))
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(toks) >= 2 THEN
+               transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i+1]))
+             ELSE array() END""")).as("gram"))
+        .distinct())
+    val first = grams.groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
+    grams.join(first, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty", round(col("n_novel") / col("n_grams"), 6))
+      .orderBy(col("doc_id"))
+  }
 }

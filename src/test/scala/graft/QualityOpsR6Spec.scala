@@ -80,4 +80,102 @@ class QualityOpsR6Spec extends SparkSpec {
       assert(ord0 != ord1, "epochs produced identical orders")
     } finally { Caches.releaseAll(); spark.catalog.clearCache() }
   }
+
+  test("bfsLevels agrees with an in-memory BFS over the same edges") {
+    try {
+      val out = graft.ops.Graph.bfsLevels(spark, sf0001).collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("level")).toMap
+      val pairs = graft.ops.Graph.coOccurrenceEdges(spark, sf0001)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val adj = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
+        .map { case (k, vs) => k -> vs.map(_._2).toSet }
+      val seed = adj.keys.min
+      var level = Map(seed -> 0L)
+      var frontier = Set(seed)
+      for (h <- 1 to 3) {
+        val next = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- level.keySet
+        level = level ++ next.map(_ -> h.toLong)
+        frontier = next
+      }
+      assert(out == level, s"BFS levels diverge: spark=${out.size} rows, truth=${level.size}")
+      assert(out.values.count(_ == 1L) > 0, "hop 1 must reach someone on the full graph")
+    } finally { Caches.releaseAll(); spark.catalog.clearCache() }
+  }
+
+  test("ngramNovelty: the first doc is fully novel and ratios check out against recomputation") {
+    try {
+      val out = graft.ops.TextAnalysis.ngramNovelty(spark, sf0001).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_grams"),
+          r.getAs[Long]("n_novel"), r.getAs[Double]("novelty")))
+      assert(out.nonEmpty)
+      val firstDoc = out.minBy(_._1)
+      assert(firstDoc._2 == firstDoc._3,
+        "the minimum doc_id must have novelty 1 — every gram is first seen there")
+      // independent recomputation
+      val grams = Tables.documents(spark, sf0001)
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => r.getLong(0) ->
+          r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty)
+            .sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSet)
+        .toMap
+      val firstSeen = grams.toSeq.flatMap { case (d, gs) => gs.map(_ -> d) }
+        .groupBy(_._1).map { case (g, ds) => g -> ds.map(_._2).min }
+      out.foreach { case (d, n, novel, ratio) =>
+        assert(n == grams(d).size, s"doc $d: distinct gram count mismatch")
+        val expNovel = grams(d).count(g => firstSeen(g) == d)
+        assert(novel == expNovel, s"doc $d: novel count $novel != $expNovel")
+        assert(math.abs(ratio - novel.toDouble / n) < 1e-6)
+      }
+    } finally { Caches.releaseAll(); spark.catalog.clearCache() }
+  }
+
+  test("latenessProfile buckets partition the events and match a per-user recomputation") {
+    try {
+      val out = graft.etl.EventsEtl.latenessProfile(spark, sf0001).collect()
+        .map(r => (r.getAs[String]("bucket"), r.getAs[Long]("n_events"), r.getAs[Long]("max_late_s")))
+      val total = Tables.events(spark, sf0001).count()
+      assert(out.map(_._2).sum == total, "bucket counts must partition all events")
+      // recompute lateness in memory
+      val ev = Tables.events(spark, sf0001)
+        .selectExpr("user_id", "event_id", "unix_timestamp(ts) as sec").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val lates = ev.groupBy(_._1).values.flatMap { rows =>
+        val sorted = rows.sortBy(_._2)
+        sorted.zipWithIndex.map { case ((_, _, sec), i) =>
+          if (i == 0) 0L else math.max(sorted.take(i).map(_._3).max - sec, 0L)
+        }
+      }.toSeq
+      def bucket(l: Long) = if (l == 0) "a_ontime" else if (l <= 60) "b_1min"
+        else if (l <= 300) "c_5min" else if (l <= 3600) "d_1hr" else "e_over_1hr"
+      val truth = lates.groupBy(bucket).map { case (b, ls) => (b, ls.size.toLong, ls.max) }
+      assert(out.toSet == truth.toSet, s"profile mismatch:\n spark=${out.toSeq}\n truth=${truth.toSeq}")
+    } finally { Caches.releaseAll(); spark.catalog.clearCache() }
+  }
+
+  test("latenessProfile detects injected disorder (the clean corpus reads all on-time)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_late").toString
+    try {
+      // one user, arrival order 1..5, event times (nanos) with two late
+      // arrivals: event 3 is 90s behind the watermark (b_2min bucket
+      // boundary -> c_5min at 90s), event 5 is 10s behind (b_1min)
+      val sec = 1_000_000_000L // ns per second
+      Seq(
+        (1L, 10L, 1000L * sec), // hwm -
+        (1L, 20L, 2000L * sec), // on time
+        (1L, 30L, 1910L * sec), // 90s late -> c_5min
+        (1L, 40L, 3000L * sec), // on time
+        (1L, 50L, 2990L * sec)  // 10s late -> b_1min
+      ).toDF("user_id", "event_id", "ts")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val out = graft.etl.EventsEtl.latenessProfile(spark, dir).collect()
+        .map(r => (r.getAs[String]("bucket"), r.getAs[Long]("n_events"), r.getAs[Long]("max_late_s")))
+        .toSet
+      assert(out == Set(("a_ontime", 3L, 0L), ("b_1min", 1L, 10L), ("c_5min", 1L, 90L)),
+        s"unexpected profile: $out")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      Caches.releaseAll(); spark.catalog.clearCache()
+    }
+  }
 }
