@@ -150,6 +150,7 @@ object SparkEntry {
     "ann_matryoshka_rerank" -> ((s: SparkSession, d: String) => Similarity.annMatryoshkaRerank(s, d)),
     "pipeline_epoch_shuffle" -> ((s: SparkSession, d: String) => Pipeline.epochShuffle(s, d)),
     "graph_bfs_levels"    -> ((s: SparkSession, d: String) => Graph.bfsLevels(s, d)),
+    "mm_phash_dedup"      -> Multimodal.phashDedup _,
     "text_ngram_novelty"  -> TextAnalysis.ngramNovelty _,
     "etl_lateness_profile" -> EventsEtl.latenessProfile _,
     "dedup_lsh_eval"      -> Dedup.lshEval _,
@@ -1908,6 +1909,21 @@ object SparkEntry {
         |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |ORDER BY o_custkey""".stripMargin,
+    "mm_phash_dedup" ->
+      """WITH d AS (SELECT doc_id, hex(encode(text)) AS h FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |   range(1, greatest(len(h) - 7, 1) + 1, 2), i -> substr(h, i, 8)))) AS s FROM d),
+        |hv AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS hval FROM sh),
+        |bits AS (SELECT doc_id, j,
+        |   CASE WHEN count(*) FILTER ((hval >> j) % 2 = 1) > count(*) FILTER ((hval >> j) % 2 = 0)
+        |     THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END AS bit
+        |  FROM hv CROSS JOIN (SELECT unnest(range(0, 60)) AS j) jj GROUP BY doc_id, j),
+        |sims AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS sim FROM bits GROUP BY 1)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+        |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sim, b.sim)) <= 2
+        |ORDER BY 1, 2""".stripMargin,
     "graph_bfs_levels" ->
       """WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |  FROM lineitem),

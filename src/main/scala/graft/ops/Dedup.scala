@@ -451,10 +451,16 @@ object Dedup {
       .select(col("doc_id"),
         expr(raw"array_distinct(regexp_extract_all(text, '\\S+', 0))").as("toks"))
       .select(col("doc_id"), expr("graft_simhash60(toks)").as("sim"))
-    // pigeonhole band pre-filter: hamming ≤ 2 over 60 bits ⇒ at least
-    // one of the three 20-bit chunks is identical, so candidates come
-    // from an equi-join on (chunk, value) instead of an O(n²)
-    // nested-loop pair scan; exact hamming then verifies.
+    bandedHammingPairs(sim, 2)
+  }
+
+  /** Pigeonhole band pre-filter shared by [[simhash]] and
+    * [[Multimodal.phashDedup]]: hamming ≤ maxH < 3 over 60 bits ⇒ at
+    * least one of the three 20-bit chunks is identical, so candidates
+    * come from an equi-join on (chunk, value) instead of an O(n²)
+    * nested-loop pair scan; exact hamming then verifies. Input is any
+    * (doc_id, sim) 60-bit fingerprint relation. */
+  private[ops] def bandedHammingPairs(sim: DataFrame, maxH: Int): DataFrame = {
     val chunks = sim.select(col("doc_id"), col("sim"),
         explode(expr("""transform(sequence(0, 2), c ->
           struct(c AS chunk, shiftright(sim, c*20) % 1048576 AS cval))""")).as("ch"))
@@ -465,7 +471,7 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).cast("long").as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 2)
+      .filter(col("hamming") <= maxH)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

@@ -133,4 +133,26 @@ object Multimodal {
         encode(col("text"), "UTF-8").as("payload"))
       .as[MediaRecord]
   }
+
+  /** Perceptual-hash near-dup over the binary payload — the media
+    * analogue of [[Dedup.simhash]]: a 60-bit fingerprint built from
+    * byte-level 4-byte shingles (stride 1 byte, over the hex view of
+    * the payload), then the same 3×20-bit pigeonhole banding + exact
+    * hamming ≤ 2 verify. A real deployment swaps the byte-shingle
+    * fingerprint for a codec-side pHash/chromaprint; the banded
+    * candidate join, the dedup decision, and the scale shape (shuffle
+    * ONLY on (chunk, value), never an O(n²) pair scan) are identical
+    * and are what this op locks in.
+    *
+    * Byte shingles — unlike token shingles — survive payloads with no
+    * text structure at all, which is the point for media columns. */
+  def phashDedup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val sim = Tables.documents(spark, dir)
+      .select(col("doc_id"), hex(encode(col("text"), "UTF-8")).as("h"))
+      .select(col("doc_id"), expr(
+        """graft_simhash60(array_distinct(transform(
+             sequence(1, greatest(length(h) - 7, 1), 2), i -> substr(h, i, 8))))""").as("sim"))
+    Dedup.bandedHammingPairs(sim, 2)
+  }
 }

@@ -152,6 +152,36 @@ class QualityOpsR6Spec extends SparkSpec {
     } finally { Caches.releaseAll(); spark.catalog.clearCache() }
   }
 
+  test("phashDedup equals a brute-force byte-shingle simhash recomputation") {
+    try {
+      val out = graft.ops.Multimodal.phashDedup(spark, sf0001).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("hamming"))).toSet
+      val docs = Tables.documents(spark, sf0001)
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      def fingerprint(text: String): Long = {
+        val hex = text.getBytes("UTF-8").map("%02X".format(_)).mkString
+        val shingles = (1 to math.max(hex.length - 7, 1) by 2)
+          .map(i => hex.substring(i - 1, math.min(i - 1 + 8, hex.length))).distinct
+        val votes = new Array[Int](60)
+        shingles.foreach { s =>
+          val h = java.lang.Long.parseLong(
+            java.security.MessageDigest.getInstance("MD5")
+              .digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+              .substring(0, 15), 16)
+          for (j <- 0 until 60) if (((h >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        }
+        (0 until 60).foldLeft(0L)((acc, j) => if (votes(j) > 0) acc | (1L << j) else acc)
+      }
+      val fps = docs.map { case (d, t) => d -> fingerprint(t) }
+      val truth = (for {
+        (a, fa) <- fps; (b, fb) <- fps if a < b
+        hm = java.lang.Long.bitCount(fa ^ fb).toLong if hm <= 2
+      } yield (a, b, hm)).toSet
+      assert(out == truth, s"phash pairs diverge: spark=${out.size}, truth=${truth.size}")
+    } finally { Caches.releaseAll(); spark.catalog.clearCache() }
+  }
+
   test("latenessProfile detects injected disorder (the clean corpus reads all on-time)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_late").toString
