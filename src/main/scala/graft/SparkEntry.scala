@@ -151,6 +151,7 @@ object SparkEntry {
     "pipeline_epoch_shuffle" -> ((s: SparkSession, d: String) => Pipeline.epochShuffle(s, d)),
     "graph_bfs_levels"    -> ((s: SparkSession, d: String) => Graph.bfsLevels(s, d)),
     "mm_phash_dedup"      -> Multimodal.phashDedup _,
+    "ann_graph_search"    -> ((s: SparkSession, d: String) => Similarity.annGraphSearch(s, d)),
     "text_ngram_novelty"  -> TextAnalysis.ngramNovelty _,
     "etl_lateness_profile" -> EventsEtl.latenessProfile _,
     "dedup_lsh_eval"      -> Dedup.lshEval _,
@@ -1909,6 +1910,59 @@ object SparkEntry {
         |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |ORDER BY o_custkey""".stripMargin,
+    "ann_graph_search" ->
+      """WITH e AS MATERIALIZED (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS MATERIALIZED (SELECT vec_id, label, v,
+        |   sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM e),
+        |g0 AS MATERIALIZED (SELECT a.vec_id AS src, b.vec_id AS nbr_id,
+        |   round(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1]*z[2]))
+        |     / (a.norm * b.norm), 6) AS cosine
+        |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |g AS MATERIALIZED (SELECT src, nbr_id FROM (SELECT src, nbr_id,
+        |   row_number() OVER (PARTITION BY src ORDER BY cosine DESC, nbr_id) AS rk FROM g0) t
+        |  WHERE rk <= 3),
+        |p AS MATERIALIZED (SELECT vec_id AS probe_id, label AS plabel, v AS pv, norm AS pnorm
+        |  FROM n WHERE vec_id < 25),
+        |h0 AS MATERIALIZED (SELECT probe_id, cur, cosine FROM (SELECT p.probe_id,
+        |   n.vec_id AS cur,
+        |   round(list_sum(list_transform(list_zip(p.pv, n.v), z -> z[1]*z[2]))
+        |     / (p.pnorm * n.norm), 6) AS cosine,
+        |   row_number() OVER (PARTITION BY p.probe_id ORDER BY n.vec_id) AS rk
+        |  FROM p JOIN n ON n.label = p.plabel AND n.vec_id <> p.probe_id) t
+        |  WHERE rk = 1),
+        |h1c AS MATERIALIZED (SELECT h0.probe_id, g.nbr_id,
+        |   round(list_sum(list_transform(list_zip(p.pv, n.v), z -> z[1]*z[2]))
+        |     / (p.pnorm * n.norm), 6) AS cosine
+        |  FROM h0 JOIN p ON p.probe_id = h0.probe_id
+        |  JOIN g ON g.src = h0.cur JOIN n ON n.vec_id = g.nbr_id
+        |  WHERE g.nbr_id <> h0.probe_id),
+        |h1 AS MATERIALIZED (SELECT probe_id, nbr_id AS cur, cosine FROM (SELECT *,
+        |   row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, nbr_id) AS rk FROM h1c) t
+        |  WHERE rk = 1),
+        |h2c AS MATERIALIZED (SELECT h1.probe_id, g.nbr_id,
+        |   round(list_sum(list_transform(list_zip(p.pv, n.v), z -> z[1]*z[2]))
+        |     / (p.pnorm * n.norm), 6) AS cosine
+        |  FROM h1 JOIN p ON p.probe_id = h1.probe_id
+        |  JOIN g ON g.src = h1.cur JOIN n ON n.vec_id = g.nbr_id
+        |  WHERE g.nbr_id <> h1.probe_id),
+        |h2 AS MATERIALIZED (SELECT probe_id, nbr_id AS cur, cosine FROM (SELECT *,
+        |   row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, nbr_id) AS rk FROM h2c) t
+        |  WHERE rk = 1),
+        |h3c AS MATERIALIZED (SELECT h2.probe_id, g.nbr_id,
+        |   round(list_sum(list_transform(list_zip(p.pv, n.v), z -> z[1]*z[2]))
+        |     / (p.pnorm * n.norm), 6) AS cosine
+        |  FROM h2 JOIN p ON p.probe_id = h2.probe_id
+        |  JOIN g ON g.src = h2.cur JOIN n ON n.vec_id = g.nbr_id
+        |  WHERE g.nbr_id <> h2.probe_id),
+        |h3 AS MATERIALIZED (SELECT probe_id, nbr_id AS cur, cosine FROM (SELECT *,
+        |   row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, nbr_id) AS rk FROM h3c) t
+        |  WHERE rk = 1)
+        |SELECT probe_id, CAST(0 AS BIGINT) AS hop, cur AS node_id, cosine FROM h0
+        |UNION ALL SELECT probe_id, 1, cur, cosine FROM h1
+        |UNION ALL SELECT probe_id, 2, cur, cosine FROM h2
+        |UNION ALL SELECT probe_id, 3, cur, cosine FROM h3
+        |ORDER BY probe_id, hop""".stripMargin,
     "mm_phash_dedup" ->
       """WITH d AS (SELECT doc_id, hex(encode(text)) AS h FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(

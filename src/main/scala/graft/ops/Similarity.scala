@@ -805,6 +805,68 @@ object Similarity {
     * [[annBruteforce]]; stage 2 touches |probes|·20 rows that already
     * carry their full vectors — no second scan, the corpus never
     * shuffles. */
+  /** Greedy best-first search over the k-NN graph — the query path of
+    * graph-based ANN indexes (the HNSW/NSG family) at beam width 1:
+    * enter at a FIXED far-away node (the min-id node of the probe's
+    * label — the route-to-a-cell-entry-then-walk-inward shape), then
+    * hop to whichever neighbor of the current node is closest to the
+    * probe, for `hops` rounds, reporting the full trajectory (hop 0 =
+    * entry). The probe itself is excluded from candidates (its cosine
+    * of 1.0 would pull every walk straight home); production widens
+    * the beam and adds a visited set — the per-hop plan is identical.
+    *
+    * Shape at scale: the graph relation (|V|·k edges — the billion-row
+    * side) is built once and only ever PROBED: per hop, the ≤|probes|
+    * cursor relation broadcasts against it, the ≤|probes|·k candidate
+    * set broadcasts against the vector scan for scoring, and the
+    * argmax window runs on |probes|·k rows. The walk state is
+    * localCheckpoint'd per hop so plan depth stays flat. */
+  def annGraphSearch(spark: SparkSession, dir: String, hops: Int = 3): DataFrame = {
+    val e = vecs(spark, dir)
+    val graph = graft.Caches.persistTracked(
+      annKnnGraph(spark, dir).select(col("vec_id").as("src"), col("nbr_id")))
+    graph.count()
+    val probes = e.filter(col("vec_id") < 25)
+      .select(col("vec_id").as("probe_id"), col("label").as("plabel"),
+        col("v").as("pv"), col("norm").as("pnorm"))
+    val wBest = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("nbr_id"))
+    // entry point: the min-id node of the probe's label (a fixed
+    // cluster entry, like routing to a cell then walking inward) —
+    // starting at the probe's OWN node would be vacuous, its graph
+    // edges are already its exact top neighbors
+    val wEntry = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("vec_id"))
+    val entry = e.join(broadcast(probes),
+        col("label") === col("plabel") && col("vec_id") =!= col("probe_id"))
+      .withColumn("rk", row_number().over(wEntry)).filter(col("rk") === 1)
+      .withColumn("cosine", round(
+        expr("graft_dot(pv, v)") / (col("pnorm") * col("norm")), 6))
+      .select(col("probe_id"), col("vec_id").as("cur"), col("cosine"))
+      .localCheckpoint(true)
+    val steps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    steps += entry.withColumn("hop", lit(0L))
+    var cur = entry.select(col("probe_id"), col("cur"))
+    for (h <- 1 to hops) {
+      val cand = graph
+        .join(broadcast(cur.select(col("probe_id"), col("cur").as("src"))), Seq("src"))
+        .filter(col("nbr_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("nbr_id"))
+      val next = e.join(broadcast(cand), col("vec_id") === col("nbr_id"))
+        .join(broadcast(probes), Seq("probe_id"))
+        .withColumn("cosine", round(
+          expr("graft_dot(pv, v)") / (col("pnorm") * col("norm")), 6))
+        .withColumn("rk", row_number().over(wBest)).filter(col("rk") === 1)
+        .select(col("probe_id"), col("nbr_id").as("cur"), col("cosine"))
+        .localCheckpoint(true)
+      steps += next.withColumn("hop", lit(h.toLong))
+      cur = next.select(col("probe_id"), col("cur"))
+    }
+    steps.reduce(_ unionByName _)
+      .select(col("probe_id"), col("hop"), col("cur").as("node_id"), col("cosine"))
+      .orderBy(col("probe_id"), col("hop"))
+  }
+
   def annMatryoshkaRerank(spark: SparkSession, dir: String,
       prefixDims: Int = 16, coarseK: Int = 20, k: Int = 5): DataFrame = {
     val e = vecs(spark, dir)

@@ -152,6 +152,43 @@ class QualityOpsR6Spec extends SparkSpec {
     } finally { Caches.releaseAll(); spark.catalog.clearCache() }
   }
 
+  test("annGraphSearch trajectory matches an in-memory greedy walk") {
+    try {
+      val out = Similarity.annGraphSearch(spark, sf0001).collect()
+        .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("hop"),
+          r.getAs[Long]("node_id"), r.getAs[Double]("cosine")))
+      val rows = Tables.embeddings(spark, sf0001)
+        .selectExpr("vec_id", "cast(label as long) as label",
+          "cast(embedding as array<double>) as v").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray))
+      val vec = rows.map(r => r._1 -> r._3).toMap
+      def c(a: Long, b: Long) = BigDecimal(cos(vec(a), vec(b), vec(a).length))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // within-label top-3 neighbor lists, ties toward the smaller id
+      val graph = rows.map { case (id, lbl, _) =>
+        id -> rows.filter(r => r._2 == lbl && r._1 != id).map(_._1)
+          .sortBy(n => (-c(id, n), n)).take(3).toSeq
+      }.toMap
+      val lbl = rows.map(r => r._1 -> r._2).toMap
+      val truth = rows.map(_._1).filter(_ < 25).flatMap { p =>
+        val entry = rows.filter(r => r._2 == lbl(p) && r._1 != p).map(_._1).min
+        var curN = entry
+        (p, 0L, entry, c(p, entry)) +: (1 to 3).map { h =>
+          val cands = graph(curN).filterNot(_ == p)
+          val best = cands.minBy(n => (-c(p, n), n))
+          curN = best
+          (p, h.toLong, best, c(p, best))
+        }
+      }.toSet
+      assert(out.toSet == truth, s"walks diverge: spark=${out.length}, truth=${truth.size}")
+      // the walk is useful: some probe's best hop beats its entry cosine
+      assert(out.groupBy(_._1).values.exists { t =>
+        val byHop = t.sortBy(_._2).map(_._4)
+        byHop.tail.max > byHop.head
+      }, "no walk ever improved on its entry point — search is vacuous on this data")
+    } finally { Caches.releaseAll(); spark.catalog.clearCache() }
+  }
+
   test("phashDedup equals a brute-force byte-shingle simhash recomputation") {
     try {
       val out = graft.ops.Multimodal.phashDedup(spark, sf0001).collect()
