@@ -150,7 +150,7 @@ object SparkEntry {
     "ann_matryoshka_rerank" -> ((s: SparkSession, d: String) => Similarity.annMatryoshkaRerank(s, d)),
     "pipeline_epoch_shuffle" -> ((s: SparkSession, d: String) => Pipeline.epochShuffle(s, d)),
     "graph_bfs_levels"    -> ((s: SparkSession, d: String) => Graph.bfsLevels(s, d)),
-    "mm_phash_dedup"      -> Multimodal.phashDedup _,
+    "mm_phash_dedup"      -> ((s: SparkSession, d: String) => Multimodal.phashDedup(s, d)),
     "ann_graph_search"    -> ((s: SparkSession, d: String) => Similarity.annGraphSearch(s, d)),
     "text_ngram_novelty"  -> TextAnalysis.ngramNovelty _,
     "etl_lateness_profile" -> EventsEtl.latenessProfile _,

@@ -459,12 +459,33 @@ object Dedup {
     * least one of the three 20-bit chunks is identical, so candidates
     * come from an equi-join on (chunk, value) instead of an O(n²)
     * nested-loop pair scan; exact hamming then verifies. Input is any
-    * (doc_id, sim) 60-bit fingerprint relation. */
-  private[ops] def bandedHammingPairs(sim: DataFrame, maxH: Int): DataFrame = {
-    val chunks = sim.select(col("doc_id"), col("sim"),
+    * (doc_id, sim) 60-bit fingerprint relation.
+    *
+    * `maxBucket` is the standard LSH hot-bucket mitigation: a corpus
+    * with massive duplicate multiplicity (or a weakly-discriminating
+    * fingerprint) makes some (chunk, value) buckets huge, and the
+    * bucket join's pair fan-out is Σ bucket² — quadratic in
+    * multiplicity even though every emitted pair is a true candidate.
+    * Capping drops buckets above the bound (one map-side-combinable
+    * size agg + a semi-join on the same key, no new shuffle grain);
+    * pairs inside a dropped bucket are exactly the ones a cluster-
+    * level consumer (components → keepBest) would collapse anyway, so
+    * at scale you cap and hand the hot buckets to the clustering path
+    * instead of enumerating their pairs. Default = uncapped (the
+    * oracle-gated queries keep exact enumeration semantics). */
+  private[ops] def bandedHammingPairs(sim: DataFrame, maxH: Int,
+      maxBucket: Long = Long.MaxValue): DataFrame = {
+    val allChunks = sim.select(col("doc_id"), col("sim"),
         explode(expr("""transform(sequence(0, 2), c ->
           struct(c AS chunk, shiftright(sim, c*20) % 1048576 AS cval))""")).as("ch"))
       .select(col("doc_id"), col("sim"), col("ch.chunk").as("chunk"), col("ch.cval").as("cval"))
+    val chunks =
+      if (maxBucket == Long.MaxValue) allChunks
+      else allChunks.join(
+        allChunks.groupBy(col("chunk"), col("cval"))
+          .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= maxBucket)
+          .select(col("chunk"), col("cval")),
+        Seq("chunk", "cval"), "left_semi")
     chunks.as("a").join(chunks.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.cval") === col("b.cval") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -146,13 +146,14 @@ object Multimodal {
     *
     * Byte shingles — unlike token shingles — survive payloads with no
     * text structure at all, which is the point for media columns. */
-  def phashDedup(spark: SparkSession, dir: String): DataFrame = {
+  def phashDedup(spark: SparkSession, dir: String,
+      maxBucket: Long = Long.MaxValue): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val sim = Tables.documents(spark, dir)
       .select(col("doc_id"), hex(encode(col("text"), "UTF-8")).as("h"))
       .select(col("doc_id"), expr(
         """graft_simhash60(array_distinct(transform(
              sequence(1, greatest(length(h) - 7, 1), 2), i -> substr(h, i, 8))))""").as("sim"))
-    Dedup.bandedHammingPairs(sim, 2)
+    Dedup.bandedHammingPairs(sim, 2, maxBucket)
   }
 }

@@ -219,6 +219,19 @@ class QualityOpsR6Spec extends SparkSpec {
     } finally { Caches.releaseAll(); spark.catalog.clearCache() }
   }
 
+  test("phashDedup bucket cap: capped pairs are a subset, cap 1 kills all candidates") {
+    try {
+      val uncapped = graft.ops.Multimodal.phashDedup(spark, sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(uncapped.nonEmpty, "no pairs at sf0.001 — cap test is vacuous")
+      val capped = graft.ops.Multimodal.phashDedup(spark, sf0001, maxBucket = 2).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(capped.subsetOf(uncapped), "capping must only remove pairs, never invent them")
+      val killed = graft.ops.Multimodal.phashDedup(spark, sf0001, maxBucket = 1).count()
+      assert(killed == 0, "a singleton-bucket cap can never produce a candidate pair")
+    } finally { Caches.releaseAll(); spark.catalog.clearCache() }
+  }
+
   test("latenessProfile detects injected disorder (the clean corpus reads all on-time)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_late").toString
