@@ -152,8 +152,10 @@ object SparkEntry {
     "graph_bfs_levels"    -> ((s: SparkSession, d: String) => Graph.bfsLevels(s, d)),
     "mm_phash_dedup"      -> ((s: SparkSession, d: String) => Multimodal.phashDedup(s, d)),
     "ann_graph_search"    -> ((s: SparkSession, d: String) => Similarity.annGraphSearch(s, d)),
+    "embed_ivf_balance"   -> Similarity.ivfBalance _,
     "text_ngram_novelty"  -> TextAnalysis.ngramNovelty _,
     "etl_lateness_profile" -> EventsEtl.latenessProfile _,
+    "etl_rolling_actives" -> ((s: SparkSession, d: String) => EventsEtl.rollingActives(s, d)),
     "dedup_lsh_eval"      -> Dedup.lshEval _,
     "pipeline_dsir_weights" -> Pipeline.dsirWeights _,
     "embed_pca_power"     -> ((s, d) => Similarity.pcaPower(s, d)),
@@ -980,6 +982,14 @@ object SparkEntry {
         |SELECT asg.vec_id AS vec_id, asg.cell AS cell, asg.dist AS dist_to_cell,
         |  asg.cell = CAST(emb.label AS BIGINT) AS matches_label
         |FROM asg JOIN embeddings emb USING (vec_id) ORDER BY vec_id""".stripMargin,
+    "embed_ivf_balance" ->
+      s"""WITH $ivfCtes,
+        |c AS (SELECT cell, count(*) AS sz FROM asg GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        | min(sz) AS min_sz, max(sz) AS max_sz,
+        | round(avg(sz), 6) AS mean_sz,
+        | round(CAST(max(sz) AS DOUBLE) / avg(sz), 6) AS imbalance
+        |FROM c""".stripMargin,
     "ann_kmeans_refine" ->
       """WITH pe AS (SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
         |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
@@ -2011,6 +2021,17 @@ object SparkEntry {
         |    / count(*), 6) AS novelty
         |FROM g JOIN f ON g.gram = f.gram
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "etl_rolling_actives" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |   CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day FROM events),
+        |days AS (SELECT DISTINCT day FROM ud),
+        |dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1),
+        |f AS (SELECT ud.user_id, d2.day AS day FROM ud
+        |  JOIN days d2 ON d2.day BETWEEN ud.day AND ud.day + 6),
+        |roll AS (SELECT day, count(DISTINCT user_id) AS actives_7d FROM f GROUP BY 1)
+        |SELECT dau.day AS day, dau.dau AS dau, roll.actives_7d AS actives_7d
+        |FROM dau JOIN roll ON dau.day = roll.day
+        |ORDER BY day""".stripMargin,
     "etl_lateness_profile" ->
       """WITH s AS (SELECT user_id, event_id,
         |   CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec FROM events),

@@ -526,6 +526,20 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Cell-size balance of the trained IVF index — the load-balancing
+    * health check run before trusting an nprobe setting: a skewed
+    * quantizer makes probe latency the max cell's scan time, not the
+    * mean's (the same skew math as [[graft.ops.Profile.profileJoinSkew]]
+    * for joins). One |cells|-row agg over the trained assignment. */
+  def ivfBalance(spark: SparkSession, dir: String): DataFrame = {
+    val (_, assign) = trainedIndex(spark, dir)
+    assign.groupBy(col("cell")).agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("n_cells"),
+        min(col("sz")).as("min_sz"), max(col("sz")).as("max_sz"),
+        round(avg(col("sz")), 6).as("mean_sz"),
+        round(max(col("sz")) / avg(col("sz")), 6).as("imbalance"))
+  }
+
   /** Product quantization + asymmetric-distance search (PQ/ADC) — the
     * compression that makes billion-vector ANN feasible: 64 dims split
     * into 8 subspaces of 8, each subvector encoded as the id of its

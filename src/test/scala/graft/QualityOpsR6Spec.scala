@@ -232,6 +232,41 @@ class QualityOpsR6Spec extends SparkSpec {
     } finally { Caches.releaseAll(); spark.catalog.clearCache() }
   }
 
+  test("rollingActives matches an in-memory window recomputation and dominates DAU") {
+    try {
+      val out = graft.etl.EventsEtl.rollingActives(spark, sf0001).collect()
+        .map(r => (r.getAs[Long]("day"), r.getAs[Long]("dau"), r.getAs[Long]("actives_7d")))
+      assert(out.nonEmpty)
+      val ud = Tables.events(spark, sf0001)
+        .selectExpr("user_id", "unix_timestamp(ts) div 86400 as day").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val days = ud.map(_._2).distinct.sorted
+      val truth = days.map { d =>
+        (d, ud.filter(_._2 == d).map(_._1).distinct.length.toLong,
+          ud.filter(u => u._2 >= d - 6 && u._2 <= d).map(_._1).distinct.length.toLong)
+      }.toSet
+      assert(out.toSet == truth, s"rolling actives diverge: ${out.length} vs ${truth.size} days")
+      out.foreach { case (d, dau, a7) =>
+        assert(a7 >= dau, s"day $d: 7-day actives $a7 below same-day DAU $dau")
+      }
+    } finally { Caches.releaseAll(); spark.catalog.clearCache() }
+  }
+
+  test("ivfBalance stats are internally consistent with the trained assignment") {
+    try {
+      val r = Similarity.ivfBalance(spark, sf0001).collect()
+      assert(r.length == 1)
+      val row = r.head
+      val (n, mn, mx, mean, imb) = (row.getAs[Long]("n_cells"), row.getAs[Long]("min_sz"),
+        row.getAs[Long]("max_sz"), row.getAs[Double]("mean_sz"), row.getAs[Double]("imbalance"))
+      val total = Tables.embeddings(spark, sf0001).count()
+      assert(n > 0 && mn >= 1 && mx >= mn, s"degenerate stats: $row")
+      assert(math.abs(mean * n - total) < 1e-3,
+        s"mean_sz * n_cells = ${mean * n} must equal the vector count $total")
+      assert(math.abs(imb - mx / mean) < 1e-5, "imbalance must be max/mean")
+    } finally { Caches.releaseAll(); spark.catalog.clearCache() }
+  }
+
   test("latenessProfile detects injected disorder (the clean corpus reads all on-time)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_late").toString
