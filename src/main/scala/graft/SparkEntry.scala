@@ -156,6 +156,8 @@ object SparkEntry {
     "text_ngram_novelty"  -> TextAnalysis.ngramNovelty _,
     "etl_lateness_profile" -> EventsEtl.latenessProfile _,
     "etl_rolling_actives" -> ((s: SparkSession, d: String) => EventsEtl.rollingActives(s, d)),
+    "etl_cusum_shift"     -> EventsEtl.cusumShift _,
+    "text_source_divergence" -> TextAnalysis.sourceDivergence _,
     "dedup_lsh_eval"      -> Dedup.lshEval _,
     "pipeline_dsir_weights" -> Pipeline.dsirWeights _,
     "embed_pca_power"     -> ((s, d) => Similarity.pcaPower(s, d)),
@@ -2021,6 +2023,31 @@ object SparkEntry {
         |    / count(*), 6) AS novelty
         |FROM g JOIN f ON g.gram = f.gram
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "etl_cusum_shift" ->
+      """WITH daily AS (SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day,
+        |   count(*) AS n FROM events GROUP BY 1),
+        |m AS (SELECT avg(CAST(n AS DOUBLE)) AS mu FROM daily),
+        |c AS (SELECT day, n, round(sum(n - mu) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING), 6) AS cusum
+        |  FROM daily CROSS JOIN m),
+        |r AS (SELECT day, n, cusum, row_number() OVER (ORDER BY abs(cusum) DESC, day) AS rk FROM c)
+        |SELECT day, n, cusum, rk = 1 AS is_peak FROM r ORDER BY day""".stripMargin,
+    "text_source_divergence" ->
+      """WITH tok AS (SELECT source, unnest(regexp_extract_all(lower(text), '\S+')) AS w FROM documents),
+        |st AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2),
+        |stot AS (SELECT source, sum(c) AS ns FROM st GROUP BY 1),
+        |corpus AS (SELECT w, sum(c) AS cc FROM st GROUP BY 1),
+        |ctot AS (SELECT sum(cc) AS nc FROM corpus),
+        |j AS (SELECT st.source,
+        |   CAST(st.c AS DOUBLE) / stot.ns AS p,
+        |   CAST(corpus.cc AS DOUBLE) / ctot.nc AS q
+        |  FROM st JOIN stot USING (source) JOIN corpus USING (w) CROSS JOIN ctot),
+        |agg AS (SELECT source,
+        |   sum(p * ln(p / ((p + q) / 2))) AS kl_pm,
+        |   sum(q * ln(q / ((p + q) / 2))) AS kl_qm_seen,
+        |   sum(q) AS q_seen
+        |  FROM j GROUP BY 1)
+        |SELECT source, round((kl_pm + kl_qm_seen + (1.0 - q_seen) * ln(2.0)) / 2, 6) AS js
+        |FROM agg ORDER BY source""".stripMargin,
     "etl_rolling_actives" ->
       """WITH ud AS (SELECT DISTINCT user_id,
         |   CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day FROM events),

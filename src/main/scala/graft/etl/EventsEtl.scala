@@ -560,6 +560,27 @@ object EventsEtl {
     * [[dqChecks]] "clean reads all-zero" shape); the disorder
     * semantics are exercised by spec on an injected out-of-order
     * feed. */
+  /** CUSUM change-point profile over daily event volume — the
+    * mean-shift monitor an ingest pipeline runs on its own throughput:
+    * cumulative sum of (daily count − corpus mean) peaks exactly where
+    * the level shifts, so the flagged day is the change-point estimate
+    * (Page 1954). The running sum is a window over the DAILY relation
+    * (365 rows/year — driver-scale after the one map-side-combinable
+    * count agg); the fact stream itself never sees a window. */
+  def cusumShift(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(expr("unix_timestamp(ts) div 86400").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n"))
+    val mu = daily.agg(avg(col("n")).as("mu"))
+    val wRun = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)
+    val wPeak = Window.orderBy(abs(col("cusum")).desc, col("day"))
+    daily.crossJoin(broadcast(mu))
+      .withColumn("cusum", round(sum(col("n") - col("mu")).over(wRun), 6))
+      .withColumn("is_peak", (row_number().over(wPeak) === 1))
+      .select(col("day"), col("n"), col("cusum"), col("is_peak"))
+      .orderBy(col("day"))
+  }
+
   /** Rolling 7-day distinct actives per day (plus same-day DAU) — the
     * canonical engagement dashboard metric. COUNT(DISTINCT) has no
     * sliding-window form in any engine, so the rolling count uses the

@@ -482,6 +482,49 @@ object TextAnalysis {
     * doc-grain agg. Two bounded shuffles, no window, no global sort;
     * the gram relation is the only unbounded one and it shuffles on
     * the collision-bounded gram key like every shingle-family op. */
+  /** Per-source Jensen–Shannon divergence from the corpus unigram
+    * distribution — the mix-drift metric a corpus build monitors per
+    * ingest source: a source whose token distribution diverges from
+    * the blend is either a new domain (keep, reweight) or garbage
+    * (quarantine); the JS value (0..ln 2) is symmetric and finite even
+    * on disjoint vocabularies, unlike raw KL.
+    *
+    * Shape at scale: one (source, token) count agg (map-side
+    * combinable), one token-grain corpus agg joined back on the token
+    * key, then a per-source sum — the same two-bounded-shuffle shape
+    * as [[tfidf]]. Zero-count terms contribute exactly their m-side
+    * mass via the closed form (summing only observed (source, token)
+    * pairs plus a per-source correction), so no vocabulary×source
+    * dense fan-out ever materializes. */
+  def sourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(expr(raw"regexp_extract_all(lower(text), '\\S+', 0)")).as("w"))
+    val st = graft.Caches.persistTracked(
+      tok.groupBy(col("source"), col("w")).agg(count(lit(1)).as("c")))
+    val sTot = st.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+    val corpus = st.groupBy(col("w")).agg(sum(col("c")).as("cc"))
+    val cTot = corpus.agg(sum(col("cc")).as("nc"))
+    // p = within-source prob, q = corpus prob, m = (p+q)/2.
+    // JS = 0.5·Σ p·ln(p/m) + 0.5·Σ q·ln(q/m); tokens absent from the
+    // source contribute 0.5·q·ln(2) — folded in as ln2·(1 − seen q
+    // mass) so only observed pairs are summed.
+    val joined = st.join(sTot, "source").join(corpus, "w").crossJoin(broadcast(cTot))
+      .withColumn("p", col("c") / col("ns"))
+      .withColumn("q", col("cc") / col("nc"))
+      .withColumn("m", (col("p") + col("q")) / 2)
+      .groupBy(col("source"))
+      .agg(
+        sum(col("p") * log(col("p") / col("m"))).as("kl_pm"),
+        sum(col("q") * log(col("q") / col("m"))).as("kl_qm_seen"),
+        sum(col("q")).as("q_seen"))
+    joined
+      .withColumn("js", round(
+        (col("kl_pm") + col("kl_qm_seen") + (lit(1.0) - col("q_seen")) * log(lit(2.0))) / 2, 6))
+      .select(col("source"), col("js"))
+      .orderBy(col("source"))
+  }
+
   def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
     val grams = graft.Caches.persistTracked(
       Tables.documents(spark, dir)

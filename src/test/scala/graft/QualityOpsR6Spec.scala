@@ -267,6 +267,55 @@ class QualityOpsR6Spec extends SparkSpec {
     } finally { Caches.releaseAll(); spark.catalog.clearCache() }
   }
 
+  test("cusumShift: running sum telescopes to ~0, exactly one peak, matches recomputation") {
+    try {
+      val out = graft.etl.EventsEtl.cusumShift(spark, sf0001).collect()
+        .map(r => (r.getAs[Long]("day"), r.getAs[Long]("n"),
+          r.getAs[Double]("cusum"), r.getAs[Boolean]("is_peak")))
+        .sortBy(_._1)
+      assert(out.nonEmpty)
+      assert(out.count(_._4) == 1, "exactly one peak day must be flagged")
+      val mu = out.map(_._2).sum.toDouble / out.length
+      var run = 0.0
+      out.foreach { case (d, n, c, _) =>
+        run += n - mu
+        assert(math.abs(c - run) < 1e-4, s"day $d: cusum $c != recomputed $run")
+      }
+      assert(math.abs(out.last._3) < 1e-3, "full-range CUSUM must telescope to ~0")
+      val peak = out.filter(_._4).head
+      assert(math.abs(peak._3) == out.map(c => math.abs(c._3)).max,
+        "the flagged day must carry the max |cusum|")
+    } finally { Caches.releaseAll(); spark.catalog.clearCache() }
+  }
+
+  test("sourceDivergence: JS in [0, ln 2] and matches an in-memory recomputation") {
+    try {
+      val out = graft.ops.TextAnalysis.sourceDivergence(spark, sf0001).collect()
+        .map(r => (r.getAs[String]("source"), r.getAs[Double]("js"))).toMap
+      assert(out.nonEmpty)
+      val toks = Tables.documents(spark, sf0001)
+        .select(col("source"), col("text")).collect()
+        .flatMap(r => r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty)
+          .map(w => (r.getString(0), w)))
+      val bySrc = toks.groupBy(_._1).map { case (s, ws) =>
+        s -> ws.groupBy(_._2).map { case (w, xs) => w -> xs.length.toLong }
+      }
+      val corpus = toks.groupBy(_._2).map { case (w, xs) => w -> xs.length.toLong }
+      val nc = corpus.values.sum.toDouble
+      out.foreach { case (src, js) =>
+        assert(js >= 0 && js <= math.log(2) + 1e-9, s"$src: JS $js outside [0, ln2]")
+        val cnts = bySrc(src); val ns = cnts.values.sum.toDouble
+        var acc = 0.0; var qSeen = 0.0
+        cnts.foreach { case (w, cnt) =>
+          val p = cnt / ns; val q = corpus(w) / nc; val m = (p + q) / 2
+          acc += p * math.log(p / m) + q * math.log(q / m); qSeen += q
+        }
+        val expected = (acc + (1.0 - qSeen) * math.log(2)) / 2
+        assert(math.abs(js - expected) < 1e-5, s"$src: js $js != $expected")
+      }
+    } finally { Caches.releaseAll(); spark.catalog.clearCache() }
+  }
+
   test("latenessProfile detects injected disorder (the clean corpus reads all on-time)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_late").toString
