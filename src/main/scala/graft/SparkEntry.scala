@@ -158,6 +158,8 @@ object SparkEntry {
     "etl_rolling_actives" -> ((s: SparkSession, d: String) => EventsEtl.rollingActives(s, d)),
     "etl_cusum_shift"     -> EventsEtl.cusumShift _,
     "text_source_divergence" -> TextAnalysis.sourceDivergence _,
+    "pipeline_tokenizer_fertility" -> Pipeline.tokenizerFertility _,
+    "pipeline_interleave_sources" -> Pipeline.interleaveSources _,
     "dedup_lsh_eval"      -> Dedup.lshEval _,
     "pipeline_dsir_weights" -> Pipeline.dsirWeights _,
     "embed_pca_power"     -> ((s, d) => Similarity.pcaPower(s, d)),
@@ -2023,6 +2025,25 @@ object SparkEntry {
         |    / count(*), 6) AS novelty
         |FROM g JOIN f ON g.gram = f.gram
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "pipeline_tokenizer_fertility" ->
+      """WITH t AS (SELECT lang,
+        |   len(regexp_extract_all(text, '\S+')) AS nw,
+        |   len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS nb
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        | CAST(sum(nw) AS BIGINT) AS n_words, CAST(sum(nb) AS BIGINT) AS n_bpeish,
+        | round(CAST(sum(nb) AS DOUBLE) / sum(nw), 6) AS fertility
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "pipeline_interleave_sources" ->
+      """WITH h AS (SELECT source, doc_id,
+        |   md5(CAST(doc_id AS VARCHAR) || ':il') AS hkey FROM documents),
+        |r AS (SELECT source, doc_id,
+        |   row_number() OVER (PARTITION BY source ORDER BY hkey, doc_id) AS pos FROM h),
+        |s AS (SELECT source, count(*) AS n FROM documents GROUP BY 1)
+        |SELECT r.source AS source, r.doc_id AS doc_id,
+        | CAST(pos AS BIGINT) AS pos_in_source,
+        | round((pos - 0.5) / n, 9) AS ikey
+        |FROM r JOIN s USING (source) ORDER BY ikey, source, doc_id""".stripMargin,
     "etl_cusum_shift" ->
       """WITH daily AS (SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day,
         |   count(*) AS n FROM events GROUP BY 1),

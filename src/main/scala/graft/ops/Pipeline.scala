@@ -452,6 +452,52 @@ object Pipeline {
       .orderBy(col("gkey").desc, col("doc_id"))
       .limit(k)
 
+  /** Per-language tokenizer fertility — BPE-ish tokens per whitespace
+    * word, the metric that prices a language's training cost (a lang
+    * at fertility 2.0 pays twice the compute per word of one at 1.0)
+    * and flags scripts the tokenizer fragments. One map-side
+    * projection (two regexp counts per doc) into a |langs|-row agg —
+    * the fact scan never shuffles at row grain. */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        size(expr(raw"regexp_extract_all(text, '\\S+', 0)")).cast("long").as("nw"),
+        size(expr(raw"regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)")).cast("long").as("nb"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nw")).as("n_words"), sum(col("nb")).as("n_bpeish"),
+        round(sum(col("nb")) / sum(col("nw")), 6).as("fertility"))
+      .orderBy(col("lang"))
+
+  /** Deterministic proportional source interleave — the mixture
+    * scheduler of a multi-source training stream: within each source,
+    * docs take a hash-derived order (pos_in_source); the interleave
+    * key (pos − ½)/|source| then spreads every source uniformly over
+    * [0,1), so reading in ikey order yields each source at exactly its
+    * corpus proportion at every prefix — no coordination, no RNG
+    * state. Unlike [[epochShuffle]] (unstratified global order), this
+    * preserves the mixture at every point of the stream.
+    *
+    * Shape at scale: one hash exchange on source for the per-source
+    * rank window (salt the window key by a shard nibble — the
+    * [[epochShuffle]] trick — if one source dominates), a broadcast
+    * |sources|-row size table, and the ikey order is range-partition
+    * friendly (it IS the write order). */
+  def interleaveSources(spark: SparkSession, dir: String): DataFrame = {
+    val wSrc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("hkey"), col("doc_id"))
+    val sizes = Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        md5(concat(col("doc_id").cast("string"), lit(":il"))).as("hkey"))
+      .withColumn("pos_in_source", row_number().over(wSrc).cast("long"))
+      .join(broadcast(sizes), "source")
+      .withColumn("ikey", round((col("pos_in_source") - lit(0.5)) / col("n"), 9))
+      .select(col("source"), col("doc_id"), col("pos_in_source"), col("ikey"))
+      .orderBy(col("ikey"), col("source"), col("doc_id"))
+  }
+
   /** Deterministic epoch shuffle + sharding — the reproducible
     * data-order primitive of a training run: each epoch, every doc
     * gets a pseudorandom position derived ONLY from (epoch, doc_id),

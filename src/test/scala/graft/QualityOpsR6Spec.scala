@@ -316,6 +316,55 @@ class QualityOpsR6Spec extends SparkSpec {
     } finally { Caches.releaseAll(); spark.catalog.clearCache() }
   }
 
+  test("tokenizerFertility: fertility >= alpha-word baseline and matches recomputation") {
+    try {
+      val out = graft.ops.Pipeline.tokenizerFertility(spark, sf0001).collect()
+        .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("n_words"), r.getAs[Long]("n_bpeish"), r.getAs[Double]("fertility")))
+      assert(out.nonEmpty)
+      val docs = Tables.documents(spark, sf0001)
+        .select(col("lang"), col("text")).collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      out.foreach { case (lang, nd, nw, nb, f) =>
+        val mine = docs.filter(_._1 == lang)
+        assert(mine.length.toLong == nd)
+        val w = mine.map(_._2.split("\\s+").count(_.nonEmpty).toLong).sum
+        val b = mine.map(t => "[a-z]+|[0-9]+|[^a-z0-9\\s]".r.findAllIn(t._2).length.toLong).sum
+        assert(w == nw && b == nb, s"$lang: counts ($nw,$nb) != recomputed ($w,$b)")
+        assert(math.abs(f - b.toDouble / w) < 1e-6)
+        assert(f >= 1.0, s"$lang: BPE-ish split can only refine whitespace words, f=$f")
+      }
+    } finally { Caches.releaseAll(); spark.catalog.clearCache() }
+  }
+
+  test("interleaveSources: uniform per-source spacing and mixture-preserving prefixes") {
+    try {
+      val out = graft.ops.Pipeline.interleaveSources(spark, sf0001).collect()
+        .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+          r.getAs[Long]("pos_in_source"), r.getAs[Double]("ikey")))
+      val nDocs = Tables.documents(spark, sf0001).count()
+      assert(out.length.toLong == nDocs, "every doc must appear exactly once")
+      out.groupBy(_._1).foreach { case (src, rows) =>
+        val n = rows.length
+        assert(rows.map(_._3).sorted.toSeq == (1L to n), s"$src: ranks not dense")
+        rows.sortBy(_._3).zipWithIndex.foreach { case ((_, _, p, k), i) =>
+          assert(math.abs(k - (p - 0.5) / n) < 1e-8, s"$src pos $p: bad ikey $k")
+          assert(p == i + 1)
+        }
+      }
+      // mixture preservation: in the first half of the ikey order, each
+      // source contributes half its docs (+/-1 by the uniform spacing)
+      val ordered = out.sortBy(r => (r._4, r._1, r._2))
+      val half = ordered.take(ordered.length / 2)
+      out.groupBy(_._1).foreach { case (src, rows) =>
+        val expect = rows.length / 2.0
+        val got = half.count(_._1 == src)
+        assert(math.abs(got - expect) <= 1.0,
+          s"$src: first-half share $got vs expected $expect — interleave not proportional")
+      }
+    } finally { Caches.releaseAll(); spark.catalog.clearCache() }
+  }
+
   test("latenessProfile detects injected disorder (the clean corpus reads all on-time)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_late").toString
