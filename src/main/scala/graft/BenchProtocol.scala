@@ -1,0 +1,154 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+/** Reproducible bench-variance adjudication: the forward / forward /
+  * reverse protocol that VARIANCE_r5/r6.md ran by hand, as one command.
+  *
+  * Three full child-JVM `graft.Bench` runs execute back-to-back — two in
+  * sorted query order, one reverse-sorted — and the per-query times are
+  * adjudicated against the median of the runs recorded in
+  * bench/history.jsonl at the same scale factor:
+  *
+  *   - a query is FLAGGED only if its best-of-three protocol time is
+  *     >= 1.5x its history median AND >= 0.5s absolute above it — i.e.
+  *     the slowdown survives three fresh measurements, so it is code or
+  *     data, not a one-off environment spike;
+  *   - order dependence is measured directly: the reverse run's time
+  *     must sit within 1.5x of the slower forward pass, else the query
+  *     is reported under "order_dependent" (cache/GC bleed suspect).
+  *
+  * Output: one JSON verdict line on stdout, persisted to
+  * bench/protocol_<sf>.json. Exit 0 = clean (no flagged queries), 2 =
+  * flagged queries exist, 3 = a child run failed.
+  *
+  * Knobs (all env): SPARK_GRAFT_SF_DIR (data), SPARK_GRAFT_BENCH_ONLY
+  * (subset), SPARK_GRAFT_PROTOCOL_RUNS (default 3; the third run is
+  * always the reverse-order one when >= 3).
+  */
+object BenchProtocol {
+  import scala.jdk.CollectionConverters._
+
+  private val timing = """"([A-Za-z0-9_]+)":([0-9.]+)""".r
+
+  private def parseQueries(txt: String): Map[String, Double] = {
+    val qIdx = txt.indexOf("\"queries\":")
+    if (qIdx < 0) return Map.empty
+    // the queries object ends at its closing brace; stop there so the
+    // "passes" arrays / error strings after it aren't swept in
+    val sub = txt.substring(qIdx)
+    val end = sub.indexOf("}")
+    if (end < 0) Map.empty
+    else timing.findAllMatchIn(sub.substring(0, end + 1))
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) Double.NaN
+    else if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sfName = Paths.get(sfDir).getFileName.toString
+    val nRuns = sys.env.get("SPARK_GRAFT_PROTOCOL_RUNS").flatMap(_.toIntOption)
+      .filter(_ >= 2).getOrElse(3)
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala.toSeq
+    val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
+    val cp = sys.props("java.class.path")
+
+    var childFailed = false
+    val runs: Seq[(String, Map[String, Double], Double)] =
+      (1 to nRuns).map { i =>
+        val order = if (i == nRuns && nRuns >= 3) "reverse" else "forward"
+        val label = if (order == "reverse") "rev" else s"fwd$i"
+        val outFile = Files.createTempFile(s"bench_protocol_$label", ".json")
+        val pb = new ProcessBuilder(
+          (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")).asJava)
+        val env = pb.environment()
+        env.put("SPARK_GRAFT_SF_DIR", sfDir)
+        env.put("SPARK_GRAFT_BENCH_CHILD", "1")   // parent owns bench/ files
+        env.put("SPARK_GRAFT_BENCH_PASSES", "1")  // protocol provides multiplicity
+        env.put("SPARK_GRAFT_BENCH_ORDER", order)
+        env.put("SPARK_GRAFT_BENCH_OUT", outFile.toString)
+        env.remove("SPARK_GRAFT_BENCH_ISOLATE")
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+        val t0 = System.nanoTime()
+        val rc = pb.start().waitFor()
+        val wall = (System.nanoTime() - t0) / 1e9
+        if (rc != 0) { childFailed = true
+          System.err.println(s"[protocol] run $label exited $rc") }
+        val qs = parseQueries(
+          if (Files.exists(outFile)) Files.readString(outFile) else "")
+        Files.deleteIfExists(outFile)
+        System.err.println(f"[protocol] $label: ${qs.values.sum}%.1fs query time, $wall%.1fs wall, ${qs.size} queries, rc=$rc")
+        (label, qs, wall)
+      }
+
+    // history medians at the same sf (the reference the verdict diffs
+    // against); protocol runs themselves are appended afterwards so the
+    // reference excludes this invocation
+    val histPath = Paths.get("bench", "history.jsonl")
+    val history: Seq[Map[String, Double]] =
+      if (!Files.exists(histPath)) Nil
+      else Files.readAllLines(histPath).asScala.toSeq
+        .filter(_.contains("\"sf\":\"" + sfDir + "\""))
+        .map(parseQueries).filter(_.nonEmpty)
+    val histMedian: Map[String, Double] = {
+      val keys = history.flatMap(_.keys).toSet
+      keys.map(k => k -> median(history.flatMap(_.get(k)))).toMap
+    }
+
+    val names = runs.flatMap(_._2.keys).distinct.sorted
+    val fwd = runs.filter(_._1.startsWith("fwd")).map(_._2)
+    val rev = runs.find(_._1 == "rev").map(_._2)
+    case class Q(name: String, times: Seq[Double], best: Double, med: Double,
+                 ref: Option[Double], flagged: Boolean, orderDep: Boolean)
+    val adjudicated = names.map { n =>
+      val ts = runs.flatMap(_._2.get(n))
+      val best = ts.min
+      val med = median(ts)
+      val ref = histMedian.get(n)
+      val flagged = ref.exists(r => best >= r * 1.5 && best - r >= 0.5)
+      val orderDep = (for {
+        r <- rev.flatMap(_.get(n))
+        slowFwd = fwd.flatMap(_.get(n))
+        if slowFwd.nonEmpty
+      } yield r > slowFwd.max * 1.5 && r - slowFwd.max > 0.5).getOrElse(false)
+      Q(n, ts, best, med, ref, flagged, orderDep)
+    }
+    val flagged = adjudicated.filter(_.flagged)
+    val orderDep = adjudicated.filter(_.orderDep)
+    val ratios = adjudicated.flatMap(q => q.ref.map(q.best / _))
+    val medRatio = if (ratios.nonEmpty) median(ratios) else Double.NaN
+
+    def ms(v: Double): String = f"$v%.3f"
+    val qJson = adjudicated.map { q =>
+      val refPart = q.ref.map(r => s""","ref":${ms(r)}""").getOrElse("")
+      s""""${q.name}":{"runs":[${q.times.map(ms).mkString(",")}],"best":${ms(q.best)},"median":${ms(q.med)}$refPart}"""
+    }.mkString("{", ",", "}")
+    val verdict =
+      s"""{"protocol":"fwd/fwd/rev","sf":"$sfDir","runs":${runs.size},""" +
+      s""""history_runs":${history.size},"median_best_ratio":${if (medRatio.isNaN) "null" else ms(medRatio)},""" +
+      s""""flagged":[${flagged.map("\"" + _.name + "\"").mkString(",")}],""" +
+      s""""order_dependent":[${orderDep.map("\"" + _.name + "\"").mkString(",")}],""" +
+      s""""child_failed":$childFailed,"queries":$qJson}"""
+
+    try {
+      Files.createDirectories(Paths.get("bench"))
+      Files.writeString(Paths.get("bench", s"protocol_$sfName.json"), verdict + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[protocol] persist failed: ${e.getMessage}")
+    }
+    flagged.foreach(q => System.err.println(
+      f"[protocol] FLAGGED ${q.name}: best-of-${q.times.size} ${q.best}%.2fs vs history median ${q.ref.get}%.2fs"))
+    if (flagged.isEmpty && !childFailed)
+      System.err.println(f"[protocol] CLEAN: no query's best-of-${runs.size} is >=1.5x its history median (median ratio $medRatio%.3f over ${ratios.size} queries)")
+    println(verdict)
+    if (childFailed) sys.exit(3) else if (flagged.nonEmpty) sys.exit(2)
+  }
+}
