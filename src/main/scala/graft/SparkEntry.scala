@@ -1977,16 +1977,29 @@ object SparkEntry {
         |UNION ALL SELECT probe_id, 2, cur, cosine FROM h2
         |UNION ALL SELECT probe_id, 3, cur, cosine FROM h3
         |ORDER BY probe_id, hop""".stripMargin,
+    // Mirrors Multimodal.PHash exactly: same pixel formula, same
+    // INLINED fixed-point cosine table (no libm drift), same rank-31
+    // threshold — the Spark side additionally round-trips the pixels
+    // through a real PNG encode/decode, which is lossless, so the
+    // hashes agree bit-for-bit.
     "mm_phash_dedup" ->
-      """WITH d AS (SELECT doc_id, hex(encode(text)) AS h FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-        |   range(1, greatest(len(h) - 7, 1) + 1, 2), i -> substr(h, i, 8)))) AS s FROM d),
-        |hv AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS hval FROM sh),
-        |bits AS (SELECT doc_id, j,
-        |   CASE WHEN count(*) FILTER ((hval >> j) % 2 = 1) > count(*) FILTER ((hval >> j) % 2 = 0)
-        |     THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END AS bit
-        |  FROM hv CROSS JOIN (SELECT unnest(range(0, 60)) AS j) jj GROUP BY doc_id, j),
-        |sims AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS sim FROM bits GROUP BY 1)
+      s"""WITH px AS (SELECT d.doc_id, rx.x, ry.y,
+        |   least(((rx.x+1)*((d.doc_id % 23)+3) + (ry.y+1)*(((d.doc_id // 23) % 13)+5)
+        |     + ((rx.x*ry.y) % ((d.doc_id % 23)+2))*7) % 256
+        |   + CASE WHEN rx.x BETWEEN 12 AND 13 AND ry.y BETWEEN 12 AND 13
+        |       THEN d.doc_id % 3 ELSE 0 END, 255) AS p
+        |  FROM documents d CROSS JOIN range(32) rx(x) CROSS JOIN range(32) ry(y)),
+        |ct(x, u, c) AS (SELECT * FROM (VALUES ${graft.ops.Multimodal.PHash.ctabSqlValues}) t(x, u, c)),
+        |co AS (SELECT px.doc_id, cu.u AS u, cv.u AS v, sum(px.p * cu.c * cv.c) AS coeff
+        |  FROM px JOIN ct cu ON cu.x = px.x JOIN ct cv ON cv.x = px.y
+        |  GROUP BY 1, 2, 3),
+        |ac AS (SELECT doc_id, u*8+v AS idx, coeff FROM co WHERE u*8+v BETWEEN 1 AND 60),
+        |th AS (SELECT doc_id, coeff AS t FROM (SELECT doc_id, coeff,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY coeff, idx) AS rn FROM ac)
+        |  WHERE rn = 31),
+        |sims AS (SELECT ac.doc_id, CAST(sum(CASE WHEN ac.coeff > th.t
+        |    THEN (CAST(1 AS BIGINT) << (ac.idx-1)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sim
+        |  FROM ac JOIN th ON ac.doc_id = th.doc_id GROUP BY 1)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         | CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
         |FROM sims a JOIN sims b ON a.doc_id < b.doc_id

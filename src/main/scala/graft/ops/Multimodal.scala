@@ -134,26 +134,183 @@ object Multimodal {
       .as[MediaRecord]
   }
 
-  /** Perceptual-hash near-dup over the binary payload — the media
-    * analogue of [[Dedup.simhash]]: a 60-bit fingerprint built from
-    * byte-level 4-byte shingles (stride 1 byte, over the hex view of
-    * the payload), then the same 3×20-bit pigeonhole banding + exact
-    * hamming ≤ 2 verify. A real deployment swaps the byte-shingle
-    * fingerprint for a codec-side pHash/chromaprint; the banded
-    * candidate join, the dedup decision, and the scale shape (shuffle
-    * ONLY on (chunk, value), never an O(n²) pair scan) are identical
-    * and are what this op locks in.
+  /** Real perceptual-hash near-dup over decoded pixels — the media
+    * analogue of [[Dedup.simhash]], with an actual codec in the loop:
+    * each doc's payload is a genuine PNG (encoded per-partition via the
+    * JDK's `javax.imageio` — no native deps), the pipeline DECODES it
+    * back to a 32×32 grayscale grid, computes the classic DCT pHash
+    * (fixed-point 2D DCT, keep the 60 lowest-frequency AC coefficients,
+    * bit = coefficient above the per-image median), and then runs the
+    * same 3×20-bit pigeonhole banding + exact hamming ≤ 2 verify as
+    * simhash. Fingerprints survive re-encoding (PNG ↔ BMP of the same
+    * pixels hash identically — spec-proven) and move when pixels move.
     *
-    * Byte shingles — unlike token shingles — survive payloads with no
-    * text structure at all, which is the point for media columns. */
+    * All arithmetic after decode is INTEGER (scaled cosine table,
+    * integer pixels, rank-based threshold), so the DuckDB oracle can
+    * recompute the identical hash from the same pixel formula with the
+    * same inlined table — cross-engine exact, no float drift.
+    *
+    * Scale shape: hashing is one map-side pass (decode + DCT are
+    * per-row, O(32·32·8·2) integer ops each), then shuffle ONLY on
+    * (chunk, value); `maxBucket` caps degenerate buckets exactly as
+    * documented at [[Dedup.bandedHammingPairs]]. */
   def phashDedup(spark: SparkSession, dir: String,
       maxBucket: Long = Long.MaxValue): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    val sim = Tables.documents(spark, dir)
-      .select(col("doc_id"), hex(encode(col("text"), "UTF-8")).as("h"))
-      .select(col("doc_id"), expr(
-        """graft_simhash60(array_distinct(transform(
-             sequence(1, greatest(length(h) - 7, 1), 2), i -> substr(h, i, 8))))""").as("sim"))
-    Dedup.bandedHammingPairs(sim, 2, maxBucket)
+    import spark.implicits._
+    val sims = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val png = PHash.encodePng(PHash.pixelGrid(id))
+          (id, PHash.dctHash60(PHash.decodeGray(png)))
+        }
+      }.toDF("doc_id", "sim")
+    Dedup.bandedHammingPairs(sims, 2, maxBucket)
+  }
+
+  /** The pHash kernel: deterministic test-fixture pixels, real JDK
+    * PNG/BMP encode+decode, and the fixed-point DCT hash. Everything
+    * here is integer-exact so the oracle can mirror it in SQL. */
+  object PHash {
+    val N = 32          // decoded grid is N×N grayscale
+    val Scale = 8192    // fixed-point scale for the cosine table
+
+    /** DCT-II cosine table, fixed-point: ctab(x)(u) =
+      * round(cos(π·(2x+1)·u / 64) · 8192) for x ∈ 0..31, u ∈ 0..7.
+      * Computed once here and INLINED as literals into the oracle SQL
+      * ([[ctabSqlValues]]) so both engines use the identical integers
+      * regardless of libm differences. */
+    val ctab: Array[Array[Long]] = Array.tabulate(N, 8) { (x, u) =>
+      Math.round(Math.cos(Math.PI * (2 * x + 1) * u / 64.0) * Scale)
+    }
+
+    /** The same table as a SQL VALUES body: "(x,u,c),(x,u,c),…". */
+    def ctabSqlValues: String =
+      (for { x <- 0 until N; u <- 0 until 8 }
+        yield s"($x,$u,${ctab(x)(u)})").mkString(",")
+
+    /** Deterministic grayscale fixture for doc_id: a per-class base
+      * pattern (class = (doc_id % 23, doc_id/23 % 13) — 299 image
+      * classes, so class size scales linearly with the corpus) plus a
+      * tiny per-doc brightness delta on one 2×2 block, giving true
+      * NEAR-dups: same-class docs differ by a few pixels and land at
+      * hamming 0–2; cross-class docs are far. Mirrored verbatim in the
+      * oracle SQL. */
+    def pixelGrid(docId: Long): Array[Int] = {
+      val g = (docId % 23).toInt
+      val w = ((docId / 23) % 13).toInt
+      val d = (docId % 3).toInt
+      val px = new Array[Int](N * N)
+      var y = 0
+      while (y < N) {
+        var x = 0
+        while (x < N) {
+          val base = ((x + 1) * (g + 3) + (y + 1) * (w + 5) + ((x * y) % (g + 2)) * 7) % 256
+          val delta = if (x >= 12 && x <= 13 && y >= 12 && y <= 13) d else 0
+          px(y * N + x) = math.min(base + delta, 255)
+          x += 1
+        }
+        y += 1
+      }
+      px
+    }
+
+    private def toImage(px: Array[Int]): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        N, N, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < N) {
+        var x = 0
+        while (x < N) { raster.setSample(x, y, 0, px(y * N + x)); x += 1 }
+        y += 1
+      }
+      img
+    }
+
+    private def encode(px: Array[Int], format: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ok = javax.imageio.ImageIO.write(toImage(px), format, bos)
+      require(ok, s"no JDK ImageIO writer for $format")
+      bos.toByteArray
+    }
+
+    /** Real lossless PNG bytes for the pixel grid (JDK encoder). */
+    def encodePng(px: Array[Int]): Array[Byte] = encode(px, "png")
+    /** Same pixels as a BMP — the re-encoding-invariance fixture. */
+    def encodeBmp(px: Array[Int]): Array[Byte] = encode(px, "bmp")
+
+    /** Real decode: any JDK-supported payload → N×N gray levels
+      * (luminance via the gray raster — lossless for gray PNG/BMP). */
+    def decodeGray(payload: Array[Byte]): Array[Int] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      require(img != null, "undecodable payload")
+      require(img.getWidth == N && img.getHeight == N,
+        s"expected ${N}x$N, got ${img.getWidth}x${img.getHeight}")
+      val gray =
+        if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) img
+        else {
+          val g = new java.awt.image.BufferedImage(
+            N, N, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          g.getGraphics.drawImage(img, 0, 0, null)
+          g
+        }
+      val px = new Array[Int](N * N)
+      var y = 0
+      while (y < N) {
+        var x = 0
+        while (x < N) { px(y * N + x) = gray.getRaster.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+      px
+    }
+
+    /** Classic pHash over a decoded grid, integer-exact: separable
+      * fixed-point 2D DCT, AC coefficients at row-major (u·8+v) ∈
+      * 1..60, threshold = 31st-smallest (the integer median rule), bit
+      * set where coefficient > threshold. 60 bits feed the 3×20-bit
+      * pigeonhole banding unchanged. */
+    def dctHash60(px: Array[Int]): Long = {
+      // rows pass: t(u)(y) = Σ_x px(x,y)·ctab(x)(u)
+      val t = Array.ofDim[Long](8, N)
+      var y = 0
+      while (y < N) {
+        var u = 0
+        while (u < 8) {
+          var acc = 0L
+          var x = 0
+          while (x < N) { acc += px(y * N + x) * ctab(x)(u); x += 1 }
+          t(u)(y) = acc
+          u += 1
+        }
+        y += 1
+      }
+      // cols pass: coeff(u,v) = Σ_y t(u)(y)·ctab(y)(v)
+      val coeffs = new Array[Long](61) // index = u*8+v, 1..60 used
+      var u = 0
+      while (u < 8) {
+        var v = 0
+        while (v < 8) {
+          val idx = u * 8 + v
+          if (idx >= 1 && idx <= 60) {
+            var acc = 0L
+            var yy = 0
+            while (yy < N) { acc += t(u)(yy) * ctab(yy)(v); yy += 1 }
+            coeffs(idx) = acc
+          }
+          v += 1
+        }
+        u += 1
+      }
+      val sorted = java.util.Arrays.copyOfRange(coeffs, 1, 61)
+      java.util.Arrays.sort(sorted)
+      val threshold = sorted(30)
+      var sim = 0L
+      var i = 1
+      while (i <= 60) {
+        if (coeffs(i) > threshold) sim |= 1L << (i - 1)
+        i += 1
+      }
+      sim
+    }
   }
 }

@@ -189,34 +189,45 @@ class QualityOpsR6Spec extends SparkSpec {
     } finally { Caches.releaseAll(); spark.catalog.clearCache() }
   }
 
-  test("phashDedup equals a brute-force byte-shingle simhash recomputation") {
+  test("phashDedup equals a direct DCT recomputation — the PNG decode round-trip is lossless") {
+    import graft.ops.Multimodal.PHash
     try {
       val out = graft.ops.Multimodal.phashDedup(spark, sf0001).collect()
         .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("hamming"))).toSet
-      val docs = Tables.documents(spark, sf0001)
-        .select(col("doc_id"), col("text")).collect()
-        .map(r => r.getLong(0) -> r.getString(1)).toMap
-      def fingerprint(text: String): Long = {
-        val hex = text.getBytes("UTF-8").map("%02X".format(_)).mkString
-        val shingles = (1 to math.max(hex.length - 7, 1) by 2)
-          .map(i => hex.substring(i - 1, math.min(i - 1 + 8, hex.length))).distinct
-        val votes = new Array[Int](60)
-        shingles.foreach { s =>
-          val h = java.lang.Long.parseLong(
-            java.security.MessageDigest.getInstance("MD5")
-              .digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
-              .substring(0, 15), 16)
-          for (j <- 0 until 60) if (((h >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
-        }
-        (0 until 60).foldLeft(0L)((acc, j) => if (votes(j) > 0) acc | (1L << j) else acc)
-      }
-      val fps = docs.map { case (d, t) => d -> fingerprint(t) }
+      val ids = Tables.documents(spark, sf0001)
+        .select(col("doc_id")).collect().map(_.getLong(0))
+      // truth path skips the codec entirely: formula pixels -> DCT hash.
+      // Agreement proves the Spark side's encode->PNG->decode round-trip
+      // returned the exact pixels it was given.
+      val fps = ids.map(d => d -> PHash.dctHash60(PHash.pixelGrid(d)))
       val truth = (for {
         (a, fa) <- fps; (b, fb) <- fps if a < b
         hm = java.lang.Long.bitCount(fa ^ fb).toLong if hm <= 2
       } yield (a, b, hm)).toSet
+      assert(truth.nonEmpty, "no hamming<=2 pairs at sf0.001 — fixture classes are broken")
       assert(out == truth, s"phash pairs diverge: spark=${out.size}, truth=${truth.size}")
     } finally { Caches.releaseAll(); spark.catalog.clearCache() }
+  }
+
+  test("pHash fingerprints survive re-encoding (PNG<->BMP) and move when pixels move") {
+    import graft.ops.Multimodal.PHash
+    for (id <- Seq(0L, 7L, 23L, 100L, 299L)) {
+      val px = PHash.pixelGrid(id)
+      val viaPng = PHash.dctHash60(PHash.decodeGray(PHash.encodePng(px)))
+      val viaBmp = PHash.dctHash60(PHash.decodeGray(PHash.encodeBmp(px)))
+      assert(viaPng == viaBmp, s"doc $id: re-encoding changed the fingerprint")
+      // a real pixel change (brighten an 8x8 block hard) must move it
+      val perturbed = px.clone()
+      for (y <- 0 until 8; x <- 0 until 8)
+        perturbed(y * PHash.N + x) = math.min(perturbed(y * PHash.N + x) + 120, 255)
+      val moved = PHash.dctHash60(PHash.decodeGray(PHash.encodePng(perturbed)))
+      assert(moved != viaPng, s"doc $id: fingerprint blind to an 8x8 +120 pixel change")
+      // ...while the fixture's own tiny 2x2 delta stays hamming-close:
+      // same class, different per-doc delta
+      val sibling = PHash.dctHash60(PHash.pixelGrid(id + 299))
+      assert(java.lang.Long.bitCount(viaPng ^ sibling) <= 2,
+        s"doc $id vs ${id + 299}: same-class near-dup drifted beyond hamming 2")
+    }
   }
 
   test("phashDedup bucket cap: capped pairs are a subset, cap 1 kills all candidates") {
