@@ -190,7 +190,8 @@ object Cli {
         good.awaitTermination(); quarantine.awaitTermination()
       // corpus-daemon <landingDir> <outDir> <ckptDir> — continuous
       // corpus tail (60s trigger) with the graceful-stop hook; runs
-      // until SIGTERM, which finishes the in-flight batch first
+      // until SIGTERM — an interrupted batch replays from the
+      // checkpoint on restart, so no torn output is observable
       case "corpus-daemon" :: inDir :: outDir :: ckptDir :: Nil =>
         val (good, quarantine) =
           graft.streaming.CorpusStream.daemon(spark, inDir, outDir, ckptDir)

@@ -545,22 +545,7 @@ object EventsEtl {
       .orderBy(col("user_id"), col("event_id"))
   }
 
-  /** Out-of-order lateness profile — the evidence a streaming
-    * watermark delay is chosen from: treating event_id order per user
-    * as arrival order, an event's lateness is (running max event time
-    * seen before it) − (its own event time), clamped at 0. Buckets the
-    * lateness into the watermark-relevant ranges and reports count and
-    * worst case per bucket; a pipeline re-runs this per ingest day to
-    * check its `withWatermark` delay still covers the observed p-tail.
-    *
-    * Shape at scale: ONE per-user running-max window (hash exchange on
-    * user_id) feeding a 5-row map-side-combinable agg — no join, no
-    * global sort of the events. The driver corpus is fully in-order,
-    * so its oracle-gated result is the single a_ontime bucket (the
-    * [[dqChecks]] "clean reads all-zero" shape); the disorder
-    * semantics are exercised by spec on an injected out-of-order
-    * feed. */
-  /** CUSUM change-point profile over daily event volume — the
+    /** CUSUM change-point profile over daily event volume — the
     * mean-shift monitor an ingest pipeline runs on its own throughput:
     * cumulative sum of (daily count − corpus mean) peaks exactly where
     * the level shifts, so the flagged day is the change-point estimate
@@ -610,6 +595,21 @@ object EventsEtl {
       .orderBy(col("day"))
   }
 
+  /** Out-of-order lateness profile — the evidence a streaming
+    * watermark delay is chosen from: treating event_id order per user
+    * as arrival order, an event's lateness is (running max event time
+    * seen before it) − (its own event time), clamped at 0. Buckets the
+    * lateness into the watermark-relevant ranges and reports count and
+    * worst case per bucket; a pipeline re-runs this per ingest day to
+    * check its `withWatermark` delay still covers the observed p-tail.
+    *
+    * Shape at scale: ONE per-user running-max window (hash exchange on
+    * user_id) feeding a 5-row map-side-combinable agg — no join, no
+    * global sort of the events. The driver corpus is fully in-order,
+    * so its oracle-gated result is the single a_ontime bucket (the
+    * [[dqChecks]] "clean reads all-zero" shape); the disorder
+    * semantics are exercised by spec on an injected out-of-order
+    * feed. */
   def latenessProfile(spark: SparkSession, dir: String): DataFrame = {
     val byArrival = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)

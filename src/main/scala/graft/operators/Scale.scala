@@ -10,6 +10,15 @@ import org.apache.spark.sql.functions._
   * hot key across partitions).
   */
 object Scale {
+  /** True if the type contains a map anywhere — such columns can't
+    * feed xxhash64 (unhashable: map equality ignores entry order). */
+  private[operators] def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.MapType => true
+    case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => containsMap(f.dataType))
+    case a: org.apache.spark.sql.types.ArrayType => containsMap(a.elementType)
+    case _ => false
+  }
+
 
   /** Write both sides bucketed by the join key into the session
     * warehouse. Joins between them then co-locate: no Exchange on
@@ -41,13 +50,20 @@ object Scale {
     * not be.) */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts > 0)
-    // salt = hash of the whole row: stable under retries AND under
-    // partition-layout changes (monotonically_increasing_id is only
-    // stable for an identical layout). Exact duplicate rows share a
-    // salt — they spread no further, which is the best any
-    // content-derived salt can do.
+    // salt = hash of the row's hashable columns: stable under retries
+    // AND under partition-layout changes (monotonically_increasing_id
+    // is only stable for an identical layout). Map-typed columns are
+    // excluded — xxhash64 rejects them at analysis. KNOWN LIMIT: exact
+    // duplicate rows of a hot key share a salt, so a corpus that is
+    // one row duplicated a billion times still lands on one reducer;
+    // that degenerate shape needs dedup-before-join (dedup_exact),
+    // not salting — no deterministic content-derived salt can split
+    // indistinguishable rows.
+    val hashable = big.schema.fields.filterNot(f =>
+      graft.operators.Scale.containsMap(f.dataType)).map(f => col(f.name))
+    require(hashable.nonEmpty, "saltedJoin: no hashable columns on the big side")
     val saltedBig = big.withColumn("__salt",
-      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(salts)).cast("int"))
+      pmod(xxhash64(hashable.toIndexedSeq: _*), lit(salts)).cast("int"))
     val saltedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedBig.join(saltedSmall, Seq(key, "__salt")).drop("__salt")

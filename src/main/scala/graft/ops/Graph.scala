@@ -232,25 +232,7 @@ object Graph {
       .orderBy(col("u"), col("v"))
   }
 
-  /** k-core peel profile of the co-occurrence graph: with k pinned to
-    * the (floor of the) median degree, run 4 peel rounds — drop nodes
-    * with degree < k, then every edge touching one — and report the
-    * (nodes, edges) trajectory per round. This is the density-collapse
-    * audit a graph-based curation pass runs BEFORE trusting a core
-    * filter: a near-random graph (this synthetic one) collapses
-    * all-at-once within 2–3 rounds, while a community-structured graph
-    * sheds a thin periphery per round — the trajectory's shape, not
-    * the final core, is the signal.
-    *
-    * Per round: ONE map-side-combinable degree agg + two semi-joins of
-    * the edge list against the ≤|V|-row keep set (maybeBroadcast), and
-    * an eager localCheckpoint so round N's plan doesn't embed rounds
-    * 1..N−1 — the componentsStar loop discipline. The per-round node/
-    * edge counts are bounded driver scalars (the same convergence-
-    * telemetry shape as pageRank's per-round count). The round count
-    * is oracle-pinned at 4; production peels to fixpoint with the
-    * identical per-round plan. */
-  /** BFS reachability levels from the minimum node of the full
+    /** BFS reachability levels from the minimum node of the full
     * co-occurrence graph, up to maxHops: the blast-radius primitive
     * behind "everything within N hops of a flagged item" curation
     * sweeps. (The full graph, not the sparsified one — its components
@@ -289,6 +271,24 @@ object Graph {
     visited.orderBy(col("node"))
   }
 
+  /** k-core peel profile of the co-occurrence graph: with k pinned to
+    * the (floor of the) median degree, run 4 peel rounds — drop nodes
+    * with degree < k, then every edge touching one — and report the
+    * (nodes, edges) trajectory per round. This is the density-collapse
+    * audit a graph-based curation pass runs BEFORE trusting a core
+    * filter: a near-random graph (this synthetic one) collapses
+    * all-at-once within 2–3 rounds, while a community-structured graph
+    * sheds a thin periphery per round — the trajectory's shape, not
+    * the final core, is the signal.
+    *
+    * Per round: ONE map-side-combinable degree agg + two semi-joins of
+    * the edge list against the ≤|V|-row keep set (maybeBroadcast), and
+    * an eager localCheckpoint so round N's plan doesn't embed rounds
+    * 1..N−1 — the componentsStar loop discipline. The per-round node/
+    * edge counts are bounded driver scalars (the same convergence-
+    * telemetry shape as pageRank's per-round count). The round count
+    * is oracle-pinned at 4; production peels to fixpoint with the
+    * identical per-round plan. */
   def kCorePeel(spark: SparkSession, dir: String, rounds: Int = 4): DataFrame = {
     import graft.operators.Scale.maybeBroadcast
     def degrees(e: DataFrame): DataFrame =

@@ -805,20 +805,6 @@ object Similarity {
     v.select(col("d").as("dim"), col("vd").as("component")).orderBy(col("dim"))
   }
 
-  /** Matryoshka two-stage retrieval (Kusupati et al. 2022 prefix-dim
-    * property): stage 1 retrieves coarse top-20 candidates per probe
-    * (vec_id < 25) by cosine over the FIRST 16 dims only; stage 2
-    * reranks exactly those candidates by full-dim cosine and keeps
-    * top-5. Both ranks are reported, so the reordering the cheap
-    * prefix caused is visible (coarse_rk vs rk) — the standard
-    * cheap-filter / exact-rerank funnel of production retrieval.
-    *
-    * Shape at scale: the stage-1 scan reads 16/64 of the vector bytes
-    * (in a real layout the prefix is its own parquet column, so the
-    * reader prunes the rest); probes broadcast against it like
-    * [[annBruteforce]]; stage 2 touches |probes|·20 rows that already
-    * carry their full vectors — no second scan, the corpus never
-    * shuffles. */
   /** Greedy best-first search over the k-NN graph — the query path of
     * graph-based ANN indexes (the HNSW/NSG family) at beam width 1:
     * enter at a FIXED far-away node (the min-id node of the probe's
@@ -881,6 +867,20 @@ object Similarity {
       .orderBy(col("probe_id"), col("hop"))
   }
 
+  /** Matryoshka two-stage retrieval (Kusupati et al. 2022 prefix-dim
+    * property): stage 1 retrieves coarse top-20 candidates per probe
+    * (vec_id < 25) by cosine over the FIRST 16 dims only; stage 2
+    * reranks exactly those candidates by full-dim cosine and keeps
+    * top-5. Both ranks are reported, so the reordering the cheap
+    * prefix caused is visible (coarse_rk vs rk) — the standard
+    * cheap-filter / exact-rerank funnel of production retrieval.
+    *
+    * Shape at scale: the stage-1 scan reads 16/64 of the vector bytes
+    * (in a real layout the prefix is its own parquet column, so the
+    * reader prunes the rest); probes broadcast against it like
+    * [[annBruteforce]]; stage 2 touches |probes|·20 rows that already
+    * carry their full vectors — no second scan, the corpus never
+    * shuffles. */
   def annMatryoshkaRerank(spark: SparkSession, dir: String,
       prefixDims: Int = 16, coarseK: Int = 20, k: Int = 5): DataFrame = {
     val e = vecs(spark, dir)

@@ -469,20 +469,7 @@ object TextAnalysis {
       .orderBy(col("exact_c").desc, col("w"))
   }
 
-  /** Per-doc n-gram novelty — the redundancy-growth telemetry of a
-    * crawl: a doc's novelty is the fraction of its DISTINCT bigrams
-    * whose corpus-wide first appearance (min doc_id — ingest-order
-    * proxy) is this doc. When the marginal docs' novelty flatlines,
-    * additional crawl is buying pure duplication — the saturation
-    * curve that decides when to stop ingesting a source.
-    *
-    * Shape at scale: doc-distinct grams → min-doc agg on the gram key
-    * (map-side combinable) → join back on the same gram key (no
-    * second shuffle of the gram relation under co-partitioning) →
-    * doc-grain agg. Two bounded shuffles, no window, no global sort;
-    * the gram relation is the only unbounded one and it shuffles on
-    * the collision-bounded gram key like every shingle-family op. */
-  /** Per-source Jensen–Shannon divergence from the corpus unigram
+    /** Per-source Jensen–Shannon divergence from the corpus unigram
     * distribution — the mix-drift metric a corpus build monitors per
     * ingest source: a source whose token distribution diverges from
     * the blend is either a new domain (keep, reweight) or garbage
@@ -525,6 +512,19 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** Per-doc n-gram novelty — the redundancy-growth telemetry of a
+    * crawl: a doc's novelty is the fraction of its DISTINCT bigrams
+    * whose corpus-wide first appearance (min doc_id — ingest-order
+    * proxy) is this doc. When the marginal docs' novelty flatlines,
+    * additional crawl is buying pure duplication — the saturation
+    * curve that decides when to stop ingesting a source.
+    *
+    * Shape at scale: doc-distinct grams → min-doc agg on the gram key
+    * (map-side combinable) → join back on the same gram key (no
+    * second shuffle of the gram relation under co-partitioning) →
+    * doc-grain agg. Two bounded shuffles, no window, no global sort;
+    * the gram relation is the only unbounded one and it shuffles on
+    * the collision-bounded gram key like every shingle-family op. */
   def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
     val grams = graft.Caches.persistTracked(
       Tables.documents(spark, dir)

@@ -59,8 +59,13 @@ object CorpusStream {
              dedupTtl: String = "24 hours",
              eventTime: Column = current_timestamp(),
              trigger: Trigger = Trigger.AvailableNow()): (StreamingQuery, StreamingQuery) = {
-    SnapshotStream.rocksDbStateConfs.foreach { case (k, v) => spark.conf.set(k, v) }
-    val good = parsedDocs(spark.readStream.text(inDir))
+    // the RocksDB provider confs are scoped to a CLONED session (shared
+    // SparkContext, isolated SQL conf) so this query's state-store
+    // choice can't silently leak into other streaming queries the
+    // caller's session runs
+    val session = spark.newSession()
+    SnapshotStream.rocksDbStateConfs.foreach { case (k, v) => session.conf.set(k, v) }
+    val good = parsedDocs(session.readStream.text(inDir))
       .filter(col("is_valid"))
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         coalesce(col("n_chars"), length(col("text")).cast("long")).as("n_chars"))
@@ -90,9 +95,13 @@ object CorpusStream {
   /** The continuous form of [[ingest]] with the snapshot daemon's
     * lifecycle discipline ([[SnapshotStream.daemon]]): a periodic
     * trigger tails the landing dir forever, and a shutdown hook stops
-    * both queries AFTER their in-flight batch — SIGTERM never tears a
-    * half-written micro-batch (the reference's GracefulKiller
-    * semantics, applied to the corpus surface). */
+    * both queries on SIGTERM. `StreamingQuery.stop()` interrupts the
+    * in-flight micro-batch rather than letting it finish — the aborted
+    * batch simply REPLAYS from the checkpoint on restart (exactly-once
+    * via offset log + file-sink transactionality), which is how the
+    * reference's GracefulKiller intent (never ship a torn batch) is
+    * met on Spark: not by deferring the stop, but by making a torn
+    * batch unobservable. */
   def daemon(spark: SparkSession, inDir: String, outDir: String, ckptDir: String,
              minQuality: Double = 0.0,
              dedupTtl: String = "24 hours",

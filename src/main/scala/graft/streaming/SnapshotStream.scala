@@ -43,7 +43,9 @@ object SnapshotStream {
     * their own (date, minute) partitions — a retried batch rewrites, it
     * never doubles). The checkpoint replaces the reference's
     * last-loaded-snapshot bookkeeping; the shutdown hook is its
-    * GracefulKiller (SIGTERM finishes the in-flight batch, then stops).
+    * GracefulKiller analogue: stop() interrupts the in-flight batch,
+    * and the idempotent sinks + checkpoint replay make the torn batch
+    * unobservable after restart (same end state as finish-then-stop).
     */
   def daemon(spark: SparkSession, rawDir: String, outDir: String,
       checkpointDir: String,

@@ -148,6 +148,17 @@ class ScaleSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("salted join tolerates map-typed columns on the big side") {
+    val big = Tables.lineitem(spark, sf0001)
+      .select($"l_orderkey".as("k"), $"l_quantity",
+        map(lit("a"), $"l_quantity").as("m"))
+    val small = Tables.orders(spark, sf0001)
+      .select($"o_orderkey".as("k"), $"o_orderpriority").limit(50)
+    // xxhash64 over a map column fails analysis; the salt must skip it
+    val salted = Scale.saltedJoin(big, small, "k", salts = 4)
+    assert(salted.count() == big.join(small, "k").count())
+  }
+
   test("hot-key detection finds the heavy hitters") {
     val hot = Scale.hotKeys(Tables.lineitem(spark, sf0001), "l_orderkey", minCount = 5L)
     val manual = Tables.lineitem(spark, sf0001)
