@@ -152,6 +152,7 @@ object SparkEntry {
     "graph_bfs_levels"    -> ((s: SparkSession, d: String) => Graph.bfsLevels(s, d)),
     "mm_phash_dedup"      -> ((s: SparkSession, d: String) => Multimodal.phashDedup(s, d)),
     "ann_graph_search"    -> ((s: SparkSession, d: String) => Similarity.annGraphSearch(s, d)),
+    "ann_graph_beam"      -> ((s: SparkSession, d: String) => Similarity.annGraphBeam(s, d)),
     "embed_ivf_balance"   -> Similarity.ivfBalance _,
     "text_ngram_novelty"  -> TextAnalysis.ngramNovelty _,
     "etl_lateness_profile" -> EventsEtl.latenessProfile _,
@@ -1977,6 +1978,76 @@ object SparkEntry {
         |UNION ALL SELECT probe_id, 2, cur, cosine FROM h2
         |UNION ALL SELECT probe_id, 3, cur, cosine FROM h3
         |ORDER BY probe_id, hop""".stripMargin,
+    // Beam search mirrors annGraphBeam: trained-IVF routed entry
+    // (ivfCtes' cent/asg), 3-neighbor graph, beam-4 frontier for 3
+    // hops, top-5 of the visited set vs brute-force truth.
+    "ann_graph_beam" ->
+      s"""WITH $ivfCtes,
+        |n AS MATERIALIZED (SELECT vec_id, CAST(label AS BIGINT) AS label, v,
+        |   sqrt(list_sum(list_transform(v, x -> x*x))) AS norm
+        |  FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |        FROM embeddings)),
+        |g0 AS MATERIALIZED (SELECT a.vec_id AS src, b.vec_id AS nbr_id,
+        |   round(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1]*z[2]))
+        |     / (a.norm * b.norm), 6) AS cosine
+        |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id),
+        |g AS MATERIALIZED (SELECT src, nbr_id FROM (SELECT src, nbr_id,
+        |   row_number() OVER (PARTITION BY src ORDER BY cosine DESC, nbr_id) AS rk FROM g0) t
+        |  WHERE rk <= 3),
+        |p AS MATERIALIZED (SELECT vec_id AS probe_id, v AS pv, norm AS pnorm
+        |  FROM n WHERE vec_id < 25),
+        |pr AS MATERIALIZED (SELECT probe_id, cell FROM (SELECT p.probe_id, cent.cell,
+        |   row_number() OVER (PARTITION BY p.probe_id ORDER BY
+        |     round(sqrt(list_sum(list_transform(list_zip(p.pv, cent.cv),
+        |       z -> (z[1]-z[2])*(z[1]-z[2])))), 6), cent.cell) AS rk
+        |  FROM p CROSS JOIN cent) t WHERE rk = 1),
+        |en AS MATERIALIZED (SELECT probe_id, node FROM (SELECT pr.probe_id,
+        |   asg.vec_id AS node,
+        |   row_number() OVER (PARTITION BY pr.probe_id ORDER BY asg.dist, asg.vec_id) AS rk
+        |  FROM pr JOIN asg ON asg.cell = pr.cell AND asg.vec_id <> pr.probe_id) t
+        |  WHERE rk = 1),
+        |f0 AS MATERIALIZED (SELECT en.probe_id, en.node,
+        |   round(list_sum(list_transform(list_zip(p.pv, n.v), z -> z[1]*z[2]))
+        |     / (p.pnorm * n.norm), 6) AS cosine
+        |  FROM en JOIN p USING (probe_id) JOIN n ON n.vec_id = en.node),
+        |bs1 AS MATERIALIZED (SELECT c.probe_id, c.node,
+        |   round(list_sum(list_transform(list_zip(p.pv, n.v), z -> z[1]*z[2]))
+        |     / (p.pnorm * n.norm), 6) AS cosine
+        |  FROM (SELECT DISTINCT f.probe_id, g.nbr_id AS node FROM f0 f
+        |        JOIN g ON g.src = f.node WHERE g.nbr_id <> f.probe_id) c
+        |  JOIN p USING (probe_id) JOIN n ON n.vec_id = c.node),
+        |bf1 AS MATERIALIZED (SELECT probe_id, node, cosine FROM (SELECT u.*,
+        |   row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, node) AS rk
+        |  FROM (SELECT * FROM f0 UNION SELECT * FROM bs1) u) t WHERE rk <= 4),
+        |bs2 AS MATERIALIZED (SELECT c.probe_id, c.node,
+        |   round(list_sum(list_transform(list_zip(p.pv, n.v), z -> z[1]*z[2]))
+        |     / (p.pnorm * n.norm), 6) AS cosine
+        |  FROM (SELECT DISTINCT f.probe_id, g.nbr_id AS node FROM bf1 f
+        |        JOIN g ON g.src = f.node WHERE g.nbr_id <> f.probe_id) c
+        |  JOIN p USING (probe_id) JOIN n ON n.vec_id = c.node),
+        |bf2 AS MATERIALIZED (SELECT probe_id, node, cosine FROM (SELECT u.*,
+        |   row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, node) AS rk
+        |  FROM (SELECT * FROM bf1 UNION SELECT * FROM bs2) u) t WHERE rk <= 4),
+        |bs3 AS MATERIALIZED (SELECT c.probe_id, c.node,
+        |   round(list_sum(list_transform(list_zip(p.pv, n.v), z -> z[1]*z[2]))
+        |     / (p.pnorm * n.norm), 6) AS cosine
+        |  FROM (SELECT DISTINCT f.probe_id, g.nbr_id AS node FROM bf2 f
+        |        JOIN g ON g.src = f.node WHERE g.nbr_id <> f.probe_id) c
+        |  JOIN p USING (probe_id) JOIN n ON n.vec_id = c.node),
+        |vis AS MATERIALIZED (SELECT * FROM f0 UNION SELECT * FROM bs1
+        |  UNION SELECT * FROM bs2 UNION SELECT * FROM bs3),
+        |top AS MATERIALIZED (SELECT probe_id, node, cosine, rk FROM (SELECT probe_id, node, cosine,
+        |   CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, node) AS BIGINT) AS rk
+        |  FROM vis) t WHERE rk <= 5),
+        |tr AS MATERIALIZED (SELECT probe_id, node FROM (SELECT p.probe_id, n.vec_id AS node,
+        |   row_number() OVER (PARTITION BY p.probe_id ORDER BY
+        |     round(list_sum(list_transform(list_zip(p.pv, n.v), z -> z[1]*z[2]))
+        |       / (p.pnorm * n.norm), 6) DESC, n.vec_id) AS trk
+        |  FROM p JOIN n ON n.vec_id <> p.probe_id) t WHERE trk <= 5)
+        |SELECT top.probe_id, top.rk, top.node AS node_id, top.cosine,
+        |  (tr.node IS NOT NULL) AS hit
+        |FROM top LEFT JOIN tr ON tr.probe_id = top.probe_id AND tr.node = top.node
+        |ORDER BY 1, 2""".stripMargin,
     // Mirrors Multimodal.PHash exactly: same pixel formula, same
     // INLINED fixed-point cosine table (no libm drift), same rank-31
     // threshold — the Spark side additionally round-trips the pixels

@@ -867,6 +867,97 @@ object Similarity {
       .orderBy(col("probe_id"), col("hop"))
   }
 
+  /** Beam search over the k-NN graph with an IVF-routed entry — the
+    * production query path of graph-based ANN ([[annGraphSearch]] is
+    * its beam-width-1 trajectory demo). Two upgrades make it an HNSW-
+    * shaped searcher: (1) the COARSE ENTRY LAYER — each probe routes to
+    * its nearest TRAINED centroid ([[trainedIndex]], the same metric
+    * and tie-break the IVF family uses) and enters at that cell's
+    * medoid (min distance-to-centroid member), replacing the fixed far
+    * seed; (2) the BEAM-k FRONTIER — per hop, the union of every
+    * cursor's graph neighbors is scored against the probe and the best
+    * `beam` nodes survive (one TakeOrdered-shaped window per hop), so
+    * one bad neighbor list can't strand the walk the way greedy's
+    * single cursor can. The answer is top-`k` of everything the walk
+    * scored, each row flagged `hit` iff it is in the exact brute-force
+    * top-`k` — recall@k is measured inside the query, and the spec
+    * asserts it dominates the greedy walk's on the same probes.
+    *
+    * Shape at scale: the graph (|V|·k edges) is built once and only
+    * PROBED — per hop the ≤|probes|·beam cursor relation broadcasts
+    * against it, the ≤|probes|·beam·k candidate set broadcasts against
+    * the vector scan for scoring, and the beam/visited windows run on
+    * |probes|-bounded rows; frontier and visited are localCheckpoint'd
+    * per hop so plan depth stays flat (the componentsStar loop
+    * discipline). The exact-truth join is the |probes|-row evaluation
+    * harness — at 100 TB it runs over a probe sample, exactly like
+    * [[annRecallReport]]. */
+  def annGraphBeam(spark: SparkSession, dir: String, beam: Int = 4,
+      hops: Int = 3, k: Int = 5): DataFrame = {
+    val e = vecs(spark, dir)
+    val graph = graft.Caches.persistTracked(
+      annKnnGraph(spark, dir).select(col("vec_id").as("src"), col("nbr_id")))
+    graph.count()
+    val (cent, assign) = trainedIndex(spark, dir)
+    val probes = graft.Caches.persistTracked(
+      e.filter(col("vec_id") < 25)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+          col("norm").as("pnorm")))
+    probes.count()
+    // coarse entry: route each probe through the trained quantizer
+    // (same rounded L2 + (dist, cell) tie-break as kmeansAssign)...
+    val routed = kmeansAssign(
+        probes.select(col("probe_id").as("vec_id"), col("pv").as("v")), cent)
+      .select(col("vec_id").as("probe_id"), col("cell"))
+    // ...and enter at the routed cell's medoid
+    val wMedoid = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("dist"), col("vec_id"))
+    val entry = assign.join(broadcast(routed), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("rk", row_number().over(wMedoid)).filter(col("rk") === 1)
+      .select(col("probe_id"), col("vec_id").as("node"))
+    def score(cand: DataFrame): DataFrame =
+      e.join(broadcast(cand), col("vec_id") === col("node"))
+        .join(broadcast(probes), Seq("probe_id"))
+        .select(col("probe_id"), col("node"),
+          round(expr("graft_dot(pv, v)") / (col("pnorm") * col("norm")), 6)
+            .as("cosine"))
+    val wBeam = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("node"))
+    var frontier = score(entry).localCheckpoint(true)
+    var visited = frontier
+    for (_ <- 1 to hops) {
+      val nbrs = graph
+        .join(broadcast(frontier.select(col("probe_id"), col("node").as("src"))),
+          Seq("src"))
+        .filter(col("nbr_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("nbr_id").as("node")).distinct()
+      val scored = score(nbrs)
+      frontier = frontier.unionByName(scored)
+        .dropDuplicates("probe_id", "node")
+        .withColumn("rk", row_number().over(wBeam)).filter(col("rk") <= beam)
+        .select(col("probe_id"), col("node"), col("cosine"))
+        .localCheckpoint(true)
+      visited = visited.unionByName(scored)
+        .dropDuplicates("probe_id", "node").localCheckpoint(true)
+    }
+    val top = visited
+      .withColumn("rk", row_number().over(wBeam).cast("long"))
+      .filter(col("rk") <= k)
+    // exact truth for the same probes — the recall evaluation harness
+    val wTruth = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("tcos").desc, col("node"))
+    val truth = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("node"),
+        round(expr("graft_dot(pv, v)") / (col("pnorm") * col("norm")), 6).as("tcos"))
+      .withColumn("trk", row_number().over(wTruth)).filter(col("trk") <= k)
+      .select(col("probe_id"), col("node"), lit(true).as("hit"))
+    top.join(broadcast(truth), Seq("probe_id", "node"), "left")
+      .select(col("probe_id"), col("rk"), col("node").as("node_id"),
+        col("cosine"), coalesce(col("hit"), lit(false)).as("hit"))
+      .orderBy(col("probe_id"), col("rk"))
+  }
+
   /** Matryoshka two-stage retrieval (Kusupati et al. 2022 prefix-dim
     * property): stage 1 retrieves coarse top-20 candidates per probe
     * (vec_id < 25) by cosine over the FIRST 16 dims only; stage 2
