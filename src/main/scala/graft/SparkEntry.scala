@@ -98,7 +98,7 @@ object SparkEntry {
     "text_lm_score"       -> TextAnalysis.lmScore _,
     "dedup_exact"         -> Dedup.exact _,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccard _,
-    "dedup_minhash_lsh"   -> Dedup.minhashLsh _,
+    "dedup_minhash_lsh"   -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
     "dedup_simhash"       -> Dedup.simhash _,
     "dedup_winnow_pairs"  -> Dedup.winnowPairs _,
     "dedup_components"    -> Dedup.components _,
@@ -161,7 +161,8 @@ object SparkEntry {
     "text_source_divergence" -> TextAnalysis.sourceDivergence _,
     "pipeline_tokenizer_fertility" -> Pipeline.tokenizerFertility _,
     "pipeline_interleave_sources" -> Pipeline.interleaveSources _,
-    "dedup_lsh_eval"      -> Dedup.lshEval _,
+    "dedup_lsh_eval"      -> ((s: SparkSession, d: String) => Dedup.lshEval(s, d)),
+    "dedup_lsh_eval_sampled" -> ((s: SparkSession, d: String) => Dedup.lshEval(s, d, sampleMod = 4)),
     "pipeline_dsir_weights" -> Pipeline.dsirWeights _,
     "embed_pca_power"     -> ((s, d) => Similarity.pcaPower(s, d)),
     "dedup_semdedup"      -> Similarity.semDedup _,
@@ -219,6 +220,13 @@ object SparkEntry {
       |asg AS (SELECT vec_id, v, cell, dist,
       |   sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM s2
       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1)""".stripMargin
+
+  /** [[bandsCtes]] over the deterministic 1/4 hash sample — the oracle
+    * side of the sample-at-scale lshEval path (identical predicate to
+    * Dedup.sampleDocs at mod 4, portable md5 hash). */
+  private def bandsCtesSampled: String = bandsCtes.replace(
+    "FROM documents)",
+    "FROM documents WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '-lsheval'), 1, 15))::BIGINT % 4) = 0)")
 
   private val bandsCtes: String =
     """t AS (SELECT doc_id, text, regexp_extract_all(text, '\S+') AS toks FROM documents),
@@ -2259,6 +2267,31 @@ object SparkEntry {
         |ORDER BY u, v""".stripMargin,
     "dedup_lsh_eval" ->
       s"""WITH $bandsCtes,
+        |cand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |sh AS (SELECT doc_id, unnest(shingles) AS s FROM shl),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |jac AS (SELECT doc_a, doc_b, round(CAST(c AS DOUBLE) / (x.n + y.n - c), 6) AS j
+        |  FROM common JOIN cnt x ON doc_a = x.doc_id JOIN cnt y ON doc_b = y.doc_id
+        |  WHERE round(CAST(c AS DOUBLE) / (x.n + y.n - c), 6) >= 0.5),
+        |flagged AS (SELECT j.j, CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |  FROM jac j LEFT JOIN cand c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b),
+        |th AS (SELECT CAST(unnest([0.5, 0.7, 0.8, 0.9]) AS DOUBLE) AS threshold),
+        |nc AS (SELECT count(*) AS n_candidates FROM cand)
+        |SELECT th.threshold, nc.n_candidates, count(*) AS n_true,
+        |  CAST(sum(hit) AS BIGINT) AS n_hit,
+        |  round(CAST(sum(hit) AS DOUBLE) / nc.n_candidates, 6) AS precision,
+        |  round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS recall
+        |FROM flagged JOIN th ON flagged.j >= th.threshold CROSS JOIN nc
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // Identical report over the deterministic 1/4 hash sample — the
+    // sample-at-scale path: every CTE below bands sees 1/4 of the
+    // docs because the predicate sits on the scan.
+    "dedup_lsh_eval_sampled" ->
+      s"""WITH $bandsCtesSampled,
         |cand AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
         |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
         |  GROUP BY 1, 2),

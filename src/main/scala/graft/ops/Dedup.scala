@@ -32,6 +32,19 @@ object Dedup {
   private def h60(s: String): String =
     s"CAST(conv(substr(md5($s), 1, 15), 16, 10) AS BIGINT)"
 
+  /** Deterministic portable 1/mod document sample — the sample-at-scale
+    * path of [[lshEval]]: keep doc_id iff H60(doc_id ++ "-lsheval") ≡ 0
+    * (mod `mod`). A hash sample (not a prefix/limit) so it composes
+    * with any partitioning, is retry-stable, and is reproduced
+    * bit-for-bit by the DuckDB oracle; the predicate sits directly on
+    * the scan, so every downstream stage (shingling, PPJoin prefix,
+    * LSH bands) does 1/mod of its work — the PLAN is unchanged.
+    * mod = 1 short-circuits to the full corpus. */
+  private def sampleDocs(docs: DataFrame, mod: Long): DataFrame =
+    if (mod <= 1) docs
+    else docs.filter(
+      expr(s"${h60("concat(CAST(doc_id AS STRING), '-lsheval')")} % $mod = 0"))
+
   /** doc_id + distinct 3-token shingles, each step its own projection. */
   private def withShingles(df: DataFrame): DataFrame =
     df.select(col("doc_id"), col("text"),
@@ -73,7 +86,7 @@ object Dedup {
     * Returns (doc_a, doc_b, jaccard) for every pair at or above
     * `thresholdDec`. */
   private def exactJaccardPairs(spark: SparkSession, dir: String,
-      thresholdDec: BigDecimal): DataFrame = {
+      thresholdDec: BigDecimal, sampleMod: Long = 1): DataFrame = {
     GraftFunctions.register(spark)
     val threshold = thresholdDec.toDouble
     // Exact all-pairs similarity join with PPJoin-style prefix
@@ -95,7 +108,7 @@ object Dedup {
     // sets feeds three subtrees (prefix relation + both verification
     // sides); without a cache the scan→shingle→md5 chain runs 3×
     val sets = graft.Caches.persistTracked(
-      withShingleHashes(Tables.documents(spark, dir))
+      withShingleHashes(sampleDocs(Tables.documents(spark, dir), sampleMod))
         .select(col("doc_id"), col("hs")))
     val sh = sets.select(col("doc_id"), size(col("hs")).as("n"), explode(col("hs")).as("s"))
     val freq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
@@ -191,9 +204,10 @@ object Dedup {
   /** (doc_id, band, bkey) LSH band-bucket relation — the shared
     * candidate-generation surface for near-dup pairing AND benchmark
     * decontamination (Pipeline.decontaminate). */
-  private[ops] def lshBands(spark: SparkSession, dir: String): DataFrame = {
+  private[ops] def lshBands(spark: SparkSession, dir: String,
+      sampleMod: Long = 1): DataFrame = {
     GraftFunctions.register(spark)
-    val sig = withShingles(Tables.documents(spark, dir))
+    val sig = withShingles(sampleDocs(Tables.documents(spark, dir), sampleMod))
       .select(col("doc_id"), expr("graft_minhash_sig(shingles)").as("sig"))
     sig.select(col("doc_id"),
         explode(expr(
@@ -203,8 +217,9 @@ object Dedup {
       .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
   }
 
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val bands = lshBands(spark, dir)
+  def minhashLsh(spark: SparkSession, dir: String,
+      sampleMod: Long = 1): DataFrame = {
+    val bands = lshBands(spark, dir, sampleMod)
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -228,12 +243,13 @@ object Dedup {
     * 100 TB deploy runs this report over a document SAMPLE, which
     * changes none of the plan. Both pair sets reduce to a handful of
     * counts before the thresholds (a 4-row broadcast) ever see them. */
-  def lshEval(spark: SparkSession, dir: String): DataFrame = {
+  def lshEval(spark: SparkSession, dir: String,
+      sampleMod: Long = 1): DataFrame = {
     val cand = graft.Caches.persistTracked(
-      minhashLsh(spark, dir).select(col("doc_a"), col("doc_b")))
+      minhashLsh(spark, dir, sampleMod).select(col("doc_a"), col("doc_b")))
     // ground truth at the loosest reported threshold; tighter ones are
     // filters over the same relation
-    val truth = exactJaccardPairs(spark, dir, BigDecimal("0.5"))
+    val truth = exactJaccardPairs(spark, dir, BigDecimal("0.5"), sampleMod)
     val flagged = truth.join(cand.withColumn("hit", lit(1L)),
         Seq("doc_a", "doc_b"), "left")
       .select(col("jaccard"), coalesce(col("hit"), lit(0L)).as("hit"))

@@ -51,6 +51,30 @@ class QualityOpsR7Spec extends SparkSpec {
     } finally { Caches.releaseAll(); spark.catalog.clearCache() }
   }
 
+  test("sampled lshEval report stays within tolerance of the full report at sf0.1") {
+    val sf01 = "/root/testdata/sf0.1"
+    try {
+      def report(sampleMod: Long): Map[Double, (Double, Double)] =
+        graft.ops.Dedup.lshEval(spark, sf01, sampleMod).collect()
+          .map(r => r.getAs[Double]("threshold") ->
+            (r.getAs[Double]("precision"), r.getAs[Double]("recall"))).toMap
+      val full = report(1)
+      Caches.releaseAll(); spark.catalog.clearCache()
+      val sampled = report(4)
+      assert(full.keySet == sampled.keySet, "threshold rows differ")
+      // the sample is 1/4 of the docs -> ~1/16 of the pairs; the
+      // precision/recall ESTIMATES must still track the full report
+      // closely enough to drive the same go/no-go decision
+      full.foreach { case (t, (fp, fr)) =>
+        val (sp, sr) = sampled(t)
+        assert(math.abs(sp - fp) <= 0.1,
+          f"t=$t%.1f: sampled precision $sp%.3f vs full $fp%.3f drifts > 0.1")
+        assert(math.abs(sr - fr) <= 0.1,
+          f"t=$t%.1f: sampled recall $sr%.3f vs full $fr%.3f drifts > 0.1")
+      }
+    } finally { Caches.releaseAll(); spark.catalog.clearCache() }
+  }
+
   test("annGraphBeam output shape: exactly top-5 per probe, ranks dense, cosines sorted") {
     try {
       val out = Similarity.annGraphBeam(spark, sf0001).collect()
