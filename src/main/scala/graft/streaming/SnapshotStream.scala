@@ -96,6 +96,43 @@ object SnapshotStream {
                  $rightTime >= $leftTime - INTERVAL $horizonMinutes MINUTES AND
                  $rightTime <= $leftTime"""))
 
+  /** Watermarked sliding-window aggregation — the streaming sibling of
+    * [[graft.etl.EventsEtl.slidingWindowStats]], completing the
+    * reference daemon's minute-window semantics
+    * (process_snapshot.py:485's per-minute snapshot loop) as a true
+    * continuous query: 10-minute windows sliding every 5 over an event
+    * stream, with `withWatermark` bounding both state size and result
+    * finality. Append mode emits a window exactly once — when the
+    * watermark passes its end — so the sink sees each (window,
+    * event_type) count exactly once, and state for closed windows is
+    * EVICTED (bounded by delay × window count, never stream lifetime).
+    * Events arriving later than `delay` behind the observed max event
+    * time are dropped, which is the contract the delay must be sized
+    * for — see [[watermarkDelayFromProfile]]. */
+  def watermarkedSlidingCounts(events: DataFrame, delay: String,
+      windowLen: String = "10 minutes", slide: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"))
+
+  /** Choose the watermark delay from measured evidence instead of a
+    * guess: [[graft.etl.EventsEtl.latenessProfile]] profiles the
+    * observed arrival disorder per ingest day; this picks the smallest
+    * whole-minute delay that covers the profile's worst observed
+    * lateness, plus one minute of margin for tail drift. A pipeline
+    * re-derives this per day, so the streaming query's drop contract
+    * tracks what the feed actually does (the reference daemon's
+    * implicit assumption — snapshots a minute apart, processed in
+    * order — made explicit and measured). */
+  def watermarkDelayFromProfile(profile: DataFrame): String = {
+    val worst = profile.agg(max(col("max_late_s"))).head().getLong(0)
+    val minutes = worst / 60 + 1
+    s"$minutes minutes"
+  }
+
   /** Production state-store configuration: RocksDB-backed state (the
     * HDFS-backed default keeps every key on-heap — a national fleet's
     * ride state at minute granularity OOMs executors), with changelog

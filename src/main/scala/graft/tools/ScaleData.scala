@@ -5,12 +5,15 @@ import org.apache.spark.sql.functions._
 
 /** Deterministic scale-up of the driver-generated testdata for SCALE
   * MEASUREMENT (not correctness — oracles run on the driver's own
-  * dirs): replicate `lineitem`, `documents`, and `embeddings` `factor`×
-  * with per-replica key offsets, so the scaled corpus is `factor`
-  * disjoint copies of the original — the same shape a larger TPC-H SF
-  * has (more orders AND more parts, constant basket size; more docs
-  * AND more near-dup families, constant family size; more vectors AND
-  * more cells, constant cell size).
+  * dirs): replicate EVERY fact/dim table `factor`× with per-replica
+  * key offsets, so the scaled corpus is `factor` disjoint copies of
+  * the original — the same shape a larger TPC-H SF has (more orders
+  * AND more parts, constant basket size; more docs AND more near-dup
+  * families, constant family size; more vectors AND more cells,
+  * constant cell size). `region`/`nation` copy verbatim: TPC-H keeps
+  * them fixed at every SF, so each replica's customers/suppliers point
+  * at the same 25 nations (per-nation group size grows `factor`× —
+  * the realistic shape).
   *
   * Why disjoint copies and not verbatim replication: verbatim text
   * would plant `factor`-sized exact-duplicate families everywhere and
@@ -48,19 +51,89 @@ object ScaleData {
     def reps(df: DataFrame): DataFrame =
       df.crossJoin(spark.range(f).toDF("__r"))
 
+    // Key offsets are computed as max over BOTH sides of each FK pair
+    // (orders may hold orderkeys lineitem never references, customer
+    // custkeys orders never references, …) so replica r's facts always
+    // land on replica r's dims — offsetting each table by its own max
+    // would silently break FK joins for the stragglers.
+    val li     = spark.read.parquet(s"$src/lineitem.parquet")
+    val orders = spark.read.parquet(s"$src/orders.parquet")
+    val maxO = math.max(
+      li.agg(max("l_orderkey")).head().getLong(0),
+      orders.agg(max("o_orderkey")).head().getLong(0)) + 1
+    val maxP = math.max(
+      li.agg(max("l_partkey")).head().getLong(0),
+      spark.read.parquet(s"$src/part.parquet").agg(max("p_partkey")).head().getLong(0)) + 1
+    val maxS = math.max(
+      li.agg(max("l_suppkey")).head().getLong(0),
+      spark.read.parquet(s"$src/supplier.parquet").agg(max("s_suppkey")).head().getLong(0)) + 1
+    val maxC = math.max(
+      orders.agg(max("o_custkey")).head().getLong(0),
+      spark.read.parquet(s"$src/customer.parquet").agg(max("c_custkey")).head().getLong(0)) + 1
+
+    // region/nation: fixed-size dims at every SF (TPC-H semantics)
+    Seq("region", "nation").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+
+    // Name-carrying dims get the replica tag suffixed on copies > 0 so
+    // name-keyed dedup/dim-surrogate paths see f disjoint entity sets,
+    // not f-way exact-dup collapses.
+    def tag(c: String) =
+      when(col("__r") === 0, col(c)).otherwise(concat(col(c), lit("~"), col("__r")))
+
+    reps(spark.read.parquet(s"$src/customer.parquet"))
+      .withColumn("c_custkey", col("c_custkey") + col("__r") * maxC)
+      .withColumn("c_name", tag("c_name"))
+      .drop("__r")
+      .write.mode("overwrite").parquet(s"$dst/customer.parquet")
+
+    reps(spark.read.parquet(s"$src/supplier.parquet"))
+      .withColumn("s_suppkey", col("s_suppkey") + col("__r") * maxS)
+      .withColumn("s_name", tag("s_name"))
+      .drop("__r")
+      .write.mode("overwrite").parquet(s"$dst/supplier.parquet")
+
+    reps(spark.read.parquet(s"$src/part.parquet"))
+      .withColumn("p_partkey", col("p_partkey") + col("__r") * maxP)
+      .withColumn("p_name", tag("p_name"))
+      .drop("__r")
+      .write.mode("overwrite").parquet(s"$dst/part.parquet")
+
+    reps(orders)
+      .withColumn("o_orderkey", col("o_orderkey") + col("__r") * maxO)
+      .withColumn("o_custkey", col("o_custkey") + col("__r") * maxC)
+      .drop("__r")
+      .write.mode("overwrite").parquet(s"$dst/orders.parquet")
+
     // lineitem: orders, parts, suppliers all offset — f disjoint market
     // copies (degree distribution of the co-occurrence graph preserved)
-    val li = spark.read.parquet(s"$src/lineitem.parquet")
-    val (maxO, maxP, maxS) = {
-      val r = li.agg(max("l_orderkey"), max("l_partkey"), max("l_suppkey")).head()
-      (r.getLong(0) + 1, r.getLong(1) + 1, r.getLong(2) + 1)
-    }
     reps(li)
       .withColumn("l_orderkey", col("l_orderkey") + col("__r") * maxO)
       .withColumn("l_partkey", col("l_partkey") + col("__r") * maxP)
       .withColumn("l_suppkey", col("l_suppkey") + col("__r") * maxS)
       .drop("__r")
       .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+
+    // events: ids and users offset per replica, timestamps unchanged —
+    // f× users with identical per-user session/gap structure, f× rows
+    // per minute bucket (linear predicted growth for both shapes). The
+    // source `ts` is parquet TIMESTAMP(NANOS), unreadable as a Spark
+    // timestamp; read it as raw nanos and WRITE it as plain INT64 —
+    // graft.Tables.events's `ts DIV 1000` rebuild works identically on
+    // a raw long column, so the scaled dir needs no loader changes.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    val (maxE, maxU) = {
+      val r = ev.agg(max("event_id"), max("user_id")).head()
+      (r.getLong(0) + 1, r.getLong(1) + 1)
+    }
+    reps(ev)
+      .withColumn("event_id", col("event_id") + col("__r") * maxE)
+      .withColumn("user_id", col("user_id") + col("__r") * maxU)
+      .drop("__r")
+      .write.mode("overwrite").parquet(s"$dst/events.parquet")
 
     // documents: ids offset, every word suffixed with the replica tag
     // (replica 0 keeps the original text verbatim)

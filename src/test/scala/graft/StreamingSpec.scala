@@ -78,6 +78,61 @@ class StreamingSpec extends SparkSpec {
     } finally spark.streams.removeListener(hb)
   }
 
+  test("watermarked sliding window drops late-beyond-watermark rows and keeps within-delay rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2023-03-10 08:$m%02d:00")
+    val events = MemoryStream[(Timestamp, String)]
+    val counts = SnapshotStream.watermarkedSlidingCounts(
+      events.toDF().toDF("ts", "event_type"), delay = "2 minutes")
+    // live query with explicit batch boundaries: the watermark only
+    // advances BETWEEN micro-batches, so each addData+processAll pair
+    // below is one batch (AvailableNow would fold them into one and
+    // nothing would ever be late)
+    val q = counts.writeStream.format("memory").queryName("swin_out")
+      .outputMode("append").start()
+    // batch 1: in-order prefix; max event time 08:20 -> watermark
+    // advances to 08:18 under the 2-minute delay
+    events.addData((ts(0), "click"), (ts(1), "click"), (ts(20), "click"))
+    q.processAllAvailable()
+    // batch 2: 08:03 is beyond the watermark (its windows closed) ->
+    // DROPPED; 08:19 is behind max-seen but within the delay -> LANDS
+    events.addData((ts(3), "click"), (ts(19), "click"))
+    q.processAllAvailable()
+    // batches 3-4: push the watermark past every asserted window's end
+    // so append mode emits them all
+    events.addData((ts(40), "click"))
+    q.processAllAvailable()
+    events.addData((ts(41), "click"))
+    q.processAllAvailable()
+    q.stop()
+
+    val byWindow = spark.table("swin_out").collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(2)).toMap
+    // [08:00,08:10): 08:00 + 08:01 counted, the too-late 08:03 dropped
+    assert(byWindow(ts(0)) == 2L)
+    // [08:15,08:25): the within-delay 08:19 landed alongside 08:20
+    assert(byWindow(ts(15)) == 2L)
+    // [08:10,08:20): 08:19 only (08:20 is outside a half-open window)
+    assert(byWindow(ts(10)) == 1L)
+    // every emitted window is final: emitted once, none re-emitted
+    val emitted = spark.table("swin_out").collect().map(_.getTimestamp(0))
+    assert(emitted.length == emitted.distinct.length)
+    // state bounded: the final progress reports evicted (closed) windows
+    assert(q.lastProgress.stateOperators.nonEmpty)
+  }
+
+  test("watermark delay derives from the measured lateness profile") {
+    import spark.implicits._
+    // the driver corpus is fully in-order: worst lateness 0 -> 1 minute
+    val inOrder = graft.etl.EventsEtl.latenessProfile(spark, "/root/testdata/sf0.001")
+    assert(SnapshotStream.watermarkDelayFromProfile(inOrder) == "1 minutes")
+    // injected disorder: worst observed 90s late -> 2-minute delay
+    val disordered = Seq(("a_ontime", 10L, 0L), ("c_5min", 2L, 90L))
+      .toDF("bucket", "n_events", "max_late_s")
+    assert(SnapshotStream.watermarkDelayFromProfile(disordered) == "2 minutes")
+  }
+
   test("stream-stream interval join matches right events in the preceding horizon") {
     implicit val sqlCtx = spark.sqlContext
     import java.sql.Timestamp
