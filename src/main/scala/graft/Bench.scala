@@ -201,9 +201,22 @@ object Bench {
     // >0.5s absolute. A shared baseline would diff across scale
     // factors and flag nonsense. Child JVMs (isolate mode) skip all
     // file bookkeeping — the parent persists the merged run.
+    //
+    // A run with ANY failed query never advances latest_<sf>.json or
+    // history.jsonl: fail-fast timings (~0.06s analysis errors) would
+    // poison the baseline and every later trend comparison (this
+    // happened in r7 — 35 DATATYPE_MISMATCH failures made a 175s
+    // "baseline" that no healthy run can be compared against). Failed
+    // runs persist to bench/failed_<sf>.json for diagnosis instead.
     if (!isChild) try {
       val sfName = Paths.get(sfDir).getFileName.toString
       val latest = Paths.get("bench", s"latest_$sfName.json")
+      if (errors.nonEmpty) {
+        Files.createDirectories(Paths.get("bench"))
+        Files.writeString(Paths.get("bench", s"failed_$sfName.json"), line + "\n")
+        System.err.println(s"[bench] ${errors.size} queries FAILED — baseline " +
+          s"latest_$sfName.json/history.jsonl NOT advanced (full detail in bench/failed_$sfName.json)")
+      }
       if (Files.exists(latest)) {
         val prevTxt = Files.readString(latest)
         val pair = """"([A-Za-z0-9_]+)":([0-9.Ee+-]+)""".r
@@ -221,10 +234,12 @@ object Bench {
         if (regressions.isEmpty)
           System.err.println(s"[bench] no >1.5x regressions vs previous run (${prev.size} queries compared)")
       }
-      Files.createDirectories(Paths.get("bench"))
-      Files.writeString(latest, line + "\n")
-      Files.writeString(Paths.get("bench", "history.jsonl"), line + "\n",
-        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      if (errors.isEmpty) {
+        Files.createDirectories(Paths.get("bench"))
+        Files.writeString(latest, line + "\n")
+        Files.writeString(Paths.get("bench", "history.jsonl"), line + "\n",
+          StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] history bookkeeping failed: ${e.getMessage}")
     }

@@ -24,16 +24,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is parquet INT64 TIMESTAMP(NANOS,false), which Spark
-    * refuses to read as a timestamp. Read it as raw nanos
-    * (`nanosAsLong`) and rebuild a micros timestamp with integer
-    * division (float division would lose precision above 2^53 ns). */
+  /** `events.ts` has shipped as both parquet INT64 TIMESTAMP(NANOS,false)
+    * (which Spark only reads via `nanosAsLong`, as a raw Long) and as
+    * plain TIMESTAMP(MICROS) / TIMESTAMP_NTZ. Branch on the surfaced
+    * type — rebuild a micros timestamp only when the column arrives as
+    * a Long (integer division: float division would lose precision
+    * above 2^53 ns) — then normalize to TIMESTAMP (ltz): every
+    * consumer (`unix_micros`, window frames, the DuckDB oracles) was
+    * proven against that type, and with the UTC session timezone the
+    * NTZ→LTZ cast is value-identical. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events").withColumn(
-      "ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val df = load(s, d, "events")
+    val rebuilt = df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn(
+          "ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case _ => df
+    }
+    rebuilt.withColumn("ts",
+      org.apache.spark.sql.functions.col("ts")
+        .cast(org.apache.spark.sql.types.TimestampType))
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -18,13 +18,21 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Failures are recorded EXPLICITLY: a query that throws gets an
+    // entry in outDir/errors.json and a loud stderr line, and the run
+    // exits nonzero. In r7 35 queries failed analysis and were simply
+    // absent from CORRECTNESS_r07.json — the artifact read all-green
+    // while a third of the ETL suite was broken. Never again silent.
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName).take(500)
+        failures(name) = msg
+        System.err.println(s"[verify] $name FAILED: $msg")
       }
       // each query's tracked caches are dead weight for the next one
       Caches.releaseAll()
@@ -45,6 +53,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // errors.json always written (empty object when clean) so the
+    // driver/judge can distinguish "no failures" from "nobody looked";
+    // the summary line names the coverage so a shrunk report is visible.
+    val errJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    val ran = SparkEntry.queries.count { case (n, _) => only.isEmpty || only(n) }
+    System.err.println(s"[verify] ${ran - failures.size}/$ran queries dumped, ${failures.size} failed")
     spark.stop()
+    if (failures.nonEmpty) sys.exit(3)
   }
 }
