@@ -186,6 +186,10 @@ object SparkEntry {
     "text_zipf_slope"     -> TextAnalysis.zipfSlope _,
     "etl_conversion_rate" -> EventsEtl.conversionRate _,
     "etl_dq_checks"       -> EventsEtl.dqChecks _,
+    "graph_hits"          -> ((s, d) => Graph.hits(s, d)),
+    "text_lm_kn"          -> TextAnalysis.knScore _,
+    "dedup_segments"      -> ((s, d) => Dedup.segmentDedup(s, d)),
+    "ann_ivf_pq_residual" -> ((s, d) => Similarity.annIvfPqResidual(s, d)),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. */
@@ -2376,5 +2380,100 @@ object SparkEntry {
         |n3 AS (SELECT sqrt(sum(u*u)) AS nrm FROM u3),
         |v3 AS (SELECT d, round(u / nrm, 6) AS vd FROM u3 CROSS JOIN n3)
         |SELECT d AS dim, vd AS component FROM v3 ORDER BY dim""".stripMargin,
+    // HITS: 2 unrolled mutual-reinforcement rounds, max-normalized
+    // (max of rounded values is order-independent) — mirrors Graph.hits
+    "graph_hits" ->
+      """WITH e AS (SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |h0 AS (SELECT DISTINCT cust, 1.0 AS h FROM e),
+        |a1r AS (SELECT part, round(sum(h), 9) AS raw FROM e JOIN h0 USING (cust) GROUP BY 1),
+        |a1 AS (SELECT part, round(raw / (SELECT max(raw) FROM a1r), 9) AS a FROM a1r),
+        |h1r AS (SELECT cust, round(sum(a), 9) AS raw FROM e JOIN a1 USING (part) GROUP BY 1),
+        |h1 AS (SELECT cust, round(raw / (SELECT max(raw) FROM h1r), 9) AS h FROM h1r),
+        |a2r AS (SELECT part, round(sum(h), 9) AS raw FROM e JOIN h1 USING (cust) GROUP BY 1),
+        |a2 AS (SELECT part, round(raw / (SELECT max(raw) FROM a2r), 9) AS a FROM a2r),
+        |h2r AS (SELECT cust, round(sum(a), 9) AS raw FROM e JOIN a2 USING (part) GROUP BY 1),
+        |h2 AS (SELECT cust, round(raw / (SELECT max(raw) FROM h2r), 9) AS h FROM h2r)
+        |SELECT 'hub' AS role, cust AS node, round(h, 6) AS score FROM h2
+        |UNION ALL
+        |SELECT 'authority' AS role, part AS node, round(a, 6) AS score FROM a2
+        |ORDER BY role, node""".stripMargin,
+    // interpolated Kneser-Ney bigram score, discount 0.75 — every
+    // input to the ln is an exact integer ratio (mirrors knScore)
+    "text_lm_kn" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> {'w1': toks[i], 'w2': toks[i+1]})) AS b
+        |  FROM t WHERE len(toks) >= 2),
+        |bs AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+        |bc AS (SELECT w1, w2, count(*) AS bc FROM bs GROUP BY 1, 2),
+        |fwd AS (SELECT w1, sum(bc) AS c1, count(*) AS n1fw FROM bc GROUP BY 1),
+        |bwd AS (SELECT w2, count(*) AS n1bw FROM bc GROUP BY 1),
+        |bt AS (SELECT count(*) AS b FROM bc)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(avg(ln((bc - 0.75) / c1 + 0.75 * n1fw / c1 * n1bw / b)), 6) AS kn_score
+        |FROM bs JOIN bc USING (w1, w2) JOIN fwd USING (w1) JOIN bwd USING (w2) CROSS JOIN bt
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // segment-level first-occurrence dedup (10-token segments) —
+    // mirrors Dedup.segmentDedup
+    "dedup_segments" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents),
+        |js AS (SELECT doc_id, toks,
+        |   unnest(range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT))) AS j FROM t),
+        |segs AS (SELECT doc_id, j AS seg_idx,
+        |   array_to_string(toks[j*10+1 : j*10+10], ' ') AS seg FROM js),
+        |mk AS (SELECT doc_id, seg_idx, seg,
+        |   row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) = 1 AS keep
+        |  FROM segs)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  round(sum(CASE WHEN keep THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS kept_frac,
+        |  CAST(sum(CASE WHEN keep THEN len(seg) ELSE 0 END) AS BIGINT) AS n_chars_kept
+        |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // residual IVF-PQ: trained-index CTEs + residual codebook +
+    // per-routed-cell ADC tables — mirrors Similarity.annIvfPqResidual
+    "ann_ivf_pq_residual" ->
+      s"""WITH $ivfCtes,
+        |resd AS (SELECT asg.vec_id,
+        |   list_transform(list_zip(asg.v, cent.cv), z -> round(z[1] - z[2], 6)) AS r
+        |  FROM asg JOIN cent USING (cell)),
+        |rsub AS (SELECT vec_id, (i-1)//8 AS s, (i-1)%8 AS j, r[i] AS x
+        |  FROM resd CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
+        |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS code FROM embeddings),
+        |cb AS (SELECT code, s, j, round(avg(x), 6) AS c
+        |  FROM rsub JOIN lab USING (vec_id) GROUP BY 1, 2, 3),
+        |cbarr AS (SELECT code, s, list(c ORDER BY j) AS cw FROM cb GROUP BY 1, 2),
+        |vsub AS (SELECT vec_id, s, list(x ORDER BY j) AS sv FROM rsub GROUP BY 1, 2),
+        |encd AS (SELECT vec_id, s, code,
+        |   round(list_sum(list_transform(list_zip(sv, cw), z -> (z[1]-z[2])*(z[1]-z[2]))), 6) AS d
+        |  FROM vsub JOIN cbarr USING (s)),
+        |enc AS (SELECT vec_id, s, code FROM encd
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) = 1),
+        |probes AS (SELECT vec_id AS probe_id, v AS pv FROM asg WHERE vec_id < 5),
+        |routedd AS (SELECT probe_id, cell, pv,
+        |   round(sqrt(list_sum(list_transform(list_zip(pv, cv), z -> (z[1]-z[2])*(z[1]-z[2])))), 6) AS cdist
+        |  FROM probes CROSS JOIN cent),
+        |routed AS (SELECT probe_id, cell, pv FROM routedd
+        |  QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cdist, cell) <= 2),
+        |presd AS (SELECT probe_id, cell,
+        |   list_transform(list_zip(pv, cv), z -> round(z[1] - z[2], 6)) AS pr
+        |  FROM routed JOIN cent USING (cell)),
+        |psubx AS (SELECT probe_id, cell, (i-1)//8 AS s, (i-1)%8 AS j, pr[i] AS x
+        |  FROM presd CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
+        |psub AS (SELECT probe_id, cell, s, list(x ORDER BY j) AS psv
+        |  FROM psubx GROUP BY 1, 2, 3),
+        |dtab AS (SELECT probe_id, cell, s, code,
+        |   round(list_sum(list_transform(list_zip(psv, cw), z -> (z[1]-z[2])*(z[1]-z[2]))), 6) AS dsq
+        |  FROM psub JOIN cbarr USING (s)),
+        |cand AS (SELECT probe_id, asg.vec_id, cell
+        |  FROM routed JOIN asg USING (cell) WHERE asg.vec_id <> routed.probe_id),
+        |adc AS (SELECT cand.probe_id, cand.vec_id, round(sqrt(sum(dsq)), 6) AS adist
+        |  FROM cand JOIN enc ON enc.vec_id = cand.vec_id
+        |  JOIN dtab ON dtab.probe_id = cand.probe_id AND dtab.cell = cand.cell
+        |   AND dtab.s = enc.s AND dtab.code = enc.code
+        |  GROUP BY 1, 2)
+        |SELECT probe_id, vec_id, adist,
+        | CAST(row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS BIGINT) AS rk
+        |FROM adc QUALIFY rk <= 5 ORDER BY probe_id, rk""".stripMargin,
   )
 }

@@ -76,6 +76,45 @@ object Dedup {
       .orderBy(col("keep_doc_id"))
   }
 
+  /** Segment-level exact dedup (the line/paragraph dedup pass of
+    * C4/CCNet/RefinedWeb, with fixed 10-token segments standing in for
+    * the newline split this synthetic corpus doesn't have): chunk each
+    * doc into consecutive 10-token segments (trailing partial segment
+    * kept), keep only the GLOBALLY FIRST occurrence of each distinct
+    * segment — first by (doc_id, seg_idx), so a segment repeated later
+    * in the SAME doc is dropped too — and report per doc how much
+    * survived. The survival fraction is the boilerplate signal: docs
+    * built from segments seen earlier in the corpus shrink toward 0.
+    *
+    * Shape at scale: segmentation is map-side array algebra on the
+    * scan; the only shuffle is the first-occurrence window keyed by
+    * segment text (at 100 TB, by its 60-bit hash — same plan), whose
+    * groups are occurrence lists, bounded by duplication not corpus
+    * size; the per-doc rollup is map-side combinable. */
+  def segmentDedup(spark: SparkSession, dir: String, segTokens: Int = 10): DataFrame = {
+    val segs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr(raw"regexp_extract_all(text, '\\S+', 0)").as("toks"))
+      .select(col("doc_id"), posexplode(expr(
+        // the empty-doc guard matters: sequence(0, -1) DESCENDS in
+        // Spark (step inferred as -1), it isn't empty
+        s"""CASE WHEN size(toks) >= 1 THEN
+              transform(sequence(0, CAST(ceil(size(toks) / $segTokens.0) AS INT) - 1),
+                i -> array_join(slice(toks, i * $segTokens + 1, $segTokens), ' '))
+            ELSE array() END"""))
+        .as(Seq("seg_idx", "seg")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("seg")).orderBy(col("doc_id"), col("seg_idx"))
+    segs.withColumn("first", row_number().over(w) === 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("first"), 1L).otherwise(0L)).as("n_kept"),
+        round(sum(when(col("first"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 6).as("kept_frac"),
+        sum(when(col("first"), length(col("seg"))).otherwise(0L)).as("n_chars_kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** n-gram Jaccard near-dup pairs (exact): prefix-filtered all-pairs
     * similarity join, Jaccard = |∩| / (|A|+|B|-|∩|), threshold 0.8. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =

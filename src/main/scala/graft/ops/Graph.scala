@@ -318,4 +318,55 @@ object Graph {
     import spark.implicits._
     traj.toSeq.toDF("round", "k", "n_nodes", "n_edges").orderBy(col("round"))
   }
+
+  /** HITS (Kleinberg 1999) over the DIRECTED customer→part purchase
+    * graph — the fourth iterative primitive beside [[pageRank]],
+    * [[labelPropagation]] and the components family, and the one that
+    * needs direction: on the bipartite purchase graph hubs are
+    * broad-basket customers and authorities are the parts those hubs
+    * concentrate on (PageRank over the symmetrized graph cannot
+    * separate the two roles). Two mutual-reinforcement rounds:
+    * auth(p) = Σ hub(c) over c→p, then hub(c) = Σ auth(p) over c→p,
+    * each table max-normalized per round — max is order-independent,
+    * so cross-engine float determinism needs no sum-order argument
+    * (scores round to 9 per round in BOTH engines, like pageRank).
+    *
+    * Shape at scale: the edge list is built once (one join of two
+    * fact scans, distinct'd — map-side combinable) and persisted;
+    * per half-round it's ONE broadcast-gated join against the
+    * |V|-row score table plus ONE shuffle agg on the other endpoint,
+    * the pageRank discipline exactly. The 1-row max joins in as a
+    * broadcast scalar. */
+  def hits(spark: SparkSession, dir: String, iters: Int = 2): DataFrame = {
+    import graft.operators.Scale.maybeBroadcast
+    val edges = graft.Caches.persistTracked(
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey").as("ok"), col("o_custkey").as("cust"))
+        .join(Tables.lineitem(spark, dir)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("part")), Seq("ok"))
+        .select(col("cust"), col("part")).distinct())
+    edges.count() // materialize: broadcast gates below need real sizes
+    def maxNorm(df: DataFrame, key: String, out: String): DataFrame =
+      df.crossJoin(broadcast(df.agg(max(col("raw")).as("mx"))))
+        .select(col(key), round(col("raw") / col("mx"), 9).as(out))
+    var hub = edges.select(col("cust")).distinct().withColumn("h", lit(1.0))
+    var auth = edges.select(col("part")).distinct().withColumn("a", lit(1.0))
+    for (_ <- 1 to iters) {
+      val araw = edges
+        .join(maybeBroadcast(hub.select(col("cust"), col("h"))), Seq("cust"))
+        .groupBy(col("part")).agg(round(sum(col("h")), 9).as("raw"))
+      auth = graft.Caches.persistTracked(maxNorm(araw, "part", "a"))
+      auth.count() // keep stats real for the next round's gate
+      val hraw = edges
+        .join(maybeBroadcast(auth.select(col("part"), col("a"))), Seq("part"))
+        .groupBy(col("cust")).agg(round(sum(col("a")), 9).as("raw"))
+      hub = graft.Caches.persistTracked(maxNorm(hraw, "cust", "h"))
+      hub.count()
+    }
+    hub.select(lit("hub").as("role"), col("cust").as("node"),
+        round(col("h"), 6).as("score"))
+      .unionByName(auth.select(lit("authority").as("role"),
+        col("part").as("node"), round(col("a"), 6).as("score")))
+      .orderBy(col("role"), col("node"))
+  }
 }

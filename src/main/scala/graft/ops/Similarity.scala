@@ -647,6 +647,97 @@ object Similarity {
       .orderBy(col("probe_id"), col("rk"))
   }
 
+  /** IVF-PQ with RESIDUAL encoding — the missing piece between
+    * [[annIvfPq]] and the full FAISS IVFPQ recipe: each vector is
+    * PQ-encoded as its residual v − centroid(cell) under the TRAINED
+    * coarse quantizer, not as the raw vector, so the codebook spends
+    * its precision on within-cell variation instead of re-describing
+    * the cell layout. The residual codebook is label-seeded (per
+    * (subspace, label) mean residual — labels cut across trained
+    * cells, so per-cell mean-zero degeneracy cannot happen), and the
+    * probe's ADC table is PER ROUTED CELL: the probe's own residual
+    * against that cell's centroid, which is exactly the asymmetric
+    * residual distance FAISS computes per probed list.
+    *
+    * Shape at scale: identical access path to [[annIvfPq]] — the scan
+    * reads nprobe/|cells| of the corpus and 8 codes per vector; the
+    * only additions are the residual subtraction (map-side zip_with
+    * at encode time) and an ADC table that is |probes|·nprobe·|codes|
+    * rows instead of |probes|·|codes| — both broadcast-sized. All
+    * residual components, codeword dims, and distances round to 6 so
+    * the DuckDB oracle reproduces encode argmins and ADC sums
+    * exactly. */
+  def annIvfPqResidual(spark: SparkSession, dir: String,
+      nprobe: Int = 2, k: Int = 5): DataFrame = {
+    val (cent, assign) = trainedIndex(spark, dir)
+    // residual per vector under its OWN trained cell, rounded per
+    // component for cross-engine determinism
+    val res = graft.Caches.persistTracked(
+      assign.join(broadcast(cent), Seq("cell"))
+        .select(col("vec_id"), col("cell"),
+          expr("zip_with(v, cv, (a, b) -> round(a - b, 6))").as("r")))
+    val rsub = res
+      .select(col("vec_id"), posexplode(col("r")).as(Seq("pos", "x")))
+      .select(col("vec_id"),
+        (col("pos") / 8).cast("long").as("s"),
+        (col("pos") % 8).cast("long").as("j"), col("x"))
+    // label-seeded residual codebook: per (subspace, label) mean
+    val lab = vecs(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("code"))
+    val cbArr = rsub.join(graft.operators.Scale.maybeBroadcast(lab), Seq("vec_id"))
+      .groupBy(col("code"), col("s"), col("j"))
+      .agg(round(avg(col("x")), 6).as("c"))
+      .groupBy(col("code"), col("s"))
+      .agg(expr("transform(array_sort(collect_list(struct(j, c))), z -> z.c)").as("cw"))
+    val vsub = graft.Caches.persistTracked(rsub.groupBy(col("vec_id"), col("s"))
+      .agg(expr("transform(array_sort(collect_list(struct(j, x))), z -> z.x)").as("sv")))
+    val wEnc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"), col("s")).orderBy(col("d"), col("code"))
+    val enc = vsub.join(broadcast(cbArr), Seq("s"))
+      .withColumn("d", round(expr("graft_l2sq(sv, cw)"), 6))
+      .withColumn("rk", row_number().over(wEnc)).filter(col("rk") === 1)
+      .select(col("vec_id"), col("s"), col("code"))
+    // probes route to their nprobe nearest trained cells...
+    val probes = assign.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    val wCell = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("cdist"), col("cell"))
+    val routed = probes.crossJoin(broadcast(cent))
+      .withColumn("cdist", round(sqrt(expr("graft_l2sq(pv, cv)")), 6))
+      .withColumn("crk", row_number().over(wCell))
+      .filter(col("crk") <= nprobe)
+      .select(col("probe_id"), col("cell"), col("pv"))
+    // ...and build a PER-CELL ADC table from the probe's residual
+    // against THAT cell's centroid (|probes|·nprobe·|codes| rows)
+    val pres = routed.join(broadcast(cent), Seq("cell"))
+      .select(col("probe_id"), col("cell"),
+        expr("zip_with(pv, cv, (a, b) -> round(a - b, 6))").as("pr"))
+    val psub = pres
+      .select(col("probe_id"), col("cell"), posexplode(col("pr")).as(Seq("pos", "x")))
+      .groupBy(col("probe_id"), col("cell"), (col("pos") / 8).cast("long").as("s"))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(pos % 8 AS j, x))), z -> z.x)").as("psv"))
+    val dtab = psub.join(broadcast(cbArr), Seq("s"))
+      .select(col("probe_id"), col("cell"), col("s"), col("code"),
+        round(expr("graft_l2sq(psv, cw)"), 6).as("dsq"))
+    // candidates: vectors the trained quantizer assigned to a routed
+    // cell — their own cell selects which per-cell ADC table scores them
+    val cand = broadcast(routed.select(col("probe_id"), col("cell")))
+      .join(assign.select(col("vec_id"), col("cell")), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("cell"), col("vec_id"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("adist"), col("vec_id"))
+    cand.join(enc, Seq("vec_id"))
+      .join(broadcast(dtab), Seq("probe_id", "cell", "s", "code"))
+      .groupBy(col("probe_id"), col("vec_id"))
+      .agg(round(sqrt(sum(col("dsq"))), 6).as("adist"))
+      .withColumn("rk", row_number().over(wTop).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("vec_id"), col("adist"), col("rk"))
+      .orderBy(col("probe_id"), col("rk"))
+  }
+
   /** Index-quality evaluation: recall@5 of the LSH top-k against the
     * exact brute-force top-k, per probe — the measurement a real
     * deployment runs before trusting an approximate index (and after

@@ -268,6 +268,56 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Interpolated Kneser–Ney bigram score (Kneser & Ney 1995, the
+    * smoothing real LM-quality filters — KenLM/CCNet — actually use,
+    * where [[lmScore]] is the add-one teaching baseline): per doc the
+    * mean ln of
+    *   P(w2|w1) = (c(w1w2) − d)/c(w1·) + d·N1+(w1·)/c(w1·) · Pcont(w2)
+    * with discount d = 0.75, continuation probability Pcont(w2) =
+    * N1+(·w2)/|bigram types|, c(w1·) the count of bigrams starting
+    * w1, N1+(w1·)/N1+(·w2) the distinct-continuation counts. KN's
+    * point — a word's probability mass comes from how many CONTEXTS
+    * it completes, not raw frequency — is what separates boilerplate
+    * (frequent but context-poor) from fluent text.
+    *
+    * Shape at scale: identical to [[lmScore]] — exact integer count
+    * tables (vocab- and type-bounded, broadcast-gated), one shuffle
+    * of the bigram stream for the per-doc agg; every input to the ln
+    * is an exact integer ratio, so only the final ln/avg is float
+    * (rounded 6 for the oracle). c(w1w2) ≥ 1 on every joined row, so
+    * the discounted term is strictly positive and the ln total. */
+  def knScore(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Scale.maybeBroadcast
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr(raw"regexp_extract_all(lower(text), '\\S+', 0)").as("toks"))
+    val bigrams = graft.Caches.persistTracked(
+      toks.select(col("doc_id"), explode(expr(
+          """CASE WHEN size(toks) >= 2 THEN
+               transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))
+             ELSE array() END""")).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2")))
+    val bgC = graft.Caches.persistTracked(
+      bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("bc")))
+    val fwd = bgC.groupBy(col("w1"))
+      .agg(sum(col("bc")).as("c1"), count(lit(1)).as("n1fw"))
+    val bwd = bgC.groupBy(col("w2")).agg(count(lit(1)).as("n1bw"))
+    val types = bgC.agg(count(lit(1)).as("b"))
+    bigrams
+      .join(maybeBroadcast(bgC), Seq("w1", "w2"))
+      .join(maybeBroadcast(fwd), Seq("w1"))
+      .join(maybeBroadcast(bwd), Seq("w2"))
+      .crossJoin(broadcast(types))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(log(
+          (col("bc") - lit(0.75)) / col("c1") +
+            lit(0.75) * col("n1fw") / col("c1") * col("n1bw") / col("b"))), 6)
+          .as("kn_score"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Within-document repetition ratios — the Gopher/RefinedWeb-style
     * quality rule that catches boilerplate and degenerate generation:
     * fraction of duplicate tokens and duplicate 3-grams inside each
