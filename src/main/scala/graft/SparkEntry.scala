@@ -190,6 +190,7 @@ object SparkEntry {
     "text_lm_kn"          -> TextAnalysis.knScore _,
     "dedup_segments"      -> ((s, d) => Dedup.segmentDedup(s, d)),
     "ann_ivf_pq_residual" -> ((s, d) => Similarity.annIvfPqResidual(s, d)),
+    "graph_modularity"    -> Graph.modularity _,
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. */
@@ -2380,6 +2381,37 @@ object SparkEntry {
         |n3 AS (SELECT sqrt(sum(u*u)) AS nrm FROM u3),
         |v3 AS (SELECT d, round(u / nrm, 6) AS vd FROM u3 CROSS JOIN n3)
         |SELECT d AS dim, vd AS component FROM v3 ORDER BY dim""".stripMargin,
+    // Newman modularity of the LPA communities: the graph_lpa CTE
+    // chain + integer intra-edge/degree-mass aggs (mirrors
+    // Graph.modularity)
+    "graph_modularity" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |p AS (SELECT DISTINCT x.pk AS u, y.pk AS v
+        |  FROM items x JOIN items y ON x.ok = y.ok AND x.pk < y.pk),
+        |e AS (SELECT u, v FROM p UNION ALL SELECT v, u FROM p),
+        |l0 AS (SELECT DISTINCT u AS nd, u AS lbl FROM e),
+        |c1 AS (SELECT e.u, l.lbl, count(*) AS cnt
+        |  FROM e JOIN l0 l ON l.nd = e.v GROUP BY 1, 2),
+        |l1 AS (SELECT u AS nd, lbl FROM c1
+        |  QUALIFY row_number() OVER (PARTITION BY u ORDER BY cnt DESC, lbl) = 1),
+        |c2 AS (SELECT e.u, l.lbl, count(*) AS cnt
+        |  FROM e JOIN l1 l ON l.nd = e.v GROUP BY 1, 2),
+        |l2 AS (SELECT u AS nd, lbl FROM c2
+        |  QUALIFY row_number() OVER (PARTITION BY u ORDER BY cnt DESC, lbl) = 1),
+        |m AS (SELECT count(*) AS m FROM p),
+        |din AS (SELECT a.lbl, count(*) AS e_in
+        |  FROM p JOIN l2 a ON a.nd = p.u JOIN l2 b ON b.nd = p.v
+        |  WHERE a.lbl = b.lbl GROUP BY 1),
+        |deg AS (SELECT u AS nd, count(*) AS d FROM e GROUP BY 1),
+        |dc AS (SELECT l2.lbl, count(*) AS n_nodes, sum(deg.d) AS d_tot
+        |  FROM l2 JOIN deg USING (nd) GROUP BY 1)
+        |SELECT dc.lbl AS community, CAST(dc.n_nodes AS BIGINT) AS n_nodes,
+        |  CAST(coalesce(din.e_in, 0) AS BIGINT) AS e_in,
+        |  CAST(dc.d_tot AS BIGINT) AS d_tot,
+        |  round(coalesce(din.e_in, 0) / CAST(m.m AS DOUBLE)
+        |    - (dc.d_tot / (2.0 * m.m)) * (dc.d_tot / (2.0 * m.m)), 6) AS q_contrib
+        |FROM dc LEFT JOIN din USING (lbl) CROSS JOIN m
+        |ORDER BY community""".stripMargin,
     // HITS: 2 unrolled mutual-reinforcement rounds, max-normalized
     // (max of rounded values is order-independent) — mirrors Graph.hits
     "graph_hits" ->

@@ -319,6 +319,49 @@ object Graph {
     traj.toSeq.toDF("round", "k", "n_nodes", "n_edges").orderBy(col("round"))
   }
 
+  /** Newman modularity report of the [[labelPropagation]] communities
+    * — the quality metric that decides whether a community structure
+    * is real before anything downstream trusts it: per community c,
+    * the contribution e_c/m − (d_c/2m)², where e_c = intra-community
+    * edges, d_c = total degree, m = |edges|; Q = Σ contributions,
+    * ≈ 0 for random structure (which this synthetic near-complete
+    * co-occurrence graph should and does show), > 0.3 for real
+    * communities. Pairs with [[kCorePeel]] as the structure-audit
+    * family: peel profiles density, modularity scores partition
+    * quality.
+    *
+    * Shape at scale: everything is integer counting — the label table
+    * broadcasts onto the canonical edge list twice (both endpoints),
+    * the intra-edge and degree-mass aggs are map-side combinable, and
+    * the output is |communities| rows; m is the one driver scalar
+    * (the persisted edge count, already materialized for the gates).
+    * Only the final contribution expression is float, rounded 6. */
+  def modularity(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Scale.maybeBroadcast
+    val p = graft.Caches.persistTracked(coOccurrenceEdges(spark, dir))
+    val m = p.count() // materialize + the modularity denominator
+    val labels = graft.Caches.persistTracked(labelPropagation(spark, dir)
+      .select(col("node").as("nd"), col("community").as("lbl")))
+    labels.count()
+    val sym = p.unionAll(p.select(col("v").as("u"), col("u").as("v")))
+    val deg = sym.groupBy(col("u").as("nd")).agg(count(lit(1)).as("d"))
+    val ein = p
+      .join(maybeBroadcast(labels.select(col("nd").as("u"), col("lbl").as("la"))), Seq("u"))
+      .join(maybeBroadcast(labels.select(col("nd").as("v"), col("lbl").as("lb"))), Seq("v"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("e_in"))
+    val dc = labels.join(deg, Seq("nd"))
+      .groupBy(col("lbl"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("d_tot"))
+    dc.join(ein, Seq("lbl"), "left")
+      .select(col("lbl").as("community"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_tot"),
+        round(coalesce(col("e_in"), lit(0L)).cast("double") / m -
+          (col("d_tot") / lit(2.0 * m)) * (col("d_tot") / lit(2.0 * m)), 6)
+          .as("q_contrib"))
+      .orderBy(col("community"))
+  }
+
   /** HITS (Kleinberg 1999) over the DIRECTED customer→part purchase
     * graph — the fourth iterative primitive beside [[pageRank]],
     * [[labelPropagation]] and the components family, and the one that

@@ -104,6 +104,32 @@ class QualityOpsR8Spec extends SparkSpec {
     } finally { Caches.releaseAll(); spark.catalog.clearCache() }
   }
 
+  test("modularity: matches in-memory recomputation from edges + LPA labels; Q in [-1, 1]") {
+    try {
+      val out = Graph.modularity(spark, sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      val edges = Graph.coOccurrenceEdges(spark, sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val labels = Graph.labelPropagation(spark, sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val m = edges.length.toDouble
+      val deg = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+        .map { case (n, xs) => n -> xs.length.toLong }
+      val expect = labels.groupBy(_._2).map { case (c, members) =>
+        val nodes = members.keySet
+        val ein = edges.count(e => nodes(e._1) && nodes(e._2) &&
+          labels(e._1) == labels(e._2)).toLong
+        val dtot = nodes.toSeq.map(deg).sum
+        (c, nodes.size.toLong, ein, dtot,
+          r6(ein / m - (dtot / (2.0 * m)) * (dtot / (2.0 * m))))
+      }.toSet
+      assert(out.toSet == expect,
+        s"modularity mismatch, e.g. ${(out.toSet -- expect).take(2)}")
+      val q = out.map(_._5).sum
+      assert(q >= -1.0 && q <= 1.0, s"Q=$q out of range")
+    } finally { Caches.releaseAll(); spark.catalog.clearCache() }
+  }
+
   test("annIvfPqResidual: dense top-5 per probe, candidates confined to routed cells") {
     try {
       val out = Similarity.annIvfPqResidual(spark, sf0001).collect()
