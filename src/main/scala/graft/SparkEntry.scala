@@ -191,6 +191,7 @@ object SparkEntry {
     "dedup_segments"      -> ((s, d) => Dedup.segmentDedup(s, d)),
     "ann_ivf_pq_residual" -> ((s, d) => Similarity.annIvfPqResidual(s, d)),
     "graph_modularity"    -> Graph.modularity _,
+    "mm_audio_energy"     -> Multimodal.audioEnergy _,
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. */
@@ -2381,6 +2382,24 @@ object SparkEntry {
         |n3 AS (SELECT sqrt(sum(u*u)) AS nrm FROM u3),
         |v3 AS (SELECT d, round(u / nrm, 6) AS vd FROM u3 CROSS JOIN n3)
         |SELECT d AS dim, vd AS component FROM v3 ORDER BY dim""".stripMargin,
+    // frame RMS energy over the synthesized byte payload — list-order
+    // accumulation both engines (mirrors Multimodal.audioEnergy)
+    "mm_audio_energy" ->
+      """WITH t AS (SELECT doc_id, text FROM documents WHERE len(text) // 64 > 0),
+        |fr AS (SELECT doc_id, unnest(range(0, len(text) // 64)) AS f, text FROM t),
+        |frames AS (SELECT doc_id, f, substr(text, CAST(f*64+1 AS INT), 64) AS fx FROM fr),
+        |rms AS (SELECT doc_id, f,
+        |   round(sqrt(list_sum(list_transform(range(0, 32),
+        |     i -> CAST(ord(substr(fx, CAST(2*i+1 AS INT), 1)) * 256
+        |          + ord(substr(fx, CAST(2*i+2 AS INT), 1)) AS DOUBLE)
+        |          * (ord(substr(fx, CAST(2*i+1 AS INT), 1)) * 256
+        |          + ord(substr(fx, CAST(2*i+2 AS INT), 1))))) / 32), 6) AS rms
+        |  FROM frames)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+        |  round(avg(rms), 6) AS mean_rms, round(max(rms), 6) AS max_rms,
+        |  round(sum(CASE WHEN rms < 25500 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
+        |    AS low_energy_frac
+        |FROM rms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Newman modularity of the LPA communities: the graph_lpa CTE
     // chain + integer intra-edge/degree-mass aggs (mirrors
     // Graph.modularity)

@@ -93,6 +93,45 @@ object Multimodal {
         md5(expr("substr(text, frame_idx * 64 + 1, 64)")).as("frame_md5"))
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  /** Audio-shaped frame energy profile (oracle-checked): the payload
+    * (UTF-8 bytes of `text`, the same synthesis as [[binaryFeatures]])
+    * is read as consecutive 64-byte frames of 32 big-endian 16-bit
+    * samples; per frame the RMS energy, per doc the mean/max RMS and
+    * the low-energy-frame fraction — exactly the VAD / silence-trim
+    * primitive an audio curation pipeline runs before transcription,
+    * with the codec swapped for byte arithmetic (the container has no
+    * audio codecs; a real deployment changes only the sample
+    * extraction, not the plan).
+    *
+    * Shape at scale: frame fan-out is sequence+explode (map-side, no
+    * shuffle), the per-frame RMS is a codegen'd aggregate over a
+    * 32-element transform in LIST ORDER (so DuckDB's list_sum agrees
+    * bit-for-bit), and the per-doc rollup is one map-side-combinable
+    * agg — the [[frameSample]] plan with arithmetic instead of
+    * hashing. Trailing partial frames are dropped on both engines
+    * (floor division). */
+  def audioEnergy(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        (length(col("text")) / 64).cast("int").as("nf"))
+      .filter(col("nf") > 0)
+      .select(col("doc_id"), explode(sequence(lit(0), col("nf") - 1)).as("f"),
+        col("text"))
+      .select(col("doc_id"), col("f"),
+        expr("substr(text, f * 64 + 1, 64)").as("fx"))
+      .withColumn("rms", round(sqrt(expr(
+        """aggregate(transform(sequence(0, 31),
+             i -> CAST(ascii(substr(fx, 2*i+1, 1)) * 256
+                  + ascii(substr(fx, 2*i+2, 1)) AS DOUBLE)),
+             CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x) / 32""")), 6))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        round(avg(col("rms")), 6).as("mean_rms"),
+        round(max(col("rms")), 6).as("max_rms"),
+        round(sum(when(col("rms") < 25500, 1L).otherwise(0L)) /
+          count(lit(1)).cast("double"), 6).as("low_energy_frac"))
+      .orderBy(col("doc_id"))
+
   case class ResizedMedia(doc_id: Long, media_type: String, orig_bytes: Long,
       resized_bytes: Long, resized: Array[Byte])
 

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Graph, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Graph, Multimodal, Similarity, TextAnalysis}
 
 /** Round-8 additions: HITS hubs/authorities, interpolated Kneser–Ney
   * scoring, segment-level first-occurrence dedup, and residual IVF-PQ.
@@ -127,6 +127,35 @@ class QualityOpsR8Spec extends SparkSpec {
         s"modularity mismatch, e.g. ${(out.toSet -- expect).take(2)}")
       val q = out.map(_._5).sum
       assert(q >= -1.0 && q <= 1.0, s"Q=$q out of range")
+    } finally { Caches.releaseAll(); spark.catalog.clearCache() }
+  }
+
+  test("audioEnergy: matches in-memory RMS over 64-byte frames; partial frames dropped") {
+    try {
+      val out = Multimodal.audioEnergy(spark, sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      val docs = Tables.documents(spark, sf0001)
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val expect = docs.flatMap { case (id, t) =>
+        val nf = t.length / 64
+        if (nf == 0) None else {
+          val rms = (0 until nf).map { f =>
+            val fx = t.substring(f * 64, f * 64 + 64)
+            val e = (0 until 32).map { i =>
+              val s = (fx.charAt(2 * i).toInt * 256 + fx.charAt(2 * i + 1).toInt).toDouble
+              s * s
+            }.sum
+            r6(math.sqrt(e / 32))
+          }
+          Some((id, nf.toLong, r6(rms.sum / nf), r6(rms.max),
+            r6(rms.count(_ < 25500).toDouble / nf)))
+        }
+      }.toSet
+      assert(out.toSet == expect,
+        s"audio energy mismatch, e.g. ${(out.toSet -- expect).take(2)}")
+      // docs shorter than one frame are excluded, not zero-row'd
+      assert(out.length == expect.size)
     } finally { Caches.releaseAll(); spark.catalog.clearCache() }
   }
 
