@@ -234,7 +234,11 @@ object Bench {
         if (regressions.isEmpty)
           System.err.println(s"[bench] no >1.5x regressions vs previous run (${prev.size} queries compared)")
       }
-      if (errors.isEmpty) {
+      // subset runs (SPARK_GRAFT_BENCH_ONLY) never advance the
+      // baseline either: a 6-query run overwriting the 165-query
+      // latest_<sf>.json would make every later full-run comparison
+      // silently partial
+      if (errors.isEmpty && onlySet.isEmpty) {
         Files.createDirectories(Paths.get("bench"))
         Files.writeString(latest, line + "\n")
         Files.writeString(Paths.get("bench", "history.jsonl"), line + "\n",
