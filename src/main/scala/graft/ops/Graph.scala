@@ -340,9 +340,12 @@ object Graph {
     import graft.operators.Scale.maybeBroadcast
     val p = graft.Caches.persistTracked(coOccurrenceEdges(spark, dir))
     val m = p.count() // materialize + the modularity denominator
-    val labels = graft.Caches.persistTracked(labelPropagation(spark, dir)
-      .select(col("node").as("nd"), col("community").as("lbl")))
-    labels.count()
+    // eager localCheckpoint: labels joins the edge list TWICE below
+    // (both endpoints), and without truncation each side re-embeds the
+    // whole LPA iteration lineage (13.6k formatted-plan lines vs ~100)
+    val labels = labelPropagation(spark, dir)
+      .select(col("node").as("nd"), col("community").as("lbl"))
+      .localCheckpoint(true)
     val sym = p.unionAll(p.select(col("v").as("u"), col("u").as("v")))
     val deg = sym.groupBy(col("u").as("nd")).agg(count(lit(1)).as("d"))
     val ein = p
@@ -394,17 +397,20 @@ object Graph {
         .select(col(key), round(col("raw") / col("mx"), 9).as(out))
     var hub = edges.select(col("cust")).distinct().withColumn("h", lit(1.0))
     var auth = edges.select(col("part")).distinct().withColumn("a", lit(1.0))
+    // per-half-round eager localCheckpoint, the bfsLevels/componentsStar
+    // loop discipline: hub and auth each embed the OTHER's lineage, so
+    // without truncation the plan nests quadratically in the round count
+    // (34.5k formatted-plan lines vs ~200 with checkpoints) and analysis
+    // time starts to rival execution
     for (_ <- 1 to iters) {
       val araw = edges
         .join(maybeBroadcast(hub.select(col("cust"), col("h"))), Seq("cust"))
         .groupBy(col("part")).agg(round(sum(col("h")), 9).as("raw"))
-      auth = graft.Caches.persistTracked(maxNorm(araw, "part", "a"))
-      auth.count() // keep stats real for the next round's gate
+      auth = maxNorm(araw, "part", "a").localCheckpoint(true)
       val hraw = edges
         .join(maybeBroadcast(auth.select(col("part"), col("a"))), Seq("part"))
         .groupBy(col("cust")).agg(round(sum(col("a")), 9).as("raw"))
-      hub = graft.Caches.persistTracked(maxNorm(hraw, "cust", "h"))
-      hub.count()
+      hub = maxNorm(hraw, "cust", "h").localCheckpoint(true)
     }
     hub.select(lit("hub").as("role"), col("cust").as("node"),
         round(col("h"), 6).as("score"))
