@@ -192,6 +192,10 @@ object SparkEntry {
     "ann_ivf_pq_residual" -> ((s, d) => Similarity.annIvfPqResidual(s, d)),
     "graph_modularity"    -> Graph.modularity _,
     "mm_audio_energy"     -> Multimodal.audioEnergy _,
+    "dedup_minhash_est_error" -> Dedup.minhashEstError _,
+    "embed_spherical_kmeans"  -> Similarity.sphericalKmeans _,
+    "text_readability"        -> TextAnalysis.readability _,
+    "pipeline_curriculum_order" -> Pipeline.curriculumOrder _,
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. */
@@ -2382,6 +2386,74 @@ object SparkEntry {
         |n3 AS (SELECT sqrt(sum(u*u)) AS nrm FROM u3),
         |v3 AS (SELECT d, round(u / nrm, 6) AS vd FROM u3 CROSS JOIN n3)
         |SELECT d AS dim, vd AS component FROM v3 ORDER BY dim""".stripMargin,
+    // MinHash estimator calibration over the LSH candidates — the sig
+    // CTE mirrors graft_minhash_sig, exact side over string shingles
+    // (mirrors Dedup.minhashEstError)
+    "dedup_minhash_est_error" ->
+      s"""WITH $bandsCtes,
+        |cpairs AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
+        |   AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |est AS (SELECT doc_a, doc_b,
+        |   round(len(list_filter(range(1, 17), i -> sa.sg[i] = sb.sg[i])) / 16.0, 6) AS est_jaccard
+        |  FROM cpairs JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b),
+        |ex AS (SELECT doc_a, doc_b,
+        |   round(len(list_intersect(a.shingles, b.shingles)) /
+        |     CAST(len(a.shingles) + len(b.shingles)
+        |       - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE), 6) AS exact_jaccard
+        |  FROM cpairs JOIN shl a ON a.doc_id = doc_a JOIN shl b ON b.doc_id = doc_b)
+        |SELECT doc_a, doc_b, est_jaccard, exact_jaccard,
+        |  round(abs(est_jaccard - exact_jaccard), 6) AS abs_err
+        |FROM est JOIN ex USING (doc_a, doc_b) ORDER BY doc_a, doc_b""".stripMargin,
+    // spherical k-means: unit vectors, renormalized mean directions,
+    // argmax cosine (mirrors Similarity.sphericalKmeans)
+    "embed_spherical_kmeans" ->
+      """WITH ue AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |un AS (SELECT vec_id, label, list_transform(v,
+        |   x -> round(x / sqrt(list_sum(list_transform(v, y -> y*y))), 6)) AS u FROM ue),
+        |pe AS (SELECT label AS cell, i AS pos, u[i] AS x
+        |  FROM un CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
+        |cml AS (SELECT cell, CAST(pos - 1 AS BIGINT) AS pos, round(avg(x), 6) AS m
+        |  FROM pe GROUP BY 1, 2),
+        |ca AS (SELECT cell, list(m ORDER BY pos) AS cm FROM cml GROUP BY 1),
+        |cu AS (SELECT cell, list_transform(cm,
+        |   x -> round(x / sqrt(list_sum(list_transform(cm, y -> y*y))), 6)) AS cu FROM ca),
+        |sc AS (SELECT un.vec_id, un.label, cu.cell,
+        |   round(list_sum(list_transform(list_zip(un.u, cu.cu), z -> z[1]*z[2])), 6) AS cos
+        |  FROM un CROSS JOIN cu)
+        |SELECT vec_id, cell, cos AS cos_to_cell, cell = label AS matches_label
+        |FROM sc
+        |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) = 1
+        |ORDER BY vec_id""".stripMargin,
+    // Flesch-style readability with documented stand-ins (mirrors
+    // TextAnalysis.readability)
+    "text_readability" ->
+      """WITH t AS (SELECT doc_id,
+        |   len(regexp_extract_all(lower(text), '\S+')) AS n_words,
+        |   len(regexp_extract_all(lower(text), '[aeiou]+')) AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(n_syllables AS BIGINT) AS n_syllables,
+        |  CAST(ceil(n_words / 15.0) AS BIGINT) AS n_sentences,
+        |  round(206.835 - 1.015 * (n_words / CAST(ceil(n_words / 15.0) AS DOUBLE))
+        |    - 84.6 * (n_syllables / CAST(n_words AS DOUBLE)), 6) AS flesch
+        |FROM t WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
+    // short-to-long curriculum staging against exact interpolated
+    // quartiles (mirrors Pipeline.curriculumOrder)
+    "pipeline_curriculum_order" ->
+      """WITH q AS (SELECT quantile_cont(n_chars, 0.25) AS q1,
+        |   quantile_cont(n_chars, 0.5) AS q2, quantile_cont(n_chars, 0.75) AS q3
+        |  FROM documents),
+        |staged AS (SELECT doc_id, n_chars,
+        |   CASE WHEN n_chars <= q1 THEN 0 WHEN n_chars <= q2 THEN 1
+        |        WHEN n_chars <= q3 THEN 2 ELSE 3 END AS stage,
+        |   md5(CAST(doc_id AS VARCHAR) || '-curr') AS hkey
+        |  FROM documents CROSS JOIN q)
+        |SELECT doc_id, n_chars, CAST(stage AS BIGINT) AS stage,
+        |  CAST(row_number() OVER (PARTITION BY stage ORDER BY hkey, doc_id) AS BIGINT) AS pos
+        |FROM staged ORDER BY stage, pos""".stripMargin,
     // frame RMS energy over the synthesized byte payload — list-order
     // accumulation both engines (mirrors Multimodal.audioEnergy)
     "mm_audio_energy" ->

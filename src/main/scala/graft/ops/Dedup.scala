@@ -267,6 +267,44 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** MinHash estimator calibration — per candidate pair, the
+    * signature-agreement Jaccard ESTIMATE (agreeing positions / 16)
+    * against the exact shingle Jaccard, with the absolute error:
+    * [[lshEval]] audits the candidate GENERATOR (what the bands
+    * miss); this audits the ESTIMATOR (how wrong the cheap number a
+    * pipeline ranks/thresholds on actually is, which calibrates k —
+    * stderr ≈ √(J(1−J)/k) ≈ 0.12 at k=16, the spec's tolerance).
+    *
+    * Shape at scale: candidates come from the production LSH band
+    * join; signatures and shingle sets are per-doc rows (size-gated
+    * broadcasts), so the audit adds zero shuffles beyond the pair
+    * stream itself — it can run permanently against a sample of the
+    * dedup run's own candidates. */
+  def minhashEstError(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    import graft.operators.Scale.maybeBroadcast
+    val cand = minhashLsh(spark, dir)
+    val sigs = graft.Caches.persistTracked(
+      withShingles(Tables.documents(spark, dir))
+        .select(col("doc_id"), expr("graft_minhash_sig(shingles)").as("sig")))
+    val sets = graft.Caches.persistTracked(
+      withShingleHashes(Tables.documents(spark, dir))
+        .select(col("doc_id"), col("hs")))
+    cand
+      .join(maybeBroadcast(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa"))), "doc_a")
+      .join(maybeBroadcast(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb"))), "doc_b")
+      .join(maybeBroadcast(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha"))), "doc_a")
+      .join(maybeBroadcast(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb"))), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), z -> z))") / lit(16.0), 6)
+          .as("est_jaccard"),
+        round(size(array_intersect(col("ha"), col("hb"))).cast("double") /
+          (size(col("ha")) + size(col("hb")) -
+            size(array_intersect(col("ha"), col("hb")))), 6).as("exact_jaccard"))
+      .withColumn("abs_err", round(abs(col("est_jaccard") - col("exact_jaccard")), 6))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Index-quality evaluation of the MinHash-LSH candidate generator
     * against exact n-gram Jaccard ground truth — the dedup counterpart
     * of [[graft.ops.Similarity.annRecallReport]]: before trusting the

@@ -525,4 +525,40 @@ object Pipeline {
       .select(col("epoch"), col("shard"), col("pos"), col("doc_id"))
       .orderBy(col("epoch"), col("shard"), col("pos"))
   }
+
+  /** Curriculum training order — short-to-long staging (the standard
+    * LM curriculum heuristic: shorter documents first), deterministic
+    * within stage: stage = length quartile against EXACT interpolated
+    * corpus percentiles (the [[qualityGate]] discipline — corpus-
+    * derived cutoffs, not magic constants), position = hash rank
+    * within the stage so a re-run reproduces the identical order with
+    * zero coordination ([[epochShuffle]]'s property, stratified by
+    * difficulty).
+    *
+    * Shape at scale: the three quartiles are one 1-row agg broadcast
+    * back; staging is then a map-side CASE; the position window
+    * shuffles once on the stage key. Four stages cap window
+    * parallelism here — at 100 TB the position key becomes
+    * (stage, shard) exactly like epochShuffle's, offsets added per
+    * shard manifest; the stage assignment itself is already
+    * scale-free. */
+  def curriculumOrder(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    val qs = docs.agg(
+      expr("percentile(n_chars, 0.25)").as("q1"),
+      expr("percentile(n_chars, 0.5)").as("q2"),
+      expr("percentile(n_chars, 0.75)").as("q3"))
+    val staged = docs.crossJoin(broadcast(qs))
+      .withColumn("stage",
+        when(col("n_chars") <= col("q1"), 0L)
+          .when(col("n_chars") <= col("q2"), 1L)
+          .when(col("n_chars") <= col("q3"), 2L)
+          .otherwise(3L))
+      .withColumn("hkey", md5(concat(col("doc_id").cast("string"), lit("-curr"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stage")).orderBy(col("hkey"), col("doc_id"))
+    staged.withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("n_chars"), col("stage"), col("pos"))
+      .orderBy(col("stage"), col("pos"))
+  }
 }

@@ -647,6 +647,43 @@ object Similarity {
       .orderBy(col("probe_id"), col("rk"))
   }
 
+  /** Spherical k-means assignment (Dhillon & Modha 2001) — the
+    * clustering that matches COSINE retrieval: vectors and the
+    * label-seeded centroids both live on the unit sphere (centroid =
+    * renormalized mean of unit vectors) and assignment is argmax
+    * dot product, so cells agree with what a cosine ANN probe will
+    * later see ([[trainedIndex]]'s L2 Lloyd optimizes a different
+    * objective and splits cosine-close pairs across cells when
+    * magnitudes differ). Reports each vector's cell, its cosine to
+    * the cell direction, and label agreement.
+    *
+    * Shape at scale: identical to [[annIvf]] — normalization is
+    * map-side arithmetic on the scan, the |cells|-row unit-centroid
+    * table broadcasts, assignment is one broadcast cross + argmax
+    * window. Unit components, centroid dims, and cosines round to 6
+    * so the DuckDB oracle reproduces every argmax exactly. */
+  def sphericalKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val u = graft.Caches.persistTracked(vecs(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        expr("transform(v, x -> round(x / norm, 6))").as("u")))
+    val centArr = u
+      .select(col("label").as("cell"), posexplode(col("u")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos").cast("long").as("pos"))
+      .agg(round(avg(col("x")), 6).as("m"))
+      .groupBy(col("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("cm"))
+      .withColumn("cnorm", sqrt(expr("graft_dot(cm, cm)")))
+      .select(col("cell"), expr("transform(cm, x -> round(x / cnorm, 6))").as("cu"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cell"))
+    u.crossJoin(broadcast(centArr))
+      .withColumn("cos", round(expr("graft_dot(u, cu)"), 6))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("vec_id"), col("cell"), col("cos").as("cos_to_cell"),
+        (col("cell") === col("label")).as("matches_label"))
+      .orderBy(col("vec_id"))
+  }
+
   /** IVF-PQ with RESIDUAL encoding — the missing piece between
     * [[annIvfPq]] and the full FAISS IVFPQ recipe: each vector is
     * PQ-encoded as its residual v − centroid(cell) under the TRAINED

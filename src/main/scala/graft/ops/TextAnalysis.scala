@@ -318,6 +318,30 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Flesch-style readability score — the classic reading-ease
+    * formula 206.835 − 1.015·(words/sentences) − 84.6·(syllables/word)
+    * with two documented stand-ins for this synthetic corpus:
+    * syllables ≈ vowel-group count (the standard heuristic), and
+    * sentences ≈ ⌈words/15⌉ because the corpus has no sentence
+    * punctuation (on real text, swap the denominator for a
+    * sentence-boundary regexp count — the plan is unchanged).
+    * Complements [[quality]]/[[gopherRules]] with the
+    * audience-difficulty axis quality filters don't measure.
+    *
+    * Shape at scale: two regexp counts on the scan, zero shuffles
+    * beyond the presentation sort — [[repetition]]'s plan. */
+  def readability(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(expr(raw"regexp_extract_all(lower(text), '\\S+', 0)")).cast("long").as("n_words"),
+        size(expr(raw"regexp_extract_all(lower(text), '[aeiou]+', 0)")).cast("long").as("n_syllables"))
+      .filter(col("n_words") > 0)
+      .withColumn("n_sentences", ceil(col("n_words") / lit(15.0)).cast("long"))
+      .withColumn("flesch", round(
+        lit(206.835) - lit(1.015) * (col("n_words") / col("n_sentences"))
+          - lit(84.6) * (col("n_syllables") / col("n_words")), 6))
+      .orderBy(col("doc_id"))
+
   /** Within-document repetition ratios — the Gopher/RefinedWeb-style
     * quality rule that catches boilerplate and degenerate generation:
     * fraction of duplicate tokens and duplicate 3-grams inside each
