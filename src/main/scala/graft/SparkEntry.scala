@@ -196,6 +196,16 @@ object SparkEntry {
     "embed_spherical_kmeans"  -> Similarity.sphericalKmeans _,
     "text_readability"        -> TextAnalysis.readability _,
     "pipeline_curriculum_order" -> Pipeline.curriculumOrder _,
+    "etl_anomaly_mad"         -> EventsEtl.anomalyMad _,
+    "etl_benford"             -> EventsEtl.benfordAudit _,
+    "mm_scene_cut"            -> Multimodal.sceneCut _,
+    "graph_assortativity"     -> Graph.assortativity _,
+    "pipeline_padding_waste"  -> Pipeline.paddingWaste _,
+    "ann_range_search"        -> ((s, d) => Similarity.annRangeSearch(s, d)),
+    "embed_triplet_margin"    -> Similarity.tripletMargin _,
+    "q_decile_lift"           -> Relational.qDecileLift _,
+    "text_oov_rate"           -> TextAnalysis.oovRate _,
+    "pipeline_dedup_cascade"  -> Pipeline.dedupCascade _,
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. */
@@ -2386,6 +2396,176 @@ object SparkEntry {
         |n3 AS (SELECT sqrt(sum(u*u)) AS nrm FROM u3),
         |v3 AS (SELECT d, round(u / nrm, 6) AS vd FROM u3 CROSS JOIN n3)
         |SELECT d AS dim, vd AS component FROM v3 ORDER BY dim""".stripMargin,
+    // robust MAD anomaly fence per event type (mirrors
+    // EventsEtl.anomalyMad; 4.4478 = 3 * 1.4826 written identically)
+    "etl_anomaly_mad" ->
+      """WITH ev AS (SELECT event_type, value FROM events),
+        |med AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM ev GROUP BY 1),
+        |dev AS (SELECT ev.event_type, abs(value - med.med) AS adev, med.med AS med
+        |  FROM ev JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1)
+        |SELECT dev.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(max(dev.med), 6) AS median_value,
+        |  round(max(mad.mad), 6) AS mad,
+        |  CAST(sum(CASE WHEN adev > mad.mad * 4.4478 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+        |FROM dev JOIN mad USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Benford first-significant-digit audit (mirrors
+    // EventsEtl.benfordAudit; identical double expression + clamp)
+    "etl_benford" ->
+      """WITH ev AS (SELECT abs(value) AS av FROM events WHERE abs(value) > 0),
+        |dg AS (SELECT least(greatest(CAST(floor(av * power(10, -floor(log10(av)))) AS BIGINT), 1), 9) AS digit FROM ev),
+        |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM dg GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM g)
+        |SELECT digit, n, round(n / tot, 6) AS obs_frac,
+        |  round(log10(1.0 + 1.0 / digit), 6) AS benford_frac,
+        |  round(abs(round(n / tot, 6) - round(log10(1.0 + 1.0 / digit), 6)), 6) AS abs_dev
+        |FROM g CROSS JOIN t ORDER BY digit""".stripMargin,
+    // scene cuts: consecutive-frame RMS delta over the mm_audio_energy
+    // frame chain (mirrors Multimodal.sceneCut)
+    "mm_scene_cut" ->
+      """WITH t AS (SELECT doc_id, text FROM documents WHERE len(text) // 64 > 0),
+        |fr AS (SELECT doc_id, unnest(range(0, len(text) // 64)) AS f, text FROM t),
+        |frames AS (SELECT doc_id, f, substr(text, CAST(f*64+1 AS INT), 64) AS fx FROM fr),
+        |rms AS (SELECT doc_id, f,
+        |   round(sqrt(list_sum(list_transform(range(0, 32),
+        |     i -> CAST(ord(substr(fx, CAST(2*i+1 AS INT), 1)) * 256
+        |          + ord(substr(fx, CAST(2*i+2 AS INT), 1)) AS DOUBLE)
+        |          * (ord(substr(fx, CAST(2*i+1 AS INT), 1)) * 256
+        |          + ord(substr(fx, CAST(2*i+2 AS INT), 1))))) / 32), 6) AS rms
+        |  FROM frames),
+        |c AS (SELECT doc_id, f, CASE WHEN abs(rms - lag(rms) OVER
+        |    (PARTITION BY doc_id ORDER BY f)) > 2000.0 THEN 1 ELSE 0 END AS cut
+        |  FROM rms)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST(sum(cut) AS BIGINT) AS n_cuts,
+        |  CAST(sum(cut) + 1 AS BIGINT) AS n_shots,
+        |  round(count(*) / CAST(sum(cut) + 1 AS DOUBLE), 6) AS mean_shot_len
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // degree assortativity over the symmetrized co-occurrence edges
+    // (mirrors Graph.assortativity; corr normalization cancels the
+    // sample/population choice)
+    "graph_assortativity" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |p AS (SELECT DISTINCT x.pk AS u, y.pk AS v
+        |  FROM items x JOIN items y ON x.ok = y.ok AND x.pk < y.pk),
+        |e AS (SELECT u, v FROM p UNION ALL SELECT v, u FROM p),
+        |deg AS (SELECT u AS nd, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY 1)
+        |SELECT CAST(count(*) / 2 AS BIGINT) AS n_edges,
+        |  round(avg(du.d), 6) AS mean_end_deg,
+        |  round(corr(du.d, dv.d), 6) AS assortativity
+        |FROM e JOIN deg du ON du.nd = e.u JOIN deg dv ON dv.nd = e.v""".stripMargin,
+    // power-of-two padding-waste profile; the bucket is integer-derived
+    // via the base-2 string (mirrors Pipeline.paddingWaste)
+    "pipeline_padding_waste" ->
+      """WITH d AS (SELECT n_chars FROM documents WHERE n_chars > 0),
+        |b AS (SELECT n_chars, CAST(1 << length(bin(n_chars - 1)) AS BIGINT) AS pad_len FROM d)
+        |SELECT pad_len, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(count(*) * pad_len AS BIGINT) AS padded_chars,
+        |  round(1.0 - sum(n_chars) / CAST(count(*) * pad_len AS DOUBLE), 6) AS waste_frac
+        |FROM b GROUP BY pad_len ORDER BY pad_len""".stripMargin,
+    // cosine range search, radius 0.3, probes vec_id < 8 (mirrors
+    // Similarity.annRangeSearch; the ann_bruteforce CTE chain minus
+    // the top-k window)
+    "ann_range_search" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM e),
+        |p AS (SELECT vec_id AS probe_id, v AS pv, norm AS pnorm FROM n WHERE vec_id < 8),
+        |s AS (SELECT p.probe_id, n.vec_id,
+        |   round(list_sum(list_transform(list_zip(p.pv, n.v), z -> z[1]*z[2])) / (p.pnorm * n.norm), 6) AS cosine
+        |  FROM p CROSS JOIN n WHERE n.vec_id <> p.probe_id)
+        |SELECT probe_id, vec_id, cosine,
+        |  CAST(count(*) OVER (PARTITION BY probe_id) AS BIGINT) AS n_in_range
+        |FROM s WHERE cosine >= 0.3 ORDER BY probe_id, vec_id""".stripMargin,
+    // hardest-positive vs hardest-negative triplet margin per probe
+    // (mirrors Similarity.tripletMargin)
+    "embed_triplet_margin" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM e),
+        |p AS (SELECT vec_id AS probe_id, label AS plabel, v AS pv, norm AS pnorm FROM n WHERE vec_id < 25),
+        |s AS (SELECT p.probe_id, p.plabel, n.label,
+        |   round(list_sum(list_transform(list_zip(p.pv, n.v), z -> z[1]*z[2])) / (p.pnorm * n.norm), 6) AS cosine
+        |  FROM p CROSS JOIN n WHERE n.vec_id <> p.probe_id),
+        |m AS (SELECT probe_id, plabel,
+        |   round(min(CASE WHEN label = plabel THEN cosine END), 6) AS hardest_pos,
+        |   round(max(CASE WHEN label <> plabel THEN cosine END), 6) AS hardest_neg
+        |  FROM s GROUP BY 1, 2)
+        |SELECT probe_id, CAST(plabel AS BIGINT) AS label, hardest_pos, hardest_neg,
+        |  round(hardest_pos - hardest_neg, 6) AS margin,
+        |  (hardest_pos - hardest_neg) > 0 AS satisfied
+        |FROM m ORDER BY probe_id""".stripMargin,
+    // decile lift over customer spend (mirrors Relational.qDecileLift;
+    // exact DECIMAL sums, the share division is the only float)
+    "q_decile_lift" ->
+      """WITH s AS (SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |  FROM orders GROUP BY 1),
+        |d AS (SELECT o_custkey, spend,
+        |   CAST(ntile(10) OVER (ORDER BY spend DESC, o_custkey) AS BIGINT) AS decile FROM s),
+        |g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+        |   sum(spend) AS rev FROM d GROUP BY 1),
+        |t AS (SELECT sum(rev) AS tot FROM g)
+        |SELECT decile, n_customers, CAST(rev AS DOUBLE) AS revenue,
+        |  round(CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS rev_share,
+        |  round(CAST(sum(rev) OVER (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / CAST(tot AS DOUBLE), 6) AS cum_share,
+        |  round(CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE) * 10.0, 6) AS lift
+        |FROM g CROSS JOIN t ORDER BY decile""".stripMargin,
+    // rare-token rate: corpus frequency table reduced from the
+    // (doc, token) relation, joined back (mirrors TextAnalysis.oovRate)
+    "text_oov_rate" ->
+      """WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS w FROM documents),
+        |tok AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+        |cf AS (SELECT w, CAST(sum(tf) AS BIGINT) AS cf FROM tok GROUP BY 1)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN cf <= 2 THEN tf ELSE 0 END) AS BIGINT) AS n_rare_tokens,
+        |  CAST(count(CASE WHEN cf <= 2 THEN 1 END) AS BIGINT) AS n_rare_types,
+        |  round(sum(CASE WHEN cf <= 2 THEN tf ELSE 0 END) / CAST(sum(tf) AS DOUBLE), 6) AS rare_rate
+        |FROM tok JOIN cf USING (w) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // exact → minhash-LSH → semdedup cascade funnel: the components
+    // walk chain + the semdedup cell/cosine chain + an md5 window,
+    // marginal attribution in cascade order (mirrors
+    // Pipeline.dedupCascade)
+    "pipeline_dedup_cascade" ->
+      s"""WITH RECURSIVE $componentsCtes,
+        |comp AS (SELECT node AS doc_id, min(reach) AS component FROM walk GROUP BY 1),
+        |pe AS (SELECT label, i AS pos, embedding[i] AS x
+        |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
+        |c AS (SELECT CAST(label AS BIGINT) AS label, CAST(pos - 1 AS BIGINT) AS pos,
+        |   round(avg(CAST(x AS DOUBLE)), 6) AS centroid FROM pe GROUP BY 1, 2),
+        |cent AS (SELECT label AS cell, list(centroid ORDER BY pos) AS cv FROM c GROUP BY 1),
+        |e2 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |s2 AS (SELECT e2.vec_id, e2.v, cent.cell,
+        |   round(sqrt(list_sum(list_transform(list_zip(e2.v, cent.cv), z -> (z[1]-z[2])*(z[1]-z[2])))), 6) AS dist
+        |  FROM e2 CROSS JOIN cent),
+        |a AS (SELECT vec_id, v, cell, sqrt(list_sum(list_transform(v, x -> x*x))) AS norm
+        |  FROM s2 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1),
+        |pp AS (SELECT y.vec_id AS vec_id,
+        |   round(list_sum(list_transform(list_zip(x.v, y.v), z -> z[1]*z[2])) / (x.norm * y.norm), 6) AS cosine
+        |  FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+        |sd AS (SELECT DISTINCT vec_id FROM pp WHERE cosine >= 0.35),
+        |ex AS (SELECT doc_id, CASE WHEN row_number() OVER
+        |    (PARTITION BY md5(text) ORDER BY doc_id) > 1 THEN 1 ELSE 0 END AS rm1
+        |  FROM documents),
+        |f AS (SELECT ex.doc_id, ex.rm1,
+        |   CASE WHEN comp.component IS NOT NULL AND comp.component <> ex.doc_id THEN 1 ELSE 0 END AS rm2,
+        |   CASE WHEN sd.vec_id IS NOT NULL THEN 1 ELSE 0 END AS rm3
+        |  FROM ex LEFT JOIN comp ON comp.doc_id = ex.doc_id
+        |  LEFT JOIN sd ON sd.vec_id = ex.doc_id),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n0, CAST(sum(rm1) AS BIGINT) AS r1,
+        |  CAST(sum(CASE WHEN rm1 = 0 AND rm2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS r2,
+        |  CAST(sum(CASE WHEN rm1 = 0 AND rm2 = 0 AND rm3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS r3
+        |  FROM f)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage_id, 'exact' AS stage, n0 AS n_in,
+        |    r1 AS n_removed, n0 - r1 AS n_out,
+        |    round((n0 - r1) / CAST(n0 AS DOUBLE), 6) AS kept_frac FROM tot
+        |  UNION ALL SELECT 2, 'minhash_lsh', n0 - r1, r2, n0 - r1 - r2,
+        |    round((n0 - r1 - r2) / CAST(n0 AS DOUBLE), 6) FROM tot
+        |  UNION ALL SELECT 3, 'semdedup', n0 - r1 - r2, r3, n0 - r1 - r2 - r3,
+        |    round((n0 - r1 - r2 - r3) / CAST(n0 AS DOUBLE), 6) FROM tot)
+        |ORDER BY stage_id""".stripMargin,
     // MinHash estimator calibration over the LSH candidates — the sig
     // CTE mirrors graft_minhash_sig, exact side over string shingles
     // (mirrors Dedup.minhashEstError)

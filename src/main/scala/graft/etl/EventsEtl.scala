@@ -545,6 +545,79 @@ object EventsEtl {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Benford first-digit audit over event values — the forensic DQ
+    * monitor for "does this measure look organically generated":
+    * leading significant digit d of |value| vs the Benford expectation
+    * log10(1+1/d). Per digit 1–9: count, observed fraction, expected
+    * fraction, absolute deviation — a fabricated / clipped / defaulted
+    * feed shows up as a spiked digit long before a range check fires.
+    * The digit is floor(v·10^−floor(log10 v)) clamped to [1,9]; both
+    * engines evaluate the identical double expression, and the clamp
+    * absorbs the one representable-boundary hazard (v at an exact
+    * power of ten).
+    *
+    * Shape at scale: pure map-side projection + one 9-group agg with
+    * map-side combine; the grand total joins back as a broadcast
+    * scalar. Nothing but the fact scan touches the wire. */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    val byDigit = graft.Caches.persistTracked(
+      Tables.events(spark, dir)
+        .select(abs(col("value")).as("av")).filter(col("av") > 0)
+        .withColumn("digit",
+          least(greatest(floor(col("av") *
+            pow(lit(10.0), -floor(log10(col("av"))))), lit(1L)), lit(9L)))
+        .groupBy(col("digit"))
+        .agg(count(lit(1)).as("n")))
+    // grand total from the cached 9-row digit table — no second fact scan
+    byDigit
+      .crossJoin(broadcast(byDigit.agg(sum(col("n")).cast("double").as("tot"))))
+      .withColumn("obs_frac", round(col("n") / col("tot"), 6))
+      .withColumn("benford_frac",
+        round(log10(lit(1.0) + lit(1.0) / col("digit")), 6))
+      .withColumn("abs_dev",
+        round(abs(round(col("n") / col("tot"), 6) -
+          round(log10(lit(1.0) + lit(1.0) / col("digit")), 6)), 6))
+      .select(col("digit"), col("n"), col("obs_frac"),
+        col("benford_frac"), col("abs_dev"))
+      .orderBy(col("digit"))
+  }
+
+  /** Robust per-type anomaly profile via MAD (median absolute
+    * deviation) — the outlier monitor that, unlike z-scores, a burst
+    * of anomalies cannot poison (the median and MAD are 50%-breakdown
+    * estimators; [[cusumShift]] finds LEVEL shifts, this finds point
+    * outliers). Per event_type: median value, MAD, and how many
+    * events sit beyond the classic 3σ̂ fence with σ̂ = 1.4826·MAD
+    * (the literal 4.4478 = 3·1.4826 is written identically in both
+    * engines).
+    *
+    * Shape at scale: two grouped exact interpolated percentiles (the
+    * [[graft.ops.Pipeline.qualityGate]] discipline) with the tiny
+    * per-type tables broadcast back; the event stream is scanned, never
+    * windowed. At 100 TB the exact percentile swaps for the binned
+    * quantile sketch ([[graft.operators.Relational.qQuantileSketch]])
+    * with the identical downstream fence. */
+  def anomalyMad(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Scale.maybeBroadcast
+    val ev = graft.Caches.persistTracked(
+      Tables.events(spark, dir).select(col("event_type"), col("value")))
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = graft.Caches.persistTracked(
+      ev.join(maybeBroadcast(med), Seq("event_type"))
+        .withColumn("adev", abs(col("value") - col("med"))))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.join(maybeBroadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(max(col("med")), 6).as("median_value"),
+        round(max(col("mad")), 6).as("mad"),
+        sum(when(col("adev") > col("mad") * lit(4.4478), 1L).otherwise(0L))
+          .as("n_anomalies"))
+      .orderBy(col("event_type"))
+  }
+
     /** CUSUM change-point profile over daily event volume — the
     * mean-shift monitor an ingest pipeline runs on its own throughput:
     * cumulative sum of (daily count − corpus mean) peaks exactly where

@@ -662,6 +662,44 @@ object Relational {
       .orderBy(col("part_value").desc, col("l_partkey"))
   }
 
+  /** Decile lift table — the campaign-targeting readout built on the
+    * `q_ntile_deciles` assignment: customers ranked by total spend into
+    * 10 deciles, per decile the customer count, revenue, revenue share,
+    * cumulative share, and lift (share ÷ the 10% a uniform decile
+    * would hold). Decile 1 lift ≈ how much better "target the top 10%"
+    * is than random targeting — the whole-curve Pareto evidence beside
+    * `q11_value_concentration`'s single threshold.
+    *
+    * Shape at scale: the per-customer agg is one map-side-combinable
+    * shuffle; the ntile window orders only the |customers| aggregate
+    * (never the fact stream) and at 1000-executor scale swaps for a
+    * percentile-sketch bucketing with the identical downstream
+    * arithmetic; the final 10-row table is window'd in place. Exact
+    * DECIMAL sums end-to-end — the share division is the only float. */
+  def qDecileLift(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("spend"))
+    val wN = Window.orderBy(col("spend").desc, col("o_custkey"))
+    val deciles = graft.Caches.persistTracked(spend
+      .withColumn("decile", ntile(10).over(wN).cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("spend")).as("rev")))
+    val wC = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deciles
+      .crossJoin(broadcast(deciles.agg(sum(col("rev")).as("tot"))))
+      .withColumn("rev_share", round(col("rev").cast("double") / col("tot"), 6))
+      .withColumn("cum_share",
+        round(sum(col("rev")).over(wC).cast("double") / col("tot"), 6))
+      .withColumn("lift",
+        round(col("rev").cast("double") / col("tot") * 10.0, 6))
+      .select(col("decile"), col("n_customers"),
+        col("rev").cast("double").as("revenue"),
+        col("rev_share"), col("cum_share"), col("lift"))
+      .orderBy(col("decile"))
+  }
+
   /** Distribution query (TPC-H Q13 shape): customers left-joined to
     * orders so zero-order customers survive, then a histogram of order
     * counts. Two shuffles: the outer join and the tiny re-agg. */

@@ -418,4 +418,33 @@ object Graph {
         col("part").as("node"), round(col("a"), 6).as("score")))
       .orderBy(col("role"), col("node"))
   }
+
+  /** Degree assortativity (Newman 2002) of the co-occurrence graph —
+    * the one-number structural audit beside [[modularity]]: Pearson
+    * correlation of endpoint degrees over the symmetrized edge list
+    * (each undirected edge contributes both orientations, the standard
+    * definition). Positive = hubs attach to hubs (social-network-like),
+    * negative = hub-and-spoke (star schemas, catalogs). Rounded to 6 in
+    * both engines; `corr` is a single streaming co-moment aggregate, so
+    * the 1e-15 tail under reordering is far below the rounding.
+    *
+    * Shape at scale: degrees are one shuffle agg on the symmetrized
+    * list; the |V|-row degree table joins back broadcast-gated on each
+    * endpoint; the correlation itself is a map-side-combinable scalar
+    * agg. Nothing materializes beyond |E| + |V|. */
+  def assortativity(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Scale.maybeBroadcast
+    val p = graft.Caches.persistTracked(coOccurrenceEdges(spark, dir))
+    p.count() // materialize: broadcast gates below need real sizes
+    val sym = p.unionAll(p.select(col("v").as("u"), col("u").as("v")))
+    val deg = graft.Caches.persistTracked(
+      sym.groupBy(col("u").as("nd")).agg(count(lit(1)).cast("double").as("d")))
+    deg.count()
+    sym
+      .join(maybeBroadcast(deg.select(col("nd").as("u"), col("d").as("du"))), Seq("u"))
+      .join(maybeBroadcast(deg.select(col("nd").as("v"), col("d").as("dv"))), Seq("v"))
+      .agg((count(lit(1)) / 2).cast("long").as("n_edges"),
+        round(avg(col("du")), 6).as("mean_end_deg"),
+        round(corr(col("du"), col("dv")), 6).as("assortativity"))
+  }
 }

@@ -132,6 +132,50 @@ object Multimodal {
           count(lit(1)).cast("double"), 6).as("low_energy_frac"))
       .orderBy(col("doc_id"))
 
+  /** Scene-cut detection over the frame stream (oracle-checked): the
+    * shot-boundary primitive a video curation pipeline runs before
+    * frame dedup / caption sampling — consecutive-frame feature
+    * distance thresholding, with the frame feature being the same
+    * 32-sample RMS as [[audioEnergy]] (the container has no video
+    * codecs; a real deployment swaps the RMS for a frame histogram or
+    * embedding and keeps the identical plan). Per doc: frame count,
+    * number of cuts (|rms − prev rms| > 2000), shot count, and mean
+    * shot length rounded to 6.
+    *
+    * Shape at scale: the fan-out is map-side sequence+explode; the
+    * only shuffle is the per-doc window (partitionBy doc_id — the
+    * natural parallel unit, no global ordering), and the rollup is a
+    * map-side-combinable agg on the already-co-located doc. The lag
+    * runs INSIDE the doc partition, so frame order never crosses
+    * machines. */
+  def sceneCut(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("f"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        (length(col("text")) / 64).cast("int").as("nf"))
+      .filter(col("nf") > 0)
+      .select(col("doc_id"), explode(sequence(lit(0), col("nf") - 1)).as("f"),
+        col("text"))
+      .select(col("doc_id"), col("f"),
+        expr("substr(text, f * 64 + 1, 64)").as("fx"))
+      .withColumn("rms", round(sqrt(expr(
+        """aggregate(transform(sequence(0, 31),
+             i -> CAST(ascii(substr(fx, 2*i+1, 1)) * 256
+                  + ascii(substr(fx, 2*i+2, 1)) AS DOUBLE)),
+             CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x) / 32""")), 6))
+      .withColumn("cut",
+        when(abs(col("rms") - lag(col("rms"), 1).over(w)) > 2000.0, 1L)
+          .otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("cut")).as("n_cuts"),
+        (sum(col("cut")) + 1L).as("n_shots"),
+        round(count(lit(1)).cast("double") / (sum(col("cut")) + 1L), 6)
+          .as("mean_shot_len"))
+      .orderBy(col("doc_id"))
+  }
+
   case class ResizedMedia(doc_id: Long, media_type: String, orig_bytes: Long,
       resized_bytes: Long, resized: Array[Byte])
 

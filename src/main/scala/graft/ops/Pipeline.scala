@@ -130,6 +130,79 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Dedup cascade report — the C4 → MinHash → SemDeDup funnel every
+    * production curation pipeline runs, composed from the three
+    * already-oracle-gated stages and reported as marginal attribution
+    * in cascade order: exact text dedup first (keep min doc per
+    * content hash), then MinHash-LSH near-dup canonicalization (keep
+    * each cluster's minimum — provably never exact-removed, since an
+    * exact twin of a cluster minimum would be a smaller same-cluster
+    * member), then embedding SemDeDup (remove docs with a smaller
+    * cosine-close same-cell neighbor). Each stage's keep-set is
+    * computed corpus-wide (exactly how a 100 TB audit attributes
+    * marginal removal without re-running downstream stages per
+    * variant); the cascade is their ordered intersection.
+    *
+    * Shape at scale: stage flags are one window (content hash), one
+    * converged label table (broadcast-gated), one cell-blocked pair
+    * agg — all existing plans; the report is a single conditional agg
+    * folded to 3 rows via stack. */
+  def dedupCascade(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val ex = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (row_number().over(w) > 1).cast("int").as("rm1"))
+    val mh = Dedup.componentsMinLabel(spark, dir)
+      .select(col("doc_id"), (col("component") =!= col("doc_id")).cast("int").as("rm2"))
+    val sd = Similarity.semDedup(spark, dir)
+      .select(col("vec_id").as("doc_id"), lit(1).as("rm3"))
+    val f = ex
+      .join(mh, Seq("doc_id"), "left")
+      .join(sd, Seq("doc_id"), "left")
+      .select(col("rm1"), coalesce(col("rm2"), lit(0)).as("rm2"),
+        coalesce(col("rm3"), lit(0)).as("rm3"))
+    f.agg(count(lit(1)).as("n0"), sum(col("rm1")).as("r1"),
+        sum(when(col("rm1") === 0 && col("rm2") === 1, 1L).otherwise(0L)).as("r2"),
+        sum(when(col("rm1") === 0 && col("rm2") === 0 && col("rm3") === 1, 1L)
+          .otherwise(0L)).as("r3"))
+      .selectExpr(
+        """stack(3,
+          |  CAST(1 AS BIGINT), 'exact',       n0,           r1,
+          |  CAST(2 AS BIGINT), 'minhash_lsh', n0 - r1,      r2,
+          |  CAST(3 AS BIGINT), 'semdedup',    n0 - r1 - r2, r3
+          |) AS (stage_id, stage, n_in, n_removed)""".stripMargin, "n0")
+      .select(col("stage_id"), col("stage"), col("n_in"), col("n_removed"),
+        (col("n_in") - col("n_removed")).as("n_out"),
+        round((col("n_in") - col("n_removed")) / col("n0").cast("double"), 6)
+          .as("kept_frac"))
+      .orderBy(col("stage_id"))
+  }
+
+  /** Padding-waste profile under power-of-two length bucketing — the
+    * batching-efficiency audit run before choosing [[packSequences]]
+    * over plain pad-to-bucket batching: each doc pads to the smallest
+    * power of two ≥ its length, and per bucket we report docs, real
+    * chars, padded chars, and the wasted fraction. The bucket is
+    * INTEGER-derived (1 << bitlength(n_chars−1), via the base-2 string
+    * both engines print identically) — never floor(log2(double)),
+    * whose libm tail misbuckets exact powers of two.
+    *
+    * Shape at scale: map-side projection + one small-key agg with
+    * map-side combine; ~60 buckets total regardless of corpus size. */
+  def paddingWaste(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("n_chars")).filter(col("n_chars") > 0)
+      .withColumn("pad_len",
+        expr("CAST(shiftleft(CAST(1 AS BIGINT), length(bin(n_chars - 1))) AS BIGINT)"))
+      .groupBy(col("pad_len"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        (count(lit(1)) * col("pad_len")).as("padded_chars"),
+        round(lit(1.0) - sum(col("n_chars")) /
+          (count(lit(1)) * col("pad_len")).cast("double"), 6).as("waste_frac"))
+      .orderBy(col("pad_len"))
+
   /** Deterministic stratified sampling: per-language keep rates
     * (rebalancing the corpus language mix) decided by a salted portable
     * hash of the doc id against a per-stratum permille threshold. Pure

@@ -48,6 +48,68 @@ object Similarity {
       .orderBy(col("probe_id"), col("rk"))
   }
 
+  /** Cosine RANGE search (FAISS `range_search`) — the other retrieval
+    * mode beside top-k: ALL neighbors within a similarity radius
+    * (cosine ≥ 0.3) of each probe, with the per-probe hit count
+    * attached. Top-k answers "the best k whatever their quality";
+    * range answers "everything above the quality bar" — the right
+    * primitive for dedup candidate pull and recall-bounded retrieval,
+    * where k is unknowable a priori.
+    *
+    * Shape at scale: the probe table broadcasts, the corpus scan never
+    * shuffles, and the radius predicate prunes BEFORE the window (the
+    * [[annBruteforce]] plan minus the top-k window — strictly
+    * cheaper); the count attaches via a per-probe window over the
+    * already-tiny hit set. The IVF/LSH route swaps in for the scan
+    * exactly as in [[annIvfTopk]]. */
+  def annRangeSearch(spark: SparkSession, dir: String,
+      radius: Double = 0.3): DataFrame = {
+    val e = vecs(spark, dir)
+    val probes = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("norm").as("pnorm"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("probe_id"))
+    e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine", round(
+        expr("graft_dot(pv, v)") / (col("pnorm") * col("norm")), 6))
+      .filter(col("cosine") >= radius)
+      .withColumn("n_in_range", count(lit(1)).over(w))
+      .select(col("probe_id"), col("vec_id"), col("cosine"), col("n_in_range"))
+      .orderBy(col("probe_id"), col("vec_id"))
+  }
+
+  /** Triplet-margin audit of the embedding space — the contrastive
+    * eval a curation pipeline runs before trusting labels for
+    * [[semDedup]] / [[annKnnClassify]]: per probe (vec_id < 25), the
+    * hardest positive (MIN cosine to its own label) vs the hardest
+    * negative (MAX cosine to any other label), margin = pos − neg;
+    * margin > 0 means even the worst in-class pair sits above the
+    * best out-of-class impostor. The corpus-level satisfied fraction
+    * is the one number; per-probe rows keep the failures debuggable.
+    *
+    * Shape at scale: probes broadcast against the scan (no shuffle),
+    * one per-probe two-sided conditional agg — the [[annBruteforce]]
+    * discipline with min/max in place of the top-k window. */
+  def tripletMargin(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val probes = e.filter(col("vec_id") < 25)
+      .select(col("vec_id").as("probe_id"), col("label").as("plabel"),
+        col("v").as("pv"), col("norm").as("pnorm"))
+    e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine", round(
+        expr("graft_dot(pv, v)") / (col("pnorm") * col("norm")), 6))
+      .groupBy(col("probe_id"), col("plabel"))
+      .agg(
+        round(min(when(col("label") === col("plabel"), col("cosine"))), 6)
+          .as("hardest_pos"),
+        round(max(when(col("label") =!= col("plabel"), col("cosine"))), 6)
+          .as("hardest_neg"))
+      .withColumn("margin", round(col("hardest_pos") - col("hardest_neg"), 6))
+      .withColumn("satisfied", col("margin") > 0)
+      .select(col("probe_id"), col("plabel").cast("long").as("label"),
+        col("hardest_pos"), col("hardest_neg"), col("margin"), col("satisfied"))
+      .orderBy(col("probe_id"))
+  }
+
   /** k-NN label vote — the weak-supervision / label-propagation
     * primitive a curation pipeline uses to extend a small labeled set
     * (e.g. quality labels) over an unlabeled corpus: classify each

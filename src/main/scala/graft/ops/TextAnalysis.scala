@@ -185,6 +185,37 @@ object TextAnalysis {
           count(lit(1)), 4).as("intercept"))
   }
 
+  /** Rare-token (OOV-shaped) rate per document — the gibberish /
+    * mojibake / OCR-noise detector that complements [[quality]]'s
+    * surface ratios: tokens whose CORPUS frequency ≤ 2 are "rare", and
+    * a document whose text is largely rare tokens is either noise or
+    * out-of-distribution for the corpus (both worth a gate). Reports
+    * per doc total tokens, rare-token occurrences, distinct rare
+    * types, and the rare rate.
+    *
+    * Shape at scale: one (doc, token) partial agg (map-side
+    * combinable), the corpus-frequency table reduces THAT relation
+    * (bounded by |vocab|) and joins back broadcast-gated on the token —
+    * the [[tfidf]] discipline; nothing at token-occurrence grain is
+    * shuffled twice. */
+  def oovRate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Scale.maybeBroadcast
+    val tok = graft.Caches.persistTracked(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          explode(expr(raw"regexp_extract_all(lower(text), '\\S+', 0)")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf")))
+    val cf = tok.groupBy(col("w")).agg(sum(col("tf")).as("cf"))
+    tok.join(maybeBroadcast(cf), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(when(col("cf") <= 2, col("tf")).otherwise(0L)).as("n_rare_tokens"),
+        count(when(col("cf") <= 2, lit(1))).as("n_rare_types"),
+        round(sum(when(col("cf") <= 2, col("tf")).otherwise(0L)) /
+          sum(col("tf")).cast("double"), 6).as("rare_rate"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Winnowing (rolling k-gram hash) fingerprints, MOSS-style: the
     * plagiarism/near-dup fingerprint family — window-min over k-gram
     * hashes selects a deterministic ~1/w sample of each document's
