@@ -206,6 +206,19 @@ object SparkEntry {
     "q_decile_lift"           -> Relational.qDecileLift _,
     "text_oov_rate"           -> TextAnalysis.oovRate _,
     "pipeline_dedup_cascade"  -> Pipeline.dedupCascade _,
+    "etl_seasonal_profile"    -> EventsEtl.seasonalProfile _,
+    "etl_ewma_daily"          -> ((s, d) => EventsEtl.ewmaDaily(s, d)),
+    "q_skyline_pareto"        -> Relational.qSkylinePareto _,
+    "q_gini_spend"            -> Relational.qGiniSpend _,
+    "q_markov_transitions"    -> Relational.qMarkovTransitions _,
+    "q_welch_ttest"           -> Relational.qWelchTtest _,
+    "pipeline_temperature_mix" -> ((s, d) => Pipeline.temperatureMix(s, d)),
+    "embed_anisotropy"        -> Similarity.anisotropy _,
+    "embed_pq_code_entropy"   -> Similarity.pqCodeEntropy _,
+    "graph_degree_dist"       -> Graph.degreeDist _,
+    "graph_walk_corpus"       -> ((s, d) => Graph.walkCorpus(s, d)),
+    "text_yule_k"             -> TextAnalysis.yuleK _,
+    "q_basket_lift"           -> ((s, d) => Graph.basketLift(s, d)),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. */
@@ -2778,5 +2791,211 @@ object SparkEntry {
         |SELECT probe_id, vec_id, adist,
         | CAST(row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id) AS BIGINT) AS rk
         |FROM adc QUALIFY rk <= 5 ORDER BY probe_id, rk""".stripMargin,
+    // day-of-week × hour-of-day seasonal profile; dow/hour via pure
+    // integer epoch arithmetic (mirrors EventsEtl.seasonalProfile)
+    "etl_seasonal_profile" ->
+      """WITH c AS (SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec, value FROM events),
+        |g AS (SELECT (sec // 86400 + 4) % 7 AS dow, (sec // 3600) % 24 AS hour,
+        |   CAST(count(*) AS BIGINT) AS n_events, round(avg(value), 6) AS mean_value
+        |  FROM c GROUP BY 1, 2),
+        |t AS (SELECT sum(n_events) AS total FROM g)
+        |SELECT dow, hour, n_events, mean_value,
+        |  round(n_events / CAST(total AS DOUBLE), 6) AS share,
+        |  row_number() OVER (ORDER BY n_events DESC, dow, hour) = 1 AS is_peak
+        |FROM g CROSS JOIN t ORDER BY dow, hour""".stripMargin,
+    // EWMA (alpha 0.25) over daily counts, closed-form with a 60-day
+    // lookback (mirrors EventsEtl.ewmaDaily)
+    "etl_ewma_daily" ->
+      """WITH daily AS (SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day,
+        |   CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+        |ix AS (SELECT day, n, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i FROM daily),
+        |e AS (SELECT b.day,
+        |   round(sum(CASE WHEN a.i = 1 THEN power(0.75, b.i - a.i)
+        |     ELSE 0.25 * power(0.75, b.i - a.i) END * a.n), 6) AS ewma
+        |  FROM ix b JOIN ix a ON a.i <= b.i AND a.i > b.i - 60 GROUP BY 1)
+        |SELECT ix.day, ix.n, e.ewma,
+        |  round(ix.n / lag(e.ewma) OVER (ORDER BY ix.day), 6) AS vs_smoothed
+        |FROM ix JOIN e ON e.day = ix.day ORDER BY ix.day""".stripMargin,
+    // 2-d skyline: per-price max size + running-max over cheaper
+    // prices (mirrors Relational.qSkylinePareto)
+    "q_skyline_pareto" ->
+      """WITH p AS (SELECT p_partkey, p_retailprice, p_size FROM part),
+        |pp AS (SELECT p_retailprice, max(p_size) AS msize FROM p GROUP BY 1),
+        |sk AS (SELECT p_retailprice, msize,
+        |   max(msize) OVER (ORDER BY p_retailprice
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM pp)
+        |SELECT p.p_partkey, round(p.p_retailprice, 2) AS price, CAST(p.p_size AS BIGINT) AS size
+        |FROM p JOIN sk USING (p_retailprice)
+        |WHERE p.p_size = sk.msize AND (sk.prev_max IS NULL OR sk.msize > sk.prev_max)
+        |ORDER BY p.p_partkey""".stripMargin,
+    // Gini over per-customer spend in exact integer cents; rank-sum
+    // formula (mirrors Relational.qGiniSpend)
+    "q_gini_spend" ->
+      """WITH s AS (SELECT o_custkey,
+        |   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT cents, CAST(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS rk FROM s),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(cents) AS tot, sum(rk * cents) AS rx FROM r)
+        |SELECT n AS n_customers, round(CAST(tot AS DOUBLE) / 100.0, 2) AS total_spend,
+        | round(CAST(2*rx - (n+1)*tot AS DOUBLE) /
+        |   (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS gini
+        |FROM a""".stripMargin,
+    // per-user lag window → (from, to) transition counts + row-
+    // normalized probabilities (mirrors Relational.qMarkovTransitions)
+    "q_markov_transitions" ->
+      """WITH o AS (SELECT user_id, event_type,
+        |   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+        |  FROM events),
+        |m AS (SELECT from_type, event_type AS to_type, CAST(count(*) AS BIGINT) AS n_transitions
+        |  FROM o WHERE from_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n_transitions,
+        |  round(n_transitions / CAST(sum(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS prob
+        |FROM m ORDER BY from_type, to_type""".stripMargin,
+    // Welch t-test from exact decimal moment sums; identical double
+    // expression chain both engines (mirrors Relational.qWelchTtest)
+    "q_welch_ttest" ->
+      """WITH x AS (SELECT user_id % 2 AS arm, CAST(value AS DECIMAL(18,2)) AS x
+        |  FROM events WHERE event_type = 'purchase'),
+        |g AS (SELECT arm, CAST(count(*) AS DOUBLE) AS n, CAST(sum(x) AS DOUBLE) AS sx,
+        |   CAST(sum(x*x) AS DOUBLE) AS sxx FROM x GROUP BY 1),
+        |m AS (SELECT arm, n, sx/n AS mean, (sxx - sx*sx/n)/(n-1) AS v FROM g),
+        |a AS (SELECT n AS n_a, mean AS m_a, v AS v_a FROM m WHERE arm = 0),
+        |b AS (SELECT n AS n_b, mean AS m_b, v AS v_b FROM m WHERE arm = 1),
+        |j AS (SELECT *, v_a/n_a + v_b/n_b AS se2 FROM a CROSS JOIN b)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, round(m_a, 6) AS mean_a, round(v_a, 6) AS var_a,
+        |  CAST(n_b AS BIGINT) AS n_b, round(m_b, 6) AS mean_b, round(v_b, 6) AS var_b,
+        |  round((m_a - m_b) / sqrt(se2), 6) AS t_stat,
+        |  round(se2*se2 / (v_a*v_a/(n_a*n_a*(n_a-1)) + v_b*v_b/(n_b*n_b*(n_b-1))), 6) AS welch_df
+        |FROM j""".stripMargin,
+    // temperature-scaled (alpha 0.3) language sampling shares
+    // (mirrors Pipeline.temperatureMix)
+    "pipeline_temperature_mix" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |   power(CAST(count(*) AS DOUBLE), 0.3) AS wt FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS n_tot, sum(wt) AS w_tot FROM c)
+        |SELECT lang, n_docs, round(n_docs / n_tot, 6) AS raw_share,
+        |  round(wt / w_tot, 6) AS temp_share,
+        |  round((wt / w_tot) / (n_docs / n_tot), 6) AS sample_factor
+        |FROM c CROSS JOIN t ORDER BY lang""".stripMargin,
+    // anisotropy via the sum-vector identity: mean pairwise cosine =
+    // (|Σu|² − Σ|u|²)/(n(n−1)) — no pairwise join (mirrors
+    // Similarity.anisotropy)
+    "embed_anisotropy" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n0 AS (SELECT vec_id, label, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM e),
+        |u AS (SELECT vec_id, label, list_transform(v, x -> round(x / norm, 6)) AS u FROM n0),
+        |c AS (SELECT label, CAST(i - 1 AS BIGINT) AS pos, u[i] AS x
+        |  FROM u CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
+        |s AS (SELECT label, pos, sum(x) AS sx FROM c GROUP BY 1, 2),
+        |m AS (SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |   sum(list_sum(list_transform(u, x -> x*x))) AS ssq FROM u GROUP BY 1),
+        |pl AS (SELECT label, sum(sx*sx) AS s2 FROM s GROUP BY 1),
+        |lab AS (SELECT pl.label, m.n,
+        |   round((pl.s2 - m.ssq) / CAST(m.n * (m.n - 1) AS DOUBLE), 6) AS mean_pairwise_cos
+        |  FROM pl JOIN m USING (label)),
+        |g AS (SELECT pos, sum(sx) AS gx FROM s GROUP BY 1),
+        |ga AS (SELECT sum(gx*gx) AS s2 FROM g),
+        |gm AS (SELECT CAST(sum(n) AS BIGINT) AS n, sum(ssq) AS ssq FROM m),
+        |allr AS (SELECT CAST(-1 AS BIGINT) AS label, gm.n,
+        |   round((ga.s2 - gm.ssq) / CAST(gm.n * (gm.n - 1) AS DOUBLE), 6) AS mean_pairwise_cos
+        |  FROM ga CROSS JOIN gm)
+        |SELECT * FROM lab UNION ALL SELECT * FROM allr ORDER BY label""".stripMargin,
+    // per-subspace PQ code-histogram entropy over the ann_pq_adc
+    // encode chain (mirrors Similarity.pqCodeEntropy)
+    "embed_pq_code_entropy" ->
+      """WITH pe AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |   CAST(i - 1 AS BIGINT) AS pos, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
+        |sub AS (SELECT vec_id, label, pos // 8 AS s, pos % 8 AS j, x FROM pe),
+        |cb AS (SELECT label AS code, s, j, round(avg(x), 6) AS c FROM sub GROUP BY 1, 2, 3),
+        |cbarr AS (SELECT code, s, list(c ORDER BY j) AS cw FROM cb GROUP BY 1, 2),
+        |vsub AS (SELECT vec_id, s, list(x ORDER BY j) AS sv FROM sub GROUP BY 1, 2),
+        |encd AS (SELECT vec_id, s, code,
+        |   round(list_sum(list_transform(list_zip(sv, cw), z -> (z[1]-z[2])*(z[1]-z[2]))), 6) AS d
+        |  FROM vsub JOIN cbarr USING (s)),
+        |enc AS (SELECT vec_id, s, code FROM encd
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) = 1),
+        |hist AS (SELECT s, code, CAST(count(*) AS BIGINT) AS c FROM enc GROUP BY 1, 2),
+        |tot AS (SELECT s, CAST(sum(c) AS BIGINT) AS n FROM hist GROUP BY 1),
+        |cbn AS (SELECT s, CAST(count(*) AS BIGINT) AS n_cb FROM cbarr GROUP BY 1),
+        |ent AS (SELECT hist.s, CAST(count(*) AS BIGINT) AS n_codes_used,
+        |   round(-sum((c / CAST(n AS DOUBLE)) * ln(c / CAST(n AS DOUBLE)) / ln(2)), 6) AS entropy_bits
+        |  FROM hist JOIN tot ON tot.s = hist.s GROUP BY 1)
+        |SELECT ent.s, n_codes_used, entropy_bits,
+        |  round(entropy_bits / (ln(CAST(n_cb AS DOUBLE)) / ln(2)), 6) AS utilization
+        |FROM ent JOIN cbn ON cbn.s = ent.s ORDER BY ent.s""".stripMargin,
+    // power-of-two degree histogram over the co-occurrence graph
+    // (mirrors Graph.degreeDist)
+    "graph_degree_dist" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |p AS (SELECT DISTINCT x.pk AS u, y.pk AS v
+        |  FROM items x JOIN items y ON x.ok = y.ok AND x.pk < y.pk),
+        |e AS (SELECT u FROM p UNION ALL SELECT v FROM p),
+        |deg AS (SELECT u AS nd, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+        |b AS (SELECT CAST(1 << length(bin(deg - 1)) AS BIGINT) AS bucket, deg FROM deg),
+        |g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_nodes,
+        |   CAST(sum(deg) AS BIGINT) AS deg_sum FROM b GROUP BY 1),
+        |t AS (SELECT sum(n_nodes) AS tn, sum(deg_sum) AS td FROM g)
+        |SELECT bucket, n_nodes, round(n_nodes / CAST(tn AS DOUBLE), 6) AS node_share,
+        |  round(deg_sum / CAST(td AS DOUBLE), 6) AS edge_end_share
+        |FROM g CROSS JOIN t ORDER BY bucket""".stripMargin,
+    // deterministic hash-argmin random walks over the sparsified
+    // graph, 3 hops (mirrors Graph.walkCorpus)
+    "graph_walk_corpus" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem WHERE l_quantity >= 48),
+        |p AS (SELECT DISTINCT x.pk AS u, y.pk AS v
+        |  FROM items x JOIN items y ON x.ok = y.ok AND x.pk < y.pk),
+        |adj AS (SELECT u AS cur, v FROM p UNION ALL SELECT v AS cur, u AS v FROM p),
+        |s0 AS (SELECT DISTINCT cur AS walk_id, CAST(0 AS BIGINT) AS step, cur AS node FROM adj),
+        |h1 AS (SELECT s0.walk_id, adj.v,
+        |   ('0x' || substr(md5(CAST(s0.walk_id AS VARCHAR) || '-1-' || CAST(adj.v AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM s0 JOIN adj ON adj.cur = s0.node),
+        |s1 AS (SELECT walk_id, CAST(1 AS BIGINT) AS step, v AS node FROM (
+        |   SELECT walk_id, v, row_number() OVER (PARTITION BY walk_id ORDER BY h, v) AS rk FROM h1)
+        |  WHERE rk = 1),
+        |h2 AS (SELECT s1.walk_id, adj.v,
+        |   ('0x' || substr(md5(CAST(s1.walk_id AS VARCHAR) || '-2-' || CAST(adj.v AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM s1 JOIN adj ON adj.cur = s1.node),
+        |s2 AS (SELECT walk_id, CAST(2 AS BIGINT) AS step, v AS node FROM (
+        |   SELECT walk_id, v, row_number() OVER (PARTITION BY walk_id ORDER BY h, v) AS rk FROM h2)
+        |  WHERE rk = 1),
+        |h3 AS (SELECT s2.walk_id, adj.v,
+        |   ('0x' || substr(md5(CAST(s2.walk_id AS VARCHAR) || '-3-' || CAST(adj.v AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM s2 JOIN adj ON adj.cur = s2.node),
+        |s3 AS (SELECT walk_id, CAST(3 AS BIGINT) AS step, v AS node FROM (
+        |   SELECT walk_id, v, row_number() OVER (PARTITION BY walk_id ORDER BY h, v) AS rk FROM h3)
+        |  WHERE rk = 1)
+        |SELECT * FROM s0 UNION ALL SELECT * FROM s1 UNION ALL SELECT * FROM s2
+        |UNION ALL SELECT * FROM s3 ORDER BY walk_id, step""".stripMargin,
+    // Yule's K from the token frequency spectrum: 10^4 (Σtf² − N)/N²
+    // (mirrors TextAnalysis.yuleK)
+    "text_yule_k" ->
+      """WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS w FROM documents),
+        |tok AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, CAST(count(*) AS BIGINT) AS n_types,
+        |   CAST(sum(tf*tf) AS BIGINT) AS s2 FROM tok GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_types,
+        |  round(10000.0 * (s2 - n_tokens) / CAST(n_tokens * n_tokens AS DOUBLE), 6) AS yule_k
+        |FROM a ORDER BY doc_id""".stripMargin,
+    // association rules (support/confidence/lift) over co-bought part
+    // pairs, min 3 shared orders (mirrors Graph.basketLift)
+    "q_basket_lift" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |no AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM items),
+        |ic AS (SELECT pk, CAST(count(*) AS BIGINT) AS n_item FROM items GROUP BY 1),
+        |pc AS (SELECT x.pk AS u, y.pk AS v, CAST(count(*) AS BIGINT) AS n_both
+        |  FROM items x JOIN items y ON x.ok = y.ok AND x.pk < y.pk GROUP BY 1, 2
+        |  HAVING count(*) >= 3),
+        |d AS (SELECT u AS ante, v AS cons, n_both FROM pc
+        |  UNION ALL SELECT v AS ante, u AS cons, n_both FROM pc)
+        |SELECT ante, cons, n_both,
+        |  round(n_both / CAST(n_orders AS DOUBLE), 6) AS support,
+        |  round(n_both / CAST(a.n_item AS DOUBLE), 6) AS confidence,
+        |  round(CAST(n_orders AS DOUBLE) * n_both / CAST(a.n_item * c.n_item AS DOUBLE), 6) AS lift
+        |FROM d JOIN ic a ON a.pk = d.ante JOIN ic c ON c.pk = d.cons CROSS JOIN no
+        |ORDER BY ante, cons""".stripMargin,
   )
 }

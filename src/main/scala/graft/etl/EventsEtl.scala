@@ -700,4 +700,70 @@ object EventsEtl {
       .agg(count(lit(1)).as("n_events"), max(col("late_s")).as("max_late_s"))
       .orderBy(col("bucket"))
   }
+
+  /** Seasonal (day-of-week × hour-of-day) ingest profile — the
+    * baseline a volume monitor compares against before calling a dip
+    * an incident ("is 3 AM Sunday supposed to be this quiet?"): per
+    * (dow, hour) cell the event count, mean value, share of total
+    * traffic, and a peak-cell flag. The reference's daemon implicitly
+    * assumes a flat minute cadence; this is the calendar-aware version
+    * of that assumption, measured.
+    *
+    * dow/hour are derived with pure INTEGER epoch arithmetic
+    * ((days+4) % 7, Sunday=0 anchored at 1970-01-01=Thursday) — never
+    * an engine `dayofweek()`, whose origin convention differs between
+    * engines. Shape at scale: map-side projection into a ≤168-group
+    * agg with map-side combine; the grand total is broadcast back
+    * from the 168-row table. */
+  def seasonalProfile(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .select(expr("(unix_timestamp(ts) div 86400 + 4) % 7").as("dow"),
+        expr("(unix_timestamp(ts) div 3600) % 24").as("hour"),
+        col("value"))
+      .groupBy(col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        round(avg(col("value")), 6).as("mean_value"))
+    val total = cells.agg(sum(col("n_events")).as("total"))
+    cells.crossJoin(broadcast(total))
+      .withColumn("share", round(col("n_events") / col("total").cast("double"), 6))
+      .withColumn("is_peak",
+        row_number().over(Window.orderBy(col("n_events").desc, col("dow"), col("hour"))) === 1)
+      .select(col("dow"), col("hour"), col("n_events"), col("mean_value"),
+        col("share"), col("is_peak"))
+      .orderBy(col("dow"), col("hour"))
+  }
+
+  /** EWMA smoother over the daily ingest-volume series (α = 0.25, the
+    * Holt level equation / the monitoring baseline [[cusumShift]]'s
+    * running sum is compared against): s_d = α·c_d + (1−α)·s_{d−1},
+    * s_first = c_first. The recursion is unrolled into its closed
+    * form — a weighted sum over a bounded 60-day lookback (beyond 60
+    * lags the weight is < 1e-7 of a day's count, below the oracle's
+    * rounding floor; the truncation depth is part of the operator
+    * contract so both engines sum the identical term set).
+    *
+    * Shape at scale: the window runs on the ~365-rows/year DAILY
+    * relation (the fact stream sees only a count agg), and the
+    * weighted sum is a bounded self-join of that tiny relation — at
+    * 100 TB the daily table is still 365 rows. Deviation = c_d /
+    * s_{d−1} is the "today vs smoothed yesterday" monitor readout. */
+  def ewmaDaily(spark: SparkSession, dir: String, depth: Int = 60): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(expr("unix_timestamp(ts) div 86400").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("i", row_number().over(Window.orderBy(col("day"))).cast("long"))
+    val a = daily.select(col("i").as("i1"), col("n").as("c"))
+    val ewma = daily.select(col("day"), col("i").as("i2"))
+      .join(a, col("i1") <= col("i2") && col("i1") > col("i2") - depth)
+      .withColumn("w",
+        when(col("i1") === 1, pow(lit(0.75), col("i2") - col("i1")))
+          .otherwise(lit(0.25) * pow(lit(0.75), col("i2") - col("i1"))))
+      .groupBy(col("day")).agg(round(sum(col("w") * col("c")), 6).as("ewma"))
+    daily.join(ewma, "day")
+      .withColumn("prev_ewma",
+        lag(col("ewma"), 1).over(Window.orderBy(col("day"))))
+      .select(col("day"), col("n"), col("ewma"),
+        round(col("n") / col("prev_ewma"), 6).as("vs_smoothed"))
+      .orderBy(col("day"))
+  }
 }

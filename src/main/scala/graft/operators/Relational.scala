@@ -952,4 +952,131 @@ object Relational {
           sum(col("volume")).cast("double")), 6).as("mkt_share"))
       .orderBy(col("o_year"))
   }
+
+  /** 2-D skyline (Pareto front) over part: the parts no other part
+    * beats on BOTH price (lower is better) and size (higher is
+    * better) — the multi-objective shortlist query ("cheapest part at
+    * every capability level") that no single ORDER BY can answer.
+    * Börzsönyi et al. 2001's SKYLINE operator, expressed as pure
+    * window algebra: collapse to the per-price max size, then one
+    * running-max window over prices — a row survives iff it carries
+    * its price's max size AND that size strictly exceeds every
+    * cheaper price's max.
+    *
+    * Shape at scale: the skyline is DISTRIBUTIVE (skyline(A∪B) =
+    * skyline(skyline(A)∪skyline(B))), so the groupBy(price) partial
+    * agg does the heavy reduction map-side; the window then runs on
+    * the ≤|distinct prices| relation. Never the quadratic NOT-EXISTS
+    * self-join. */
+  def qSkylinePareto(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+    val perPrice = p.groupBy(col("p_retailprice"))
+      .agg(max(col("p_size")).as("msize"))
+    val prevW = Window.orderBy(col("p_retailprice"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sky = perPrice
+      .withColumn("prev_max", max(col("msize")).over(prevW))
+      .filter(col("prev_max").isNull || col("msize") > col("prev_max"))
+    p.join(sky, Seq("p_retailprice"))
+      .filter(col("p_size") === col("msize"))
+      .select(col("p_partkey"), round(col("p_retailprice"), 2).as("price"),
+        col("p_size").cast("long").as("size"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Gini coefficient of customer spend — the single-number
+    * inequality readout beside [[qDecileLift]]'s whole curve (and the
+    * concentration metric behind "top 10% of customers drive X%").
+    * Computed from the rank formula G = (2·Σ r·x − (n+1)·Σx)/(n·Σx)
+    * with x ascending; tied spends rank arbitrarily-but-
+    * deterministically (custkey tie-break), which leaves G invariant
+    * because equal x contribute a rank-sum independent of their
+    * order. Σ r·x is EXACT decimal arithmetic — the only float is the
+    * final division.
+    *
+    * Shape at scale: the rank window orders the per-customer
+    * AGGREGATE (|customers| rows, the [[qNtileDeciles]] argument); at
+    * extreme cardinality the rank comes from a distributed sort,
+    * which Spark's window already range-partitions. Output: 1 row. */
+  def qGiniSpend(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg((sum(d2(col("o_totalprice"))) * 100).cast("long").as("cents"))
+    val ranked = spend.withColumn("rk",
+      row_number().over(Window.orderBy(col("cents"), col("o_custkey"))).cast("long"))
+    ranked.agg(count(lit(1)).as("n"),
+        sum(col("cents").cast(DecimalType(38, 0))).as("tot"),
+        sum((col("rk") * col("cents")).cast(DecimalType(38, 0))).as("rx"))
+      .select(col("n").as("n_customers"),
+        round(col("tot").cast("double") / 100.0, 2).as("total_spend"),
+        round((lit(2).cast(DecimalType(38, 0)) * col("rx") -
+          (col("n") + 1).cast(DecimalType(38, 0)) * col("tot")).cast("double") /
+          (col("n").cast("double") * col("tot").cast("double")), 6)
+          .as("gini"))
+  }
+
+  /** First-order Markov transition matrix over each user's event
+    * sequence — the behavioral-flow model behind Sankey "user journey"
+    * dashboards and next-event prediction baselines: for every
+    * (from, to) event-type pair, the transition count and the
+    * row-normalized probability P(to | from).
+    *
+    * Shape at scale: ONE lag window per user (hash exchange on
+    * user_id — the event stream's natural key, no global order), then
+    * a ≤|types|²-group agg with map-side combine; the per-from totals
+    * come from a window over that tiny matrix, not a second scan. */
+  def qMarkovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val m = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    m.withColumn("prob",
+        round(col("n_transitions") /
+          sum(col("n_transitions")).over(Window.partitionBy(col("from_type")))
+            .cast("double"), 6))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** Welch's unequal-variance t-test between two user cohorts'
+    * purchase values (even vs odd user_id — the deterministic stand-in
+    * for an A/B assignment): per-arm n/mean/variance, the t statistic,
+    * and the Welch–Satterthwaite degrees of freedom. The experiment
+    * readout a growth team runs over the same events the ETL loads;
+    * moments are computed from Σx/Σx² so the whole test is ONE
+    * map-side-combinable aggregation pass — no per-arm rescans, no
+    * variance() two-pass.
+    *
+    * Shape at scale: single scan → 2-group agg → 1-row pivot; the
+    * arithmetic after the agg touches two rows. */
+  def qWelchTtest(spark: SparkSession, dir: String): DataFrame = {
+    val arms = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select((col("user_id") % 2).cast("long").as("arm"), d2(col("value")).as("x"))
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("x") * col("x")).cast("double").as("sxx"))
+      .select(col("arm"), col("n"), (col("sx") / col("n")).as("mean"),
+        ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("v"))
+    val a = arms.filter(col("arm") === 0)
+      .select(col("n").as("n_a"), col("mean").as("m_a"), col("v").as("v_a"))
+    val b = arms.filter(col("arm") === 1)
+      .select(col("n").as("n_b"), col("mean").as("m_b"), col("v").as("v_b"))
+    a.crossJoin(b)
+      .withColumn("se2", col("v_a") / col("n_a") + col("v_b") / col("n_b"))
+      .select(col("n_a").cast("long").as("n_a"), round(col("m_a"), 6).as("mean_a"),
+        round(col("v_a"), 6).as("var_a"),
+        col("n_b").cast("long").as("n_b"), round(col("m_b"), 6).as("mean_b"),
+        round(col("v_b"), 6).as("var_b"),
+        round((col("m_a") - col("m_b")) / sqrt(col("se2")), 6).as("t_stat"),
+        round(col("se2") * col("se2") /
+          (col("v_a") * col("v_a") / (col("n_a") * col("n_a") * (col("n_a") - 1)) +
+           col("v_b") * col("v_b") / (col("n_b") * col("n_b") * (col("n_b") - 1))), 6)
+          .as("welch_df"))
+  }
 }

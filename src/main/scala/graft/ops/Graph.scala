@@ -447,4 +447,116 @@ object Graph {
         round(avg(col("du")), 6).as("mean_end_deg"),
         round(corr(col("du"), col("dv")), 6).as("assortativity"))
   }
+
+  /** Degree distribution of the co-occurrence graph in power-of-two
+    * buckets — the scale-free-or-not audit read before sizing ANY
+    * graph workload here (wedge fan-out, broadcast gates, salting all
+    * key off whether a heavy-tail hub exists): per bucket the node
+    * count, node share, and share of edge ENDS (the work a hub
+    * actually generates — a bucket can hold 1% of nodes and 60% of
+    * the join fan-out). Bucket is the same integer-derived
+    * 1<<bitlength(d−1) as [[graft.ops.Pipeline.paddingWaste]] — never
+    * floor(log2(double)).
+    *
+    * Shape at scale: one degree agg (map-side combinable) + a
+    * ~32-group agg over the |V|-row degree table; totals broadcast
+    * back from the bucket table. */
+  def degreeDist(spark: SparkSession, dir: String): DataFrame = {
+    val p = coOccurrenceEdges(spark, dir)
+    val deg = p.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val buckets = deg
+      .withColumn("bucket",
+        expr("CAST(shiftleft(CAST(1 AS BIGINT), length(bin(deg - 1))) AS BIGINT)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("deg_sum"))
+    val tot = buckets.agg(sum(col("n_nodes")).as("tn"), sum(col("deg_sum")).as("td"))
+    buckets.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_nodes"),
+        round(col("n_nodes") / col("tn").cast("double"), 6).as("node_share"),
+        round(col("deg_sum") / col("td").cast("double"), 6).as("edge_end_share"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Deterministic random-walk corpus over the sparsified affinity
+    * graph — the DeepWalk/node2vec sampling primitive that turns a
+    * graph into training sequences: one walk per start node, `hops`
+    * steps, where each step moves to the neighbor with the smallest
+    * portable hash of (start, step, neighbor). Hash-argmin IS the
+    * random choice, derandomized the way every sampling op here is
+    * ([[graft.ops.Pipeline.sampleWeighted]]'s Gumbel trick, the
+    * md5-threshold samplers) — reproducible across engines, runs, and
+    * cluster sizes, and walks from different starts explore different
+    * neighbors because the start id salts the hash.
+    *
+    * Shape at scale: per hop ONE join of the |starts|-row frontier
+    * against the symmetrized edge list (hash-partitioned on the
+    * cursor) + an argmin window keyed by walk — the edge list is
+    * probed, never rewritten; the frontier never exceeds |starts|
+    * rows. Dead-ends (none here — the graph is symmetrized) would
+    * simply drop out of the frontier. */
+  def walkCorpus(spark: SparkSession, dir: String, hops: Int = 3): DataFrame = {
+    val p = graft.Caches.persistTracked(sparseCoOccurrenceEdges(spark, dir))
+    p.count()
+    val sym = p.unionAll(p.select(col("v").as("u"), col("u").as("v")))
+    val starts = sym.select(col("u")).distinct()
+      .select(col("u").as("walk_id"), lit(0L).as("step"), col("u").as("node"))
+    val byWalk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("walk_id")).orderBy(col("h"), col("v"))
+    val adj = sym.select(col("u").as("cur"), col("v"))
+    var frontier = starts
+    var corpus = starts
+    for (step <- 1 to hops) {
+      frontier = frontier
+        .select(col("walk_id"), col("node").as("cur"))
+        .join(adj, Seq("cur"))
+        .withColumn("h",
+          expr(s"CAST(conv(substr(md5(concat(CAST(walk_id AS STRING), '-$step-', CAST(v AS STRING))), 1, 15), 16, 10) AS BIGINT)"))
+        .withColumn("rk", row_number().over(byWalk))
+        .filter(col("rk") === 1)
+        .select(col("walk_id"), lit(step.toLong).as("step"), col("v").as("node"))
+      corpus = corpus.unionAll(frontier)
+    }
+    corpus.orderBy(col("walk_id"), col("step"))
+  }
+
+  /** Association rules over the basket graph (Agrawal & Srikant's
+    * support/confidence/lift, the market-basket classic): for every
+    * DIRECTED part pair (ante → cons) co-bought in ≥ 3 orders, the
+    * joint support, the conditional confidence P(cons | ante), and
+    * the lift vs independence — the score that separates "bought
+    * together because both are popular" from a real affinity.
+    * [[coOccurrenceEdges]] is this table's support-count skeleton;
+    * the rules are what a recommender actually ranks by.
+    *
+    * Shape at scale: pair counts are the wedge self-join (bounded by
+    * basket size); item counts are a |V|-row agg broadcast onto both
+    * endpoints; all ratios are computed on the pair table — the fact
+    * stream is scanned once. */
+  def basketLift(spark: SparkSession, dir: String, minPairOrders: Int = 3): DataFrame = {
+    import graft.operators.Scale.maybeBroadcast
+    val items = graft.Caches.persistTracked(Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct())
+    items.count() // materialize: maybeBroadcast below needs real sizes
+    val nOrd = items.agg(countDistinct(col("ok")).as("n_orders"))
+    val itemCnt = items.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+    val pairCnt = items.as("x").join(items.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .groupBy(col("x.pk").as("u"), col("y.pk").as("v"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= minPairOrders)
+    val directed = pairCnt.select(col("u").as("ante"), col("v").as("cons"), col("n_both"))
+      .unionAll(pairCnt.select(col("v").as("ante"), col("u").as("cons"), col("n_both")))
+    directed
+      .join(maybeBroadcast(itemCnt.select(col("pk").as("ante"), col("n_item").as("n_ante"))), Seq("ante"))
+      .join(maybeBroadcast(itemCnt.select(col("pk").as("cons"), col("n_item").as("n_cons"))), Seq("cons"))
+      .crossJoin(broadcast(nOrd))
+      .select(col("ante"), col("cons"), col("n_both"),
+        round(col("n_both") / col("n_orders").cast("double"), 6).as("support"),
+        round(col("n_both") / col("n_ante").cast("double"), 6).as("confidence"),
+        round(col("n_orders").cast("double") * col("n_both") /
+          (col("n_ante") * col("n_cons")).cast("double"), 6).as("lift"))
+      .orderBy(col("ante"), col("cons"))
+  }
 }

@@ -634,4 +634,32 @@ object Pipeline {
       .select(col("doc_id"), col("n_chars"), col("stage"), col("pos"))
       .orderBy(col("stage"), col("pos"))
   }
+
+  /** Temperature-scaled multilingual sampling rates (the mT5/XLM-R
+    * α-sampling recipe, α = 0.3): sampling share p_l ∝ n_l^α, which
+    * flattens the language distribution — high-resource languages are
+    * downweighted, low-resource ones upsampled — without the cliff of
+    * uniform mixing. Reports, per language: doc count, raw corpus
+    * share, temperature share, and the implied up/down-sampling
+    * factor; [[mixtureResample]] (uniform) and [[stratifiedSample]]
+    * (hand-tuned) are the α→0 and fully-manual endpoints of the same
+    * dial, and this table is the input their rate columns come from.
+    *
+    * Shape at scale: one |langs|-row partial agg; everything after is
+    * arithmetic on that tiny table (the Σ n^α normalizer comes from a
+    * 1-row cross join, broadcast). */
+  def temperatureMix(spark: SparkSession, dir: String, alpha: Double = 0.3): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("wt", pow(col("n_docs").cast("double"), lit(alpha)))
+    val tot = counts.agg(sum(col("n_docs")).cast("double").as("n_tot"),
+      sum(col("wt")).as("w_tot"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"),
+        round(col("n_docs") / col("n_tot"), 6).as("raw_share"),
+        round(col("wt") / col("w_tot"), 6).as("temp_share"),
+        round((col("wt") / col("w_tot")) / (col("n_docs") / col("n_tot")), 6)
+          .as("sample_factor"))
+      .orderBy(col("lang"))
+  }
 }

@@ -1186,4 +1186,74 @@ object Similarity {
       .select(col("probe_id"), col("vec_id"), col("cosine"), col("coarse_rk"), col("rk"))
       .orderBy(col("probe_id"), col("rk"))
   }
+
+  /** Embedding-space anisotropy (Ethayarajh 2019): the mean pairwise
+    * cosine between unit vectors, per label and corpus-wide
+    * (label −1) — the "is the space collapsed into a cone" QC read
+    * before trusting cosine retrieval at all (anisotropic spaces
+    * score everything similar to everything, and the fix — mean
+    * subtraction / all-but-the-top — is judged by re-running this).
+    *
+    * Never the O(n²) pairwise join: for unit vectors the identity
+    * Σ_{i≠j} uᵢ·uⱼ = ‖Σu‖² − Σ‖uᵢ‖² turns the whole statistic into
+    * per-dimension SUMS — one posexplode agg to (label, dim), squares
+    * of the 64 sums, done. The corpus-wide row reduces the per-label
+    * sums again, so the scan runs once.
+    *
+    * Shape at scale: (label, dim) partial agg (≤ |labels|·64 rows,
+    * map-side combinable) — the identical shape to
+    * [[embedCentroids]]; everything downstream is arithmetic on that
+    * tiny table. */
+  def anisotropy(spark: SparkSession, dir: String): DataFrame = {
+    val u = vecs(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        expr("transform(v, x -> round(x / norm, 6))").as("u"))
+    val comps = graft.Caches.persistTracked(
+      u.select(col("label"), posexplode(col("u")).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos")).agg(sum(col("x")).as("sx")))
+    val meta = graft.Caches.persistTracked(
+      u.groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), sum(expr("graft_dot(u, u)")).as("ssq")))
+    val perLabel = comps.groupBy(col("label"))
+      .agg(sum(col("sx") * col("sx")).as("s2"))
+      .join(meta, Seq("label"))
+    val overall = comps.groupBy(col("pos")).agg(sum(col("sx")).as("gx"))
+      .agg(sum(col("gx") * col("gx")).as("s2"))
+      .crossJoin(broadcast(
+        meta.agg(sum(col("n")).as("n"), sum(col("ssq")).as("ssq"))))
+      .select(lit(-1L).as("label"), col("s2"), col("n"), col("ssq"))
+    perLabel.select(col("label"), col("s2"), col("n"), col("ssq"))
+      .unionAll(overall)
+      .select(col("label"), col("n"),
+        round((col("s2") - col("ssq")) /
+          (col("n") * (col("n") - 1)).cast("double"), 6).as("mean_pairwise_cos"))
+      .orderBy(col("label"))
+  }
+
+  /** Codebook-utilization entropy of the PQ index, per subspace — the
+    * [[embedIvfBalance]] health check for the OTHER quantizer: a
+    * subspace whose vectors collapse onto few codewords wastes its
+    * bits and flattens ADC distances (every vector looks equidistant).
+    * Reports codes used, Shannon entropy of the code histogram, and
+    * utilization = entropy / log₂|codebook| (1.0 = codes evenly
+    * loaded). FAISS prints exactly this table after training.
+    *
+    * Shape at scale: the encode is [[annPqAdc]]'s plan; the audit
+    * itself is an 8·|codes|-row agg over it — free. */
+  def pqCodeEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val (cb, enc, _) = pqParts(spark, dir)
+    val cbSize = cb.groupBy(col("s")).agg(count(lit(1)).as("n_cb"))
+    val hist = enc.groupBy(col("s"), col("code")).agg(count(lit(1)).as("c"))
+    val tot = hist.groupBy(col("s")).agg(sum(col("c")).as("n"))
+    hist.join(broadcast(tot), Seq("s"))
+      .withColumn("p", col("c") / col("n").cast("double"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("n_codes_used"),
+        round(-sum(col("p") * log(2.0, col("p"))), 6).as("entropy_bits"))
+      .join(broadcast(cbSize), Seq("s"))
+      .select(col("s"), col("n_codes_used"), col("entropy_bits"),
+        round(col("entropy_bits") / log(2.0, col("n_cb").cast("double")), 6)
+          .as("utilization"))
+      .orderBy(col("s"))
+  }
 }

@@ -648,4 +648,28 @@ object TextAnalysis {
       .withColumn("novelty", round(col("n_novel") / col("n_grams"), 6))
       .orderBy(col("doc_id"))
   }
+
+  /** Yule's K vocabulary-richness characteristic (Yule 1944) per doc —
+    * the repetitiveness-of-VOCABULARY axis ([[repetition]] measures
+    * adjacent repeats; K measures whether the doc leans on few types
+    * regardless of position, the signature of templated/boilerplate
+    * text): K = 10⁴·(Σ tf² − N)/N² over the token frequency spectrum.
+    * Σ tf² and N are exact integers, so K is a single exact-input
+    * division — no float accumulates across rows.
+    *
+    * Shape at scale: (doc, token) partial agg → per-doc agg, both
+    * map-side combinable; the same first shuffle [[oovRate]] and
+    * [[tfidf]] key off. */
+  def yuleK(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(expr(raw"regexp_extract_all(lower(text), '\\S+', 0)")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(col("tf") * col("tf")).as("s2"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        round(lit(10000.0) * (col("s2") - col("n_tokens")) /
+          (col("n_tokens") * col("n_tokens")).cast("double"), 6).as("yule_k"))
+      .orderBy(col("doc_id"))
 }
