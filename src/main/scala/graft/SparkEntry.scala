@@ -219,6 +219,12 @@ object SparkEntry {
     "graph_walk_corpus"       -> ((s, d) => Graph.walkCorpus(s, d)),
     "text_yule_k"             -> TextAnalysis.yuleK _,
     "q_basket_lift"           -> ((s, d) => Graph.basketLift(s, d)),
+    "etl_inter_arrival"       -> EventsEtl.interArrival _,
+    "q_new_vs_returning"      -> Relational.qNewVsReturning _,
+    "q_discount_qty_corr"     -> Relational.qDiscountQuantityCorr _,
+    "dedup_threshold_sweep"   -> Dedup.thresholdSweep _,
+    "ann_filtered_topk"       -> ((s, d) => Similarity.annFilteredTopk(s, d)),
+    "embed_abtt"              -> ((s, d) => Similarity.abtt(s, d)),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. */
@@ -2997,5 +3003,114 @@ object SparkEntry {
         |  round(CAST(n_orders AS DOUBLE) * n_both / CAST(a.n_item * c.n_item AS DOUBLE), 6) AS lift
         |FROM d JOIN ic a ON a.pk = d.ante JOIN ic c ON c.pk = d.cons CROSS JOIN no
         |ORDER BY ante, cons""".stripMargin,
+    // pooled per-user inter-arrival gap stats (mirrors
+    // EventsEtl.interArrival)
+    "etl_inter_arrival" ->
+      """WITH o AS (SELECT user_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+        |   lag(CAST(epoch(date_trunc('second', ts)) AS BIGINT))
+        |     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |g AS (SELECT sec - prev AS gap FROM o WHERE prev IS NOT NULL)
+        |SELECT CAST(count(*) AS BIGINT) AS n_gaps, round(avg(gap), 6) AS mean_gap_s,
+        |  round(quantile_cont(gap, 0.5), 6) AS p50_gap_s,
+        |  round(quantile_cont(gap, 0.95), 6) AS p95_gap_s,
+        |  CAST(max(gap) AS BIGINT) AS max_gap_s
+        |FROM g""".stripMargin,
+    // daily new vs returning user split (mirrors
+    // Relational.qNewVsReturning)
+    "q_new_vs_returning" ->
+      """WITH u AS (SELECT DISTINCT user_id,
+        |   CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS first_day FROM u GROUP BY 1),
+        |g AS (SELECT day, CAST(count(*) AS BIGINT) AS dau,
+        |   CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS new_users
+        |  FROM u JOIN f USING (user_id) GROUP BY 1)
+        |SELECT day, dau, new_users, dau - new_users AS returning_users,
+        |  round(new_users / CAST(dau AS DOUBLE), 6) AS new_frac
+        |FROM g ORDER BY day""".stripMargin,
+    // per-brand Pearson correlation of discount vs quantity (mirrors
+    // Relational.qDiscountQuantityCorr)
+    "q_discount_qty_corr" ->
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_lines,
+        |  round(corr(l_discount, l_quantity), 6) AS corr_disc_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Jaccard-threshold sweep over the exact 3-gram pair relation at
+    // the loosest threshold (mirrors Dedup.thresholdSweep; the pair
+    // CTE is the dedup_ngram_jaccard chain at 0.5)
+    "dedup_threshold_sweep" ->
+      """WITH t AS (SELECT doc_id, text, regexp_extract_all(text, '\S+') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |   CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1),
+        |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE [text] END)) AS s FROM t),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b,
+        |   round(CAST(c AS DOUBLE) / (x.n + y.n - c), 6) AS jaccard
+        |  FROM common JOIN cnt x ON doc_a = x.doc_id JOIN cnt y ON doc_b = y.doc_id
+        |  WHERE round(CAST(c AS DOUBLE) / (x.n + y.n - c), 6) >= 0.5),
+        |th AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]::DOUBLE[]) AS threshold),
+        |sw AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs,
+        |   CAST(count(DISTINCT doc_b) AS BIGINT) AS n_docs_dropped
+        |  FROM pairs JOIN th ON jaccard >= threshold GROUP BY 1),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+        |SELECT threshold, n_pairs, n_docs_dropped,
+        |  round(1.0 - n_docs_dropped / CAST(n_docs AS DOUBLE), 6) AS keep_frac
+        |FROM sw CROSS JOIN nd ORDER BY threshold""".stripMargin,
+    // label-filtered exact cosine top-k (mirrors
+    // Similarity.annFilteredTopk; the ann_bruteforce chain plus the
+    // label predicate fused into the probe join)
+    "ann_filtered_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM e),
+        |p AS (SELECT vec_id AS probe_id, label AS plabel, v AS pv, norm AS pnorm FROM n WHERE vec_id < 5),
+        |s AS (SELECT p.probe_id, p.plabel AS label, n.vec_id,
+        |   round(list_sum(list_transform(list_zip(p.pv, n.v), z -> z[1]*z[2])) / (p.pnorm * n.norm), 6) AS cosine
+        |  FROM p CROSS JOIN n WHERE n.vec_id <> p.probe_id AND n.label = p.plabel)
+        |SELECT probe_id, label, vec_id, cosine,
+        | CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rk
+        |FROM s QUALIFY rk <= 5 ORDER BY probe_id, rk""".stripMargin,
+    // all-but-the-top: centered power iteration (embed_pca_power's
+    // round structure on centered data), top-PC removal, anisotropy
+    // identity on raw vs corrected (mirrors Similarity.abtt)
+    "embed_abtt" ->
+      """WITH e AS (SELECT vec_id, j AS d, CAST(embedding[j+1] AS DOUBLE) AS x
+        |    FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS j)),
+        |mu AS (SELECT d, round(avg(x), 6) AS m FROM e GROUP BY 1),
+        |c AS (SELECT vec_id, e.d, round(x - m, 6) AS x FROM e JOIN mu ON mu.d = e.d),
+        |s1 AS (SELECT vec_id, sum(x * 0.125) AS s FROM c GROUP BY 1),
+        |u1 AS (SELECT d, round(sum(c.x * s1.s), 6) AS u FROM c JOIN s1 USING (vec_id) GROUP BY 1),
+        |n1 AS (SELECT sqrt(sum(u*u)) AS nrm FROM u1),
+        |v1 AS (SELECT d, round(u / nrm, 6) AS vd FROM u1 CROSS JOIN n1),
+        |s2 AS (SELECT vec_id, sum(c.x * v1.vd) AS s FROM c JOIN v1 USING (d) GROUP BY 1),
+        |u2 AS (SELECT d, round(sum(c.x * s2.s), 6) AS u FROM c JOIN s2 USING (vec_id) GROUP BY 1),
+        |n2 AS (SELECT sqrt(sum(u*u)) AS nrm FROM u2),
+        |v2 AS (SELECT d, round(u / nrm, 6) AS vd FROM u2 CROSS JOIN n2),
+        |s3 AS (SELECT vec_id, sum(c.x * v2.vd) AS s FROM c JOIN v2 USING (d) GROUP BY 1),
+        |u3 AS (SELECT d, round(sum(c.x * s3.s), 6) AS u FROM c JOIN s3 USING (vec_id) GROUP BY 1),
+        |n3 AS (SELECT sqrt(sum(u*u)) AS nrm FROM u3),
+        |v3 AS (SELECT d, round(u / nrm, 6) AS vd FROM u3 CROSS JOIN n3),
+        |pr AS (SELECT vec_id, sum(c.x * v3.vd) AS s FROM c JOIN v3 USING (d) GROUP BY 1),
+        |w AS (SELECT c.vec_id, c.d, round(c.x - pr.s * v3.vd, 6) AS x
+        |  FROM c JOIN v3 USING (d) JOIN pr ON pr.vec_id = c.vec_id),
+        |rnorm AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM e GROUP BY 1),
+        |ru AS (SELECT e.vec_id, d, round(x / nrm, 6) AS ux FROM e JOIN rnorm USING (vec_id)),
+        |rs AS (SELECT d, sum(ux) AS sx FROM ru GROUP BY 1),
+        |rs2 AS (SELECT sum(sx*sx) AS s2 FROM rs),
+        |rm AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n, sum(ux*ux) AS ssq FROM ru),
+        |rrow AS (SELECT 'a_raw' AS variant, n,
+        |   round((s2 - ssq) / CAST(n * (n-1) AS DOUBLE), 6) AS mean_pairwise_cos
+        |  FROM rs2 CROSS JOIN rm),
+        |wnorm AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM w GROUP BY 1),
+        |wu AS (SELECT w.vec_id, d, round(x / nrm, 6) AS ux FROM w JOIN wnorm USING (vec_id)),
+        |ws AS (SELECT d, sum(ux) AS sx FROM wu GROUP BY 1),
+        |ws2 AS (SELECT sum(sx*sx) AS s2 FROM ws),
+        |wm AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n, sum(ux*ux) AS ssq FROM wu),
+        |wrow AS (SELECT 'b_abtt' AS variant, n,
+        |   round((s2 - ssq) / CAST(n * (n-1) AS DOUBLE), 6) AS mean_pairwise_cos
+        |  FROM ws2 CROSS JOIN wm)
+        |SELECT * FROM rrow UNION ALL SELECT * FROM wrow ORDER BY variant""".stripMargin,
   )
 }

@@ -701,6 +701,32 @@ object EventsEtl {
       .orderBy(col("bucket"))
   }
 
+  /** Inter-arrival gap profile of the event stream (per-user
+    * consecutive gaps, pooled): count, mean, exact p50/p95, max — the
+    * cadence evidence behind [[missingMinutes]]' expectation of a
+    * minute-granular feed and the session-gap constant
+    * [[sessionize]] hardcodes; a real deploy re-derives both from
+    * this profile instead of trusting the nominal cadence.
+    *
+    * Shape at scale: ONE per-user lag window (hash exchange on
+    * user_id) into a single global agg; the exact interpolated
+    * percentiles run over the pooled gap column — at 100 TB they swap
+    * for the binned quantile sketch (`q_quantile_sketch`), same plan
+    * otherwise. */
+  def interArrival(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), epochSec(col("ts")).as("sec"))
+      .withColumn("prev", lag(col("sec"), 1).over(byUser))
+      .filter(col("prev").isNotNull)
+      .withColumn("gap", col("sec") - col("prev"))
+      .agg(count(lit(1)).as("n_gaps"),
+        round(avg(col("gap")), 6).as("mean_gap_s"),
+        round(expr("percentile(gap, 0.5D)"), 6).as("p50_gap_s"),
+        round(expr("percentile(gap, 0.95D)"), 6).as("p95_gap_s"),
+        max(col("gap")).as("max_gap_s"))
+  }
+
   /** Seasonal (day-of-week × hour-of-day) ingest profile — the
     * baseline a volume monitor compares against before calling a dip
     * an incident ("is 3 AM Sunday supposed to be this quiet?"): per

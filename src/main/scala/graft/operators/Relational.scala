@@ -1042,6 +1042,49 @@ object Relational {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Daily actives split into new vs returning users — the growth
+    * dashboard's first chart (is today's traffic acquisition or
+    * retention?), and the cohort-zero diagonal of
+    * [[qCohortRetention]]'s triangle as a time series. A user is new
+    * on their first-seen day, returning after.
+    *
+    * Shape at scale: dedup to (user, day) grain first (the
+    * [[qCohortRetention]] trick — count(*) then IS distinct users),
+    * per-user min-day reuses the same hash partitioning, and the
+    * final relation is |days| rows. */
+  def qNewVsReturning(spark: SparkSession, dir: String): DataFrame = {
+    val u = Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_timestamp(ts) div 86400").as("day"))
+      .distinct()
+    val first = u.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+    u.join(first, "user_id")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("dau"),
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("new_users"))
+      .select(col("day"), col("dau"), col("new_users"),
+        (col("dau") - col("new_users")).as("returning_users"),
+        round(col("new_users") / col("dau").cast("double"), 6).as("new_frac"))
+      .orderBy(col("day"))
+  }
+
+  /** Per-brand discount↔quantity correlation — the promo-elasticity
+    * screen ("do discounts actually move volume for this brand?") a
+    * category manager reads before repricing; Pearson r over the
+    * joined fact, computed per brand.
+    *
+    * Shape at scale: the part dim broadcasts (it always does here),
+    * corr is a map-side-combinable moment aggregate — one scan, one
+    * ≤|brands|-group shuffle. */
+  def qDiscountQuantityCorr(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_discount"), col("l_quantity"))
+      .join(broadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(corr(col("l_discount"), col("l_quantity")), 6).as("corr_disc_qty"))
+      .orderBy(col("p_brand"))
+
   /** Welch's unequal-variance t-test between two user cohorts'
     * purchase values (even vs odd user_id — the deterministic stand-in
     * for an A/B assignment): per-arm n/mean/variance, the t statistic,

@@ -715,4 +715,35 @@ object Dedup {
         round(col("c").cast("double") / col("n"), 6).as("containment"))
       .orderBy(col("contained"), col("container"))
   }
+
+  /** Dedup-threshold tuning curve: for Jaccard thresholds 0.5–0.9,
+    * the pair count, docs dropped (min-id-keeps-canonical — a doc
+    * drops iff it has a ≥t neighbor with a smaller id), and corpus
+    * keep fraction — the sweep a curation run does ONCE to pick its
+    * dedup aggressiveness before committing to a threshold
+    * ([[ngramJaccard]] is one point on this curve; `dedup_lsh_eval`
+    * audits the candidate generator, this audits the DECISION).
+    *
+    * Shape at scale: ONE exact-pair job at the loosest threshold
+    * (PPJoin-prefix-bounded, the `exactJaccardPairs` plan), then a 5×
+    * map-side explode of the pair stream + a 5-group agg — the
+    * expensive join never re-runs per threshold. Threshold literals
+    * are exact doubles on both engines. */
+  def thresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.Caches.persistTracked(
+      exactJaccardPairs(spark, dir, BigDecimal("0.5")))
+    val nd = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    pairs
+      .select(col("doc_b"), col("jaccard"),
+        explode(expr("array(0.5D, 0.6D, 0.7D, 0.8D, 0.9D)")).as("threshold"))
+      .filter(col("jaccard") >= col("threshold"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc_b")).as("n_docs_dropped"))
+      .crossJoin(broadcast(nd))
+      .select(col("threshold"), col("n_pairs"), col("n_docs_dropped"),
+        round(lit(1.0) - col("n_docs_dropped") / col("n_docs").cast("double"), 6)
+          .as("keep_frac"))
+      .orderBy(col("threshold"))
+  }
 }

@@ -1187,6 +1187,105 @@ object Similarity {
       .orderBy(col("probe_id"), col("rk"))
   }
 
+  /** Attribute-filtered ANN (the FAISS IDSelector / vector-DB
+    * metadata-filter mode): exact cosine top-k per probe restricted
+    * to vectors sharing the probe's label — retrieval constrained by
+    * a predicate, the query shape every production vector store
+    * serves ("nearest products IN STOCK", "nearest docs in this
+    * tenant"). Pre-filtering (predicate before scoring) is the
+    * correct plan when the filter is selective: the scan shrinks
+    * BEFORE any distance math, and the label predicate rides the
+    * broadcast-probe join — versus post-filtering top-k, which
+    * under-fills k.
+    *
+    * Shape at scale: [[annBruteforce]]'s broadcast-probe plan with
+    * the filter fused into the join condition; with an IVF index the
+    * same predicate applies inside the routed cells. */
+  def annFilteredTopk(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val e = vecs(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("v"), col("norm"))
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("label").as("plabel"),
+        col("v").as("pv"), col("norm").as("pnorm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("vec_id"))
+    e.join(broadcast(probes),
+        col("vec_id") =!= col("probe_id") && col("label") === col("plabel"))
+      .withColumn("cosine",
+        round(expr("graft_dot(pv, v)") / (col("pnorm") * col("norm")), 6))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("probe_id"), col("label"), col("vec_id"), col("cosine"), col("rk"))
+      .orderBy(col("probe_id"), col("rk"))
+  }
+
+  /** All-but-the-top embedding post-processing (Mu & Viswanath 2018)
+    * measured by its effect: anisotropy (see [[anisotropy]]) of the
+    * raw space vs the corrected space (common mean removed, then the
+    * top principal direction of the CENTERED data projected out) —
+    * the one-number justification for shipping the correction.
+    * Rounds everything to 6 dp at each stage so both engines walk the
+    * identical arithmetic: mean, centered components, three power-
+    * iteration rounds ([[pcaPower]]'s plan, but on centered data —
+    * uncentered power iteration just finds the mean direction),
+    * projection removal, then the ‖Σu‖² anisotropy identity on each
+    * variant.
+    *
+    * Shape at scale: per round one broadcast direction array + a
+    * 64-row back-projection agg (the vector relation never shuffles);
+    * the final statistic is the same (variant, dim)-sum reduction as
+    * [[anisotropy]] — never a pairwise join. */
+  def abtt(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = graft.Caches.persistTracked(
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
+    e.count()
+    val muArr = e.select(posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(round(avg(col("x")), 6).as("m"))
+      .agg(expr("transform(array_sort(collect_list(struct(d, m))), p -> p.m)").as("ma"))
+    val c = graft.Caches.persistTracked(
+      e.crossJoin(broadcast(muArr))
+        .select(col("vec_id"), expr("zip_with(v, ma, (x, m) -> round(x - m, 6))").as("c")))
+    c.count()
+    // power iteration on the CENTERED relation (pcaPower's loop)
+    var vdir = spark.range(0, 64).select(col("id").as("d"), lit(0.125).as("vd"))
+    for (_ <- 1 to iters) {
+      val varr = vdir.agg(
+        expr("transform(array_sort(collect_list(struct(d, vd))), p -> p.vd)").as("va"))
+      val u = c.crossJoin(broadcast(varr))
+        .select(col("c"), expr("graft_dot(c, va)").as("s"))
+        .select(posexplode(col("c")).as(Seq("pos", "x")), col("s"))
+        .groupBy(col("pos").cast("long").as("d"))
+        .agg(round(sum(col("x") * col("s")), 6).as("u"))
+      val nrm = u.agg(sqrt(sum(col("u") * col("u"))).as("nrm"))
+      vdir = graft.Caches.persistTracked(
+        u.crossJoin(nrm).select(col("d"), round(col("u") / col("nrm"), 6).as("vd")))
+      vdir.count()
+    }
+    val uArr = vdir.agg(
+      expr("transform(array_sort(collect_list(struct(d, vd))), p -> p.vd)").as("ua"))
+    val wrel = c.crossJoin(broadcast(uArr))
+      .select(col("vec_id"), expr("graft_dot(c, ua)").as("s"), col("c"), col("ua"))
+      .select(col("vec_id"), expr("zip_with(c, ua, (x, u) -> round(x - s * u, 6))").as("v"))
+    def anis(df: DataFrame, tag: String): DataFrame = {
+      val units = df
+        .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+        .select(col("vec_id"), expr("transform(v, x -> round(x / nrm, 6))").as("u"))
+      val s = units.select(posexplode(col("u")).as(Seq("pos", "x")))
+        .groupBy(col("pos")).agg(sum(col("x")).as("sx"))
+        .agg(sum(col("sx") * col("sx")).as("s2"))
+      val m = units.agg(count(lit(1)).as("n"), sum(expr("graft_dot(u, u)")).as("ssq"))
+      s.crossJoin(m).select(lit(tag).as("variant"), col("n"),
+        round((col("s2") - col("ssq")) /
+          (col("n") * (col("n") - 1)).cast("double"), 6).as("mean_pairwise_cos"))
+    }
+    anis(e.select(col("vec_id"), col("v")), "a_raw")
+      .unionAll(anis(wrel, "b_abtt"))
+      .orderBy(col("variant"))
+  }
+
   /** Embedding-space anisotropy (Ethayarajh 2019): the mean pairwise
     * cosine between unit vectors, per label and corpus-wide
     * (label −1) — the "is the space collapsed into a cone" QC read
