@@ -225,6 +225,12 @@ object SparkEntry {
     "dedup_threshold_sweep"   -> Dedup.thresholdSweep _,
     "ann_filtered_topk"       -> ((s, d) => Similarity.annFilteredTopk(s, d)),
     "embed_abtt"              -> ((s, d) => Similarity.abtt(s, d)),
+    "q_rfm_segments"          -> Relational.qRfmSegments _,
+    "q_abc_class"             -> Relational.qAbcClass _,
+    "q_mann_whitney"          -> Relational.qMannWhitney _,
+    "graph_clustering_coeff"  -> Graph.clusteringCoeff _,
+    "graph_adamic_adar"       -> ((s, d) => Graph.adamicAdar(s, d)),
+    "etl_active_streaks"      -> EventsEtl.activeStreaks _,
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. */
@@ -3112,5 +3118,115 @@ object SparkEntry {
         |   round((s2 - ssq) / CAST(n * (n-1) AS DOUBLE), 6) AS mean_pairwise_cos
         |  FROM ws2 CROSS JOIN wm)
         |SELECT * FROM rrow UNION ALL SELECT * FROM wrow ORDER BY variant""".stripMargin,
+    // RFM quintile grid (mirrors Relational.qRfmSegments)
+    "q_rfm_segments" ->
+      """WITH rfm AS (SELECT o_custkey,
+        |   max(CAST(epoch(date_trunc('second', o_orderdate)) AS BIGINT) // 86400) AS last_day,
+        |   count(*) AS freq,
+        |   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+        |  FROM orders GROUP BY 1),
+        |s AS (SELECT
+        |   CAST(ntile(5) OVER (ORDER BY last_day, o_custkey) AS BIGINT) AS r_bucket,
+        |   CAST(ntile(5) OVER (ORDER BY freq, o_custkey) AS BIGINT) AS f_bucket,
+        |   CAST(ntile(5) OVER (ORDER BY monetary, o_custkey) AS BIGINT) AS m_bucket,
+        |   monetary FROM rfm)
+        |SELECT r_bucket, f_bucket, m_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_customers,
+        |  round(CAST(sum(monetary) / count(*) AS DOUBLE), 6) AS mean_monetary
+        |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // ABC/Pareto revenue classes (mirrors Relational.qAbcClass; the
+    // class cut is the exact decimal comparison cum*10 <= total*k)
+    "q_abc_class" ->
+      """WITH rev AS (SELECT l_partkey,
+        |   sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |       (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |c AS (SELECT l_partkey, rev,
+        |   sum(rev) OVER (ORDER BY rev DESC, l_partkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |   sum(rev) OVER () AS total FROM rev),
+        |cls AS (SELECT CASE WHEN cum * 10 <= total * 7 THEN 'A'
+        |    WHEN cum * 10 <= total * 9 THEN 'B' ELSE 'C' END AS abc_class,
+        |   rev, total FROM c)
+        |SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+        |  round(CAST(sum(rev) AS DOUBLE), 2) AS class_rev,
+        |  round(CAST(sum(rev) / any_value(total) AS DOUBLE), 6) AS rev_share
+        |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Mann-Whitney U with tie-corrected normal approximation (mirrors
+    // Relational.qMannWhitney; avg-rank via avg(row_number) per value)
+    "q_mann_whitney" ->
+      """WITH pooled AS (SELECT
+        |   CASE WHEN c_mktsegment = 'BUILDING' THEN 0 ELSE 1 END AS arm,
+        |   o_totalprice AS x, o_orderkey
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |rn AS (SELECT arm, x,
+        |   row_number() OVER (ORDER BY x, o_orderkey) AS rn FROM pooled),
+        |rk AS (SELECT arm, x, avg(rn) OVER (PARTITION BY x) AS ar FROM rn),
+        |arms AS (SELECT arm, CAST(count(*) AS DOUBLE) AS n, sum(ar) AS r
+        |  FROM rk GROUP BY 1),
+        |ties AS (SELECT CAST(sum(t*t*t - t) AS DOUBLE) AS tie_term FROM
+        |  (SELECT count(*) AS t FROM pooled GROUP BY x)),
+        |a AS (SELECT n AS n_a, r AS r_a FROM arms WHERE arm = 0),
+        |b AS (SELECT n AS n_b FROM arms WHERE arm = 1),
+        |z AS (SELECT n_a, n_b, r_a, n_a + n_b AS nn,
+        |   r_a - n_a * (n_a + 1) / 2 AS u_a, tie_term
+        |  FROM a CROSS JOIN b CROSS JOIN ties)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  round(r_a, 2) AS rank_sum_a, round(u_a, 2) AS u_stat,
+        |  round((u_a - n_a * n_b / 2) / sqrt(n_a * n_b / 12 *
+        |    ((nn + 1) - tie_term / (nn * (nn - 1)))), 6) AS z_score
+        |FROM z""".stripMargin,
+    // per-node local clustering coefficient over the sparse graph
+    // (mirrors Graph.clusteringCoeff)
+    "graph_clustering_coeff" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem WHERE l_quantity >= 48),
+        |edges AS (SELECT DISTINCT x.pk AS u, y.pk AS v
+        |  FROM items x JOIN items y ON x.ok = y.ok AND x.pk < y.pk),
+        |tri AS (SELECT part, count(*) AS n_triangles FROM (
+        |  SELECT unnest([e1.u, e1.v, e2.v]) AS part
+        |  FROM edges e1 JOIN edges e2 ON e1.u = e2.u AND e1.v < e2.v
+        |  JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v) GROUP BY 1),
+        |deg AS (SELECT part, count(*) AS degree FROM (
+        |  SELECT unnest([u, v]) AS part FROM edges) GROUP BY 1)
+        |SELECT d.part, CAST(d.degree AS BIGINT) AS degree,
+        |  CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+        |  round(CAST(coalesce(t.n_triangles, 0) AS DOUBLE) * 2 /
+        |    CAST(d.degree * (d.degree - 1) AS DOUBLE), 6) AS coeff
+        |FROM deg d LEFT JOIN tri t ON d.part = t.part
+        |WHERE d.degree >= 2 ORDER BY d.part""".stripMargin,
+    // Adamic-Adar link prediction, top-25 non-adjacent pairs (mirrors
+    // Graph.adamicAdar; apex terms rounded to 9dp and summed as
+    // DECIMAL so the score is addition-order-independent)
+    "graph_adamic_adar" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem WHERE l_quantity >= 48),
+        |edges AS (SELECT DISTINCT x.pk AS u, y.pk AS v
+        |  FROM items x JOIN items y ON x.ok = y.ok AND x.pk < y.pk),
+        |sym AS (SELECT u AS a, v AS b FROM edges UNION ALL SELECT v, u FROM edges),
+        |term AS (SELECT b, CAST(round(1.0 / ln(CAST(count(*) AS DOUBLE)), 9)
+        |    AS DECIMAL(18,9)) AS w
+        |  FROM sym GROUP BY b HAVING count(*) >= 2),
+        |pairs AS (SELECT x.a AS u, y.a AS v, count(*) AS n_common, sum(w) AS sw
+        |  FROM sym x JOIN sym y ON x.b = y.b AND x.a < y.a
+        |  JOIN term t ON t.b = x.b GROUP BY 1, 2),
+        |np AS (SELECT * FROM pairs p WHERE NOT EXISTS
+        |  (SELECT 1 FROM edges e WHERE e.u = p.u AND e.v = p.v))
+        |SELECT u, v, CAST(n_common AS BIGINT) AS n_common,
+        |  round(CAST(sw AS DOUBLE), 6) AS aa_score
+        |FROM np ORDER BY aa_score DESC, u, v LIMIT 25""".stripMargin,
+    // consecutive-active-day streak histogram (mirrors
+    // EventsEtl.activeStreaks; day - row_number islands)
+    "etl_active_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |   CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day FROM events),
+        |i AS (SELECT user_id,
+        |   day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+        |  FROM d),
+        |s AS (SELECT user_id, island, count(*) AS streak_len FROM i GROUP BY 1, 2)
+        |SELECT streak_len, CAST(count(*) AS BIGINT) AS n_streaks,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -792,4 +792,31 @@ object EventsEtl {
         round(col("n") / col("prev_ewma"), 6).as("vs_smoothed"))
       .orderBy(col("day"))
   }
+
+  /** Consecutive-active-day streak histogram — gaps-and-islands over
+    * per-user activity: a user's distinct active days, split into
+    * maximal runs of consecutive days via the classic day −
+    * row_number island key, then rolled up to (streak length →
+    * streak count, distinct users). The engagement-depth readout
+    * (how many 7-day streaks does this product have?) and the
+    * islands primitive itself, which the reference's lifecycle
+    * queries (ride chains at siri_ride level) need constantly.
+    *
+    * Shape at scale: dedup to (user, day) grain (map-side
+    * combinable), ONE window partitioned by user — no global sort —
+    * then two bounded aggs; output is ≤ max-streak rows. */
+  def activeStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_timestamp(ts) div 86400").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    days
+      .withColumn("island", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("streak_len"))
+      .groupBy(col("streak_len"))
+      .agg(count(lit(1)).as("n_streaks"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("streak_len"))
+  }
 }

@@ -1122,4 +1122,119 @@ object Relational {
            col("v_b") * col("v_b") / (col("n_b") * col("n_b") * (col("n_b") - 1))), 6)
           .as("welch_df"))
   }
+
+  /** RFM segmentation (recency / frequency / monetary quintiles) —
+    * the classic CRM customer grid: per customer the last-order day,
+    * order count, and exact-decimal lifetime spend, each scored into
+    * quintiles by ntile(5) with a custkey tie-break (ties are why a
+    * bare ntile isn't engine-portable), then rolled up per (r,f,m)
+    * cell with the cell's customer count and mean spend.
+    *
+    * Shape at scale: the per-customer agg shuffles the fact once on
+    * custkey; the ntile windows rank the CUSTOMER-grain table (a dim,
+    * orders of magnitude below the fact) — the global sort is over
+    * |customers| rows, and a 100-TB deploy would swap it for
+    * approx-quantile boundaries at identical downstream shape. The
+    * output is ≤125 cells. */
+  def qRfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val rfm = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        expr("unix_timestamp(o_orderdate) div 86400").as("day"),
+        d2(col("o_totalprice")).as("price"))
+      .groupBy(col("o_custkey"))
+      .agg(max(col("day")).as("last_day"), count(lit(1)).as("freq"),
+        sum(col("price")).as("monetary"))
+    val wr = Window.orderBy(col("last_day"), col("o_custkey"))
+    val wf = Window.orderBy(col("freq"), col("o_custkey"))
+    val wm = Window.orderBy(col("monetary"), col("o_custkey"))
+    rfm.select(
+        ntile(5).over(wr).cast("long").as("r_bucket"),
+        ntile(5).over(wf).cast("long").as("f_bucket"),
+        ntile(5).over(wm).cast("long").as("m_bucket"),
+        col("monetary"))
+      .groupBy(col("r_bucket"), col("f_bucket"), col("m_bucket"))
+      .agg(count(lit(1)).as("n_customers"),
+        round((sum(col("monetary")) / count(lit(1))).cast("double"), 6)
+          .as("mean_monetary"))
+      .orderBy(col("r_bucket"), col("f_bucket"), col("m_bucket"))
+  }
+
+  /** ABC (Pareto) inventory classification: parts ranked by exact-
+    * decimal revenue, class A while the cumulative share is ≤70%, B
+    * to 90%, C after — the stock-policy split every inventory planner
+    * draws first. Class boundaries are decided by the EXACT decimal
+    * comparison cum·10 ≤ total·7 (never a float share), so the cut is
+    * identical in both engines.
+    *
+    * Shape at scale: revenue per part is one fact-scan agg on
+    * partkey; the cumulative window sorts the PART-grain table (a
+    * dim); the class rollup is 3 rows. */
+  def qAbcClass(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(revTerm(col("l_extendedprice"), col("l_discount"))).as("rev"))
+    val w = Window.orderBy(col("rev").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = rev.agg(sum(col("rev")).as("total"))
+    rev.withColumn("cum", sum(col("rev")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("abc_class",
+        when(col("cum") * 10 <= col("total") * 7, "A")
+          .when(col("cum") * 10 <= col("total") * 9, "B")
+          .otherwise("C"))
+      .groupBy(col("abc_class"))
+      .agg(count(lit(1)).as("n_parts"),
+        round(sum(col("rev")).cast("double"), 2).as("class_rev"),
+        round((sum(col("rev")) / first(col("total"))).cast("double"), 6)
+          .as("rev_share"))
+      .orderBy(col("abc_class"))
+  }
+
+  /** Mann–Whitney U rank-sum test (tie-corrected normal
+    * approximation) between BUILDING and MACHINERY customers' order
+    * totals — the nonparametric sibling of [[qWelchTtest]], the test
+    * actually used when spend distributions are heavy-tailed. Average
+    * ranks come from avg(row_number) per distinct value, which is
+    * deterministic under ties AND exactly representable (half-integer
+    * doubles), so the rank sums are bit-identical across engines; the
+    * tie correction Σ(t³−t) is pure integer arithmetic.
+    *
+    * Shape at scale: one fact scan (customer dim broadcast), a global
+    * rank over the filtered two-arm subset (the test's definition —
+    * at 100 TB the rank assignment would shard by value range with
+    * offset reconstruction, same downstream algebra), then two tiny
+    * aggs and a 1-row combine. */
+  def qMannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    val pooled = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+          .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+          .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(when(col("c_mktsegment") === "BUILDING", 0L).otherwise(1L).as("arm"),
+        col("o_totalprice").as("x"), col("o_orderkey"))
+    val wAll = Window.orderBy(col("x"), col("o_orderkey"))
+    val byX = Window.partitionBy(col("x"))
+    val ranked = pooled
+      .withColumn("rn", row_number().over(wAll))
+      .withColumn("ar", avg(col("rn")).over(byX))
+    val arms = ranked.groupBy(col("arm"))
+      .agg(count(lit(1)).cast("double").as("n"), sum(col("ar")).as("r"))
+    val ties = pooled.groupBy(col("x"))
+      .agg(count(lit(1)).as("t"))
+      .agg(sum(col("t") * col("t") * col("t") - col("t")).cast("double").as("tie_term"))
+    val a = arms.filter(col("arm") === 0)
+      .select(col("n").as("n_a"), col("r").as("r_a"))
+    val b = arms.filter(col("arm") === 1).select(col("n").as("n_b"))
+    a.crossJoin(b).crossJoin(broadcast(ties))
+      .withColumn("nn", col("n_a") + col("n_b"))
+      .withColumn("u_a", col("r_a") - col("n_a") * (col("n_a") + 1) / 2)
+      .withColumn("sigma2",
+        col("n_a") * col("n_b") / 12 *
+          ((col("nn") + 1) - col("tie_term") / (col("nn") * (col("nn") - 1))))
+      .select(col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+        round(col("r_a"), 2).as("rank_sum_a"),
+        round(col("u_a"), 2).as("u_stat"),
+        round((col("u_a") - col("n_a") * col("n_b") / 2) / sqrt(col("sigma2")), 6)
+          .as("z_score"))
+  }
 }

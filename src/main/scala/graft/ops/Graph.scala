@@ -559,4 +559,80 @@ object Graph {
           (col("n_ante") * col("n_cons")).cast("double"), 6).as("lift"))
       .orderBy(col("ante"), col("cons"))
   }
+
+  /** Per-node local clustering coefficient over the sparsified
+    * affinity graph: 2·T(v) / (d(v)·(d(v)−1)) for every node of
+    * degree ≥ 2 — Watts–Strogatz "how clique-like is this node's
+    * neighborhood", the per-node refinement of [[triangleCounts]]'
+    * global audit (reference analogue: the small-world check run
+    * before trusting any neighborhood-based recommender signal).
+    *
+    * Shape at scale: the triangle enumeration is the plain u<v wedge
+    * self-join, safe HERE because the sparsified graph is degree-
+    * capped by construction (the l_quantity gate bounds hub fan-out —
+    * on the full graph this would be the degree-oriented
+    * [[triangleCounts]] formulation instead); degrees are one
+    * map-side-combinable agg; the final join is |V|-row against
+    * |V|-row. */
+  def clusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
+    val edges = graft.Caches.persistTracked(sparseCoOccurrenceEdges(spark, dir))
+    edges.count() // materialize once: three consumers below
+    val tri = edges.as("e1")
+      .join(edges.as("e2"), col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .join(edges.as("e3"),
+        col("e3.u") === col("e1.v") && col("e3.v") === col("e2.v"))
+      .select(explode(array(col("e1.u"), col("e1.v"), col("e2.v"))).as("part"))
+      .groupBy(col("part")).agg(count(lit(1)).as("n_triangles"))
+    val deg = edges.select(explode(array(col("u"), col("v"))).as("part"))
+      .groupBy(col("part")).agg(count(lit(1)).as("degree"))
+    deg.filter(col("degree") >= 2)
+      .join(tri, Seq("part"), "left")
+      .na.fill(0L, Seq("n_triangles"))
+      .select(col("part"), col("degree"), col("n_triangles"),
+        round(col("n_triangles").cast("double") * 2d /
+          (col("degree") * (col("degree") - 1)).cast("double"), 6).as("coeff"))
+      .orderBy(col("part"))
+  }
+
+  /** Adamic–Adar link prediction over the sparsified affinity graph:
+    * for every NON-adjacent pair with ≥1 common neighbor, the score
+    * Σ_{apex} 1/ln(deg(apex)) — rare shared neighbors count more than
+    * promiscuous hubs — and the top-k candidate edges. This is the
+    * "products that SHOULD co-sell but don't yet" screen a
+    * merchandiser reads off the affinity graph.
+    *
+    * Numeric discipline: each apex term is rounded to 9 dp and summed
+    * as DECIMAL(18,9), so the score is independent of partial-agg
+    * addition order in BOTH engines (float Σ would be order-dependent
+    * and Spark's combiner order is not deterministic).
+    *
+    * Shape at scale: wedge self-join on the apex key (same Σdeg²
+    * bound as [[neighborJaccard]], capped by the sparse graph), apex
+    * weights broadcast (|V| rows), existing edges removed with a
+    * left_anti on the canonical pair, top-k via TakeOrdered — no
+    * global sort ever materializes. */
+  def adamicAdar(spark: SparkSession, dir: String, k: Int = 25): DataFrame = {
+    import graft.operators.Scale.maybeBroadcast
+    val edges = graft.Caches.persistTracked(sparseCoOccurrenceEdges(spark, dir))
+    edges.count() // materialize: broadcast gates need real sizes
+    val sym = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      .select(col("u").as("a"), col("v").as("b"))
+    // degree of the shared apex; deg-1 apexes cannot form a wedge and
+    // would put ln(1)=0 in a denominator — filtered before the cast
+    val term = maybeBroadcast(sym.groupBy(col("b")).agg(count(lit(1)).as("db"))
+      .filter(col("db") >= 2)
+      .select(col("b"),
+        expr("CAST(round(1.0D / ln(CAST(db AS DOUBLE)), 9) AS DECIMAL(18,9))").as("w")))
+    val pairs = sym.as("x")
+      .join(sym.as("y"), col("x.b") === col("y.b") && col("x.a") < col("y.a"))
+      .select(col("x.a").as("u"), col("y.a").as("v"), col("x.b").as("b"))
+      .join(term, Seq("b"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("n_common"), sum(col("w")).as("sw"))
+    pairs.join(edges, Seq("u", "v"), "left_anti")
+      .select(col("u"), col("v"), col("n_common"),
+        round(col("sw").cast("double"), 6).as("aa_score"))
+      .orderBy(col("aa_score").desc, col("u"), col("v"))
+      .limit(k)
+  }
 }
