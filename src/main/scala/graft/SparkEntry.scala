@@ -231,6 +231,12 @@ object SparkEntry {
     "graph_clustering_coeff"  -> Graph.clusteringCoeff _,
     "graph_adamic_adar"       -> ((s, d) => Graph.adamicAdar(s, d)),
     "etl_active_streaks"      -> EventsEtl.activeStreaks _,
+    "embed_bitsign_recall"    -> Similarity.bitsignRecall _,
+    "q_chi2_independence"     -> Relational.qChi2Independence _,
+    "pipeline_length_buckets" -> ((s, d) => Pipeline.lengthBuckets(s, d)),
+    "pipeline_mixture_kl"     -> ((s, d) => Pipeline.mixtureKl(s, d)),
+    "text_burstiness"         -> ((s, d) => TextAnalysis.burstiness(s, d)),
+    "dedup_bbit_minhash"      -> Dedup.bbitMinhash _,
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. */
@@ -3228,5 +3234,139 @@ object SparkEntry {
         |SELECT streak_len, CAST(count(*) AS BIGINT) AS n_streaks,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    // sign-bit binarization recall@10 vs exact cosine (mirrors
+    // Similarity.bitsignRecall)
+    "embed_bitsign_recall" ->
+      """WITH e AS (SELECT vec_id,
+        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS norm,
+        |   list_transform(v, x -> x >= 0) AS bits FROM e),
+        |p AS (SELECT vec_id AS probe_id, v AS pv, norm AS pnorm, bits AS pbits
+        |  FROM n WHERE vec_id < 5),
+        |s AS (SELECT probe_id, vec_id,
+        |   len(list_filter(list_zip(n.bits, p.pbits), z -> z[1] = z[2])) AS agree,
+        |   round(list_sum(list_transform(list_zip(p.pv, n.v), z -> z[1]*z[2])) /
+        |     (p.pnorm * n.norm), 6) AS cosine
+        |  FROM n CROSS JOIN p WHERE n.vec_id <> p.probe_id),
+        |ap AS (SELECT probe_id, vec_id FROM (SELECT probe_id, vec_id,
+        |   row_number() OVER (PARTITION BY probe_id ORDER BY agree DESC, vec_id) AS rk
+        |  FROM s) WHERE rk <= 10),
+        |ex AS (SELECT probe_id, vec_id FROM (SELECT probe_id, vec_id,
+        |   row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rk
+        |  FROM s) WHERE rk <= 10),
+        |h AS (SELECT probe_id, count(*) AS n_hits
+        |  FROM ex JOIN ap USING (probe_id, vec_id) GROUP BY 1),
+        |t AS (SELECT probe_id, count(*) AS n_exact FROM ex GROUP BY 1)
+        |SELECT t.probe_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+        |  CAST(n_exact AS BIGINT) AS n_exact,
+        |  round(coalesce(n_hits, 0) / CAST(n_exact AS DOUBLE), 6) AS recall_at_10
+        |FROM t LEFT JOIN h ON t.probe_id = h.probe_id ORDER BY t.probe_id""".stripMargin,
+    // chi-squared independence of segment x priority (mirrors
+    // Relational.qChi2Independence; 9dp-decimal-staged contributions)
+    "q_chi2_independence" ->
+      """WITH obs AS (SELECT c_mktsegment, o_orderpriority, count(*) AS o
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+        |m AS (SELECT c_mktsegment, o_orderpriority, o,
+        |   sum(o) OVER (PARTITION BY c_mktsegment) AS rt,
+        |   sum(o) OVER (PARTITION BY o_orderpriority) AS ct,
+        |   sum(o) OVER () AS n FROM obs),
+        |x AS (SELECT c_mktsegment, o_orderpriority, n,
+        |   CAST(round((o - rt * ct / CAST(n AS DOUBLE)) *
+        |     (o - rt * ct / CAST(n AS DOUBLE)) /
+        |     (rt * ct / CAST(n AS DOUBLE)), 9) AS DECIMAL(18,9)) AS contrib FROM m),
+        |agg AS (SELECT count(DISTINCT c_mktsegment) AS r,
+        |   count(DISTINCT o_orderpriority) AS c2,
+        |   any_value(n) AS n, sum(contrib) AS chi2d FROM x)
+        |SELECT round(CAST(chi2d AS DOUBLE), 6) AS chi2,
+        |  CAST((r - 1) * (c2 - 1) AS BIGINT) AS dof, CAST(n AS BIGINT) AS n,
+        |  round(sqrt(CAST(chi2d AS DOUBLE) /
+        |    (n * least(r - 1, c2 - 1))), 6) AS cramers_v
+        |FROM agg""".stripMargin,
+    // length-bucketed batching manifest (mirrors
+    // Pipeline.lengthBuckets; all-integer batch arithmetic)
+    "pipeline_length_buckets" ->
+      """WITH d AS (SELECT CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ntok
+        |  FROM documents),
+        |b AS (SELECT ntok, CAST(1 << length(bin(ntok - 1)) AS BIGINT) AS cap
+        |  FROM d WHERE ntok > 0),
+        |g AS (SELECT cap, count(*) AS n_docs, sum(ntok) AS sum_tok FROM b GROUP BY 1),
+        |m AS (SELECT cap, n_docs, sum_tok,
+        |   greatest(4096 // cap, 1) AS docs_per_batch FROM g),
+        |f AS (SELECT *, (n_docs + docs_per_batch - 1) // docs_per_batch AS n_batches FROM m)
+        |SELECT cap, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(docs_per_batch AS BIGINT) AS docs_per_batch,
+        |  CAST(n_batches AS BIGINT) AS n_batches,
+        |  round(1.0 - sum_tok /
+        |    CAST(n_batches * docs_per_batch * cap AS DOUBLE), 6) AS waste_frac
+        |FROM f ORDER BY cap""".stripMargin,
+    // per-shard source-mixture KL drift (mirrors Pipeline.mixtureKl;
+    // md5-hash shards, 9dp-decimal-staged KL terms)
+    "pipeline_mixture_kl" ->
+      """WITH d AS (SELECT source,
+        |   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS shard
+        |  FROM documents),
+        |cell AS (SELECT shard, source, count(*) AS c FROM d GROUP BY 1, 2),
+        |st AS (SELECT shard, sum(c) AS st FROM cell GROUP BY 1),
+        |gt AS (SELECT source, sum(c) AS gt FROM cell GROUP BY 1),
+        |g AS (SELECT sum(c) AS n FROM cell),
+        |t AS (SELECT shard, st, c / CAST(st AS DOUBLE) AS ps,
+        |   gt / CAST(n AS DOUBLE) AS pg
+        |  FROM cell JOIN st USING (shard) JOIN gt USING (source) CROSS JOIN g),
+        |x AS (SELECT shard, st,
+        |   CAST(round(ps * ln(ps / pg), 9) AS DECIMAL(18,9)) AS term,
+        |   abs(ps - pg) AS delta FROM t)
+        |SELECT shard, CAST(any_value(st) AS BIGINT) AS n_docs,
+        |  round(CAST(sum(term) AS DOUBLE), 6) AS kl_vs_corpus,
+        |  round(max(delta), 6) AS max_share_delta
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+    // top-20-DF term burstiness (mirrors TextAnalysis.burstiness)
+    "text_burstiness" ->
+      """WITH tok AS (SELECT doc_id,
+        |   unnest(regexp_extract_all(lower(text), '\S+')) AS term FROM documents),
+        |pd AS (SELECT term, doc_id, count(*) AS c FROM tok GROUP BY 1, 2),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |m AS (SELECT term, count(*) AS df, sum(c) AS tf, sum(c*c) AS s2
+        |  FROM pd GROUP BY 1),
+        |x AS (SELECT term, df, tf, tf / CAST(n_docs AS DOUBLE) AS mean,
+        |   (s2 / CAST(n_docs AS DOUBLE) -
+        |    (tf / CAST(n_docs AS DOUBLE)) * (tf / CAST(n_docs AS DOUBLE))) /
+        |     (tf / CAST(n_docs AS DOUBLE)) AS vmr
+        |  FROM m CROSS JOIN nd)
+        |SELECT term, CAST(df AS BIGINT) AS df, CAST(tf AS BIGINT) AS tf,
+        |  round(mean, 6) AS mean_count, round(vmr, 6) AS burstiness
+        |FROM x ORDER BY df DESC, term LIMIT 20""".stripMargin,
+    // b-bit (b=4) minhash estimate vs full-width vs exact (mirrors
+    // Dedup.bbitMinhash; the dedup_minhash_est_error CTE chain plus
+    // the low-4-bit truncation and the Li-Konig correction)
+    "dedup_bbit_minhash" ->
+      """WITH t AS (SELECT doc_id, text, regexp_extract_all(text, '\S+') AS toks FROM documents),
+        |shl AS (SELECT doc_id, list_distinct(
+        |   CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1),
+        |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE [text] END) AS shingles FROM t),
+        |sig AS (SELECT doc_id, list_transform(range(0, 16), i ->
+        |   list_min(list_transform(shingles, s ->
+        |     ((1 + 2*i) * (('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) + 7 + 11*i) % 2147483647))) AS sg
+        |  FROM shl),
+        |bands AS (SELECT doc_id, j AS band,
+        |   md5(concat_ws(',', sg[4*j+1], sg[4*j+2], sg[4*j+3], sg[4*j+4])) AS bkey
+        |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS j)),
+        |cpairs AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
+        |   AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |est AS (SELECT doc_a, doc_b,
+        |   round(len(list_filter(range(1, 17), i -> sa.sg[i] = sb.sg[i])) / 16.0, 6) AS est_full,
+        |   len(list_filter(range(1, 17), i -> sa.sg[i] % 16 = sb.sg[i] % 16)) / 16.0 AS r4
+        |  FROM cpairs JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b),
+        |ex AS (SELECT doc_a, doc_b,
+        |   round(len(list_intersect(a.shingles, b.shingles)) /
+        |     CAST(len(a.shingles) + len(b.shingles)
+        |       - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE), 6) AS exact_jaccard
+        |  FROM cpairs JOIN shl a ON a.doc_id = doc_a JOIN shl b ON b.doc_id = doc_b)
+        |SELECT doc_a, doc_b, est_full,
+        |  round(greatest((r4 - 1.0/16) / (15.0/16), 0), 6) AS est_b4, exact_jaccard,
+        |  round(abs(est_full - exact_jaccard), 6) AS err_full,
+        |  round(abs(round(greatest((r4 - 1.0/16) / (15.0/16), 0), 6) - exact_jaccard), 6) AS err_b4
+        |FROM est JOIN ex USING (doc_a, doc_b) ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

@@ -1237,4 +1237,45 @@ object Relational {
         round((col("u_a") - col("n_a") * col("n_b") / 2) / sqrt(col("sigma2")), 6)
           .as("z_score"))
   }
+
+  /** Chi-squared test of independence between customer market segment
+    * and order priority (is priority assignment uniform across
+    * segments?) with Cramér's V effect size — the categorical
+    * association audit beside [[qWelchTtest]] (means) and
+    * [[qMannWhitney]] (ranks). Per-cell contributions
+    * (obs−exp)²/exp are rounded to 9 dp and summed as DECIMAL so the
+    * statistic is addition-order-independent across engines.
+    *
+    * Shape at scale: ONE fact-scan agg into the ≤|segments|·|priorities|
+    * contingency table; margins, expecteds, and the statistic all live
+    * on that tiny relation (windows over ≤35 rows). */
+  def qChi2Independence(spark: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+          .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("o"))
+    val wRow = Window.partitionBy(col("c_mktsegment"))
+    val wCol = Window.partitionBy(col("o_orderpriority"))
+    val wAll = Window.partitionBy()
+    obs
+      .withColumn("rt", sum(col("o")).over(wRow))
+      .withColumn("ct", sum(col("o")).over(wCol))
+      .withColumn("n", sum(col("o")).over(wAll))
+      .withColumn("e", col("rt") * col("ct") / col("n").cast("double"))
+      .withColumn("contrib",
+        round((col("o") - col("e")) * (col("o") - col("e")) / col("e"), 9)
+          .cast(DecimalType(18, 9)))
+      .agg(countDistinct(col("c_mktsegment")).as("r"),
+        countDistinct(col("o_orderpriority")).as("c"),
+        first(col("n")).as("n"), sum(col("contrib")).as("chi2d"))
+      .select(
+        round(col("chi2d").cast("double"), 6).as("chi2"),
+        ((col("r") - 1) * (col("c") - 1)).as("dof"),
+        col("n").as("n"),
+        round(sqrt(col("chi2d").cast("double") /
+          (col("n") * least(col("r") - 1, col("c") - 1)).cast("double")), 6)
+          .as("cramers_v"))
+  }
 }

@@ -746,4 +746,47 @@ object Dedup {
           .as("keep_frac"))
       .orderBy(col("threshold"))
   }
+
+  /** b-bit minhash (Li & König 2010, b=4): keep only the low 4 bits
+    * of each of the 16 minhash values — 4× less signature storage —
+    * and recover Jaccard with the collision-rate correction
+    * est = (r − 2⁻ᵇ)/(1 − 2⁻ᵇ), clamped at 0 (random collisions
+    * inflate the raw agreement rate r by 1/16). Reported per LSH
+    * candidate pair next to the full-width estimate and the exact
+    * n-gram Jaccard, so the storage/accuracy trade is measured, not
+    * assumed — the b-bit sibling of [[minhashEstError]].
+    *
+    * Shape at scale: identical plan to [[minhashEstError]] — the
+    * candidate pairs come from the production LSH join, signatures
+    * and shingle sets broadcast-join on (size-gated) — the truncation
+    * is a map-side `% 16` over already-materialized signatures. */
+  def bbitMinhash(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    import graft.operators.Scale.maybeBroadcast
+    val cand = minhashLsh(spark, dir)
+    val sigs = graft.Caches.persistTracked(
+      withShingles(Tables.documents(spark, dir))
+        .select(col("doc_id"), expr("graft_minhash_sig(shingles)").as("sig")))
+    val sets = graft.Caches.persistTracked(
+      withShingleHashes(Tables.documents(spark, dir))
+        .select(col("doc_id"), col("hs")))
+    cand
+      .join(maybeBroadcast(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa"))), "doc_a")
+      .join(maybeBroadcast(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb"))), "doc_b")
+      .join(maybeBroadcast(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha"))), "doc_a")
+      .join(maybeBroadcast(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb"))), "doc_b")
+      .withColumn("r4",
+        expr("size(filter(zip_with(sa, sb, (x, y) -> x % 16 = y % 16), z -> z))") / lit(16.0))
+      .select(col("doc_a"), col("doc_b"),
+        round(expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), z -> z))") / lit(16.0), 6)
+          .as("est_full"),
+        round(greatest((col("r4") - lit(1.0 / 16)) / lit(15.0 / 16), lit(0.0)), 6)
+          .as("est_b4"),
+        round(size(array_intersect(col("ha"), col("hb"))).cast("double") /
+          (size(col("ha")) + size(col("hb")) -
+            size(array_intersect(col("ha"), col("hb")))), 6).as("exact_jaccard"))
+      .withColumn("err_full", round(abs(col("est_full") - col("exact_jaccard")), 6))
+      .withColumn("err_b4", round(abs(col("est_b4") - col("exact_jaccard")), 6))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 }

@@ -662,4 +662,73 @@ object Pipeline {
           .as("sample_factor"))
       .orderBy(col("lang"))
   }
+
+  /** Length-bucketed batching manifest — the training-loader layout
+    * that [[paddingWaste]]'s histogram argues FOR: docs grouped into
+    * power-of-two token-length buckets, each bucket packed into
+    * fixed-budget batches (4096 tokens, ⌊budget/cap⌋ docs per batch,
+    * pad-to-cap), with per-bucket batch counts and the REALIZED
+    * padding waste. Pure integer arithmetic end to end (bucket cap,
+    * docs-per-batch, batch count), so both engines agree exactly.
+    *
+    * Shape at scale: one map-side token count + power-of-two bucket
+    * projection, a ≤~20-group agg with map-side combine — the doc
+    * stream is scanned once and never shuffled at doc grain. */
+  def lengthBuckets(spark: SparkSession, dir: String,
+      budget: Long = 4096L): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(size(expr(raw"regexp_extract_all(text, '\\S+', 0)"))
+        .cast("long").as("ntok"))
+      .filter(col("ntok") > 0)
+      .withColumn("cap",
+        expr("CAST(shiftleft(CAST(1 AS BIGINT), length(bin(ntok - 1))) AS BIGINT)"))
+      .groupBy(col("cap"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("sum_tok"))
+      .withColumn("docs_per_batch",
+        greatest(expr(s"$budget div cap"), lit(1L)))
+      .withColumn("n_batches",
+        expr("(n_docs + docs_per_batch - 1) div docs_per_batch"))
+      .select(col("cap"), col("n_docs"), col("docs_per_batch"), col("n_batches"),
+        round(lit(1.0) - col("sum_tok") /
+          (col("n_batches") * col("docs_per_batch") * col("cap")).cast("double"), 6)
+          .as("waste_frac"))
+      .orderBy(col("cap"))
+  }
+
+  /** Per-shard mixture drift: KL(shard ‖ corpus) over the source
+    * distribution, shards assigned by the portable md5 hash of doc_id
+    * (mod 8) — the audit that proves (or disproves) that hash-sharding
+    * preserved the domain mixture, read before trusting any per-shard
+    * curriculum or resume point. KL terms p_s·ln(p_s/p_g) are rounded
+    * to 9 dp and summed as DECIMAL (addition-order-independent); a
+    * source absent from a shard contributes 0 (the 0·ln0 limit),
+    * which the inner-join shape encodes for free.
+    *
+    * Shape at scale: one (shard, source) agg — map-side combinable —
+    * then everything lives on the ≤8·|sources|-row grid; the global
+    * distribution broadcasts back onto it. */
+  def mixtureKl(spark: SparkSession, dir: String, shards: Int = 8): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("source"),
+        expr(s"CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % $shards")
+          .as("shard"))
+    val cell = d.groupBy(col("shard"), col("source")).agg(count(lit(1)).as("c"))
+    val shardTot = cell.groupBy(col("shard")).agg(sum(col("c")).as("st"))
+    val srcTot = cell.groupBy(col("source")).agg(sum(col("c")).as("gt"))
+    val grand = cell.agg(sum(col("c")).as("n"))
+    cell
+      .join(broadcast(shardTot), Seq("shard"))
+      .join(broadcast(srcTot), Seq("source"))
+      .crossJoin(broadcast(grand))
+      .withColumn("ps", col("c") / col("st").cast("double"))
+      .withColumn("pg", col("gt") / col("n").cast("double"))
+      .withColumn("term",
+        round(col("ps") * log(col("ps") / col("pg")), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9)))
+      .groupBy(col("shard"))
+      .agg(first(col("st")).as("n_docs"),
+        round(sum(col("term")).cast("double"), 6).as("kl_vs_corpus"),
+        round(max(abs(col("ps") - col("pg"))), 6).as("max_share_delta"))
+      .orderBy(col("shard"))
+  }
 }

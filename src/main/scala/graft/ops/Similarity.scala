@@ -1355,4 +1355,50 @@ object Similarity {
           .as("utilization"))
       .orderBy(col("s"))
   }
+
+  /** 1-bit (sign) binarization recall — the cheapest embedding
+    * compression there is (64 dims → 64 bits, 32× smaller than fp32)
+    * scored the only way that matters: per probe, how much of the
+    * exact cosine top-10 does Hamming-similarity top-10 over the sign
+    * bits retain? The memory/recall point every binary-embedding
+    * deployment (faiss IndexBinaryFlat and friends) reads before
+    * committing. Complements [[quantizeError]] (int8 reconstruction
+    * error) with the retrieval-level metric at 8× harsher
+    * compression.
+    *
+    * Shape at scale: ONE corpus scan — both rankings (sign-agreement
+    * count and exact cosine) are computed from the same broadcast-
+    * probe join, so the binary path adds zero extra passes; ties in
+    * the 64-level agreement score break on vec_id (portable). */
+  def bitsignRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+      .withColumn("bits", expr("transform(v, x -> x >= 0D)"))
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("norm").as("pnorm"), col("bits").as("pbits"))
+    val scored = graft.Caches.persistTracked(
+      e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+        .withColumn("agree",
+          expr("size(filter(zip_with(bits, pbits, (x, y) -> x = y), z -> z))"))
+        .withColumn("cosine", round(
+          expr("graft_dot(pv, v)") / (col("pnorm") * col("norm")), 6))
+        .select(col("probe_id"), col("vec_id"), col("agree"), col("cosine")))
+    val wBits = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("agree").desc, col("vec_id"))
+    val wCos = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("vec_id"))
+    val approx = scored.withColumn("rk", row_number().over(wBits))
+      .filter(col("rk") <= 10).select(col("probe_id"), col("vec_id"))
+    val exact = scored.withColumn("rk", row_number().over(wCos))
+      .filter(col("rk") <= 10).select(col("probe_id"), col("vec_id"))
+    val hits = exact.join(approx, Seq("probe_id", "vec_id"))
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hits"))
+    exact.groupBy(col("probe_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"), col("n_exact"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_exact"), 6)
+          .as("recall_at_10"))
+      .orderBy(col("probe_id"))
+  }
 }

@@ -672,4 +672,38 @@ object TextAnalysis {
         round(lit(10000.0) * (col("s2") - col("n_tokens")) /
           (col("n_tokens") * col("n_tokens")).cast("double"), 6).as("yule_k"))
       .orderBy(col("doc_id"))
+
+  /** Term burstiness (Church & Gale's variance-to-mean ratio) for the
+    * top-20 document-frequency terms: a term with VMR ≈ 1 arrives
+    * Poisson-like (function words); VMR ≫ 1 clumps into few documents
+    * (topical/content words — and boilerplate, which is why dedup
+    * pipelines read this table next to [[boilerplateNgrams]]). The
+    * zero-count documents are IN the moments (mean and E[c²] divide
+    * by the full corpus size), computed from integer Σc/Σc² — no
+    * per-doc zero rows ever materialize.
+    *
+    * Shape at scale: one token explode → (term, doc) count agg →
+    * per-term integer moment agg; the top-20 cut is a TakeOrdered on
+    * the |vocab|-row table and the corpus size broadcasts back. */
+  def burstiness(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val perDoc = docs
+      .select(col("doc_id"),
+        explode(expr(raw"regexp_extract_all(lower(text), '\\S+', 0)")).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("c"))
+    perDoc.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("tf"),
+        sum(col("c") * col("c")).as("s2"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("mean", col("tf") / col("n_docs").cast("double"))
+      .withColumn("vmr",
+        (col("s2") / col("n_docs").cast("double") - col("mean") * col("mean")) /
+          col("mean"))
+      .select(col("term"), col("df"), col("tf"),
+        round(col("mean"), 6).as("mean_count"),
+        round(col("vmr"), 6).as("burstiness"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(k)
+  }
 }
