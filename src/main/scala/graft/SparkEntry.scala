@@ -237,6 +237,12 @@ object SparkEntry {
     "pipeline_mixture_kl"     -> ((s, d) => Pipeline.mixtureKl(s, d)),
     "text_burstiness"         -> ((s, d) => TextAnalysis.burstiness(s, d)),
     "dedup_bbit_minhash"      -> Dedup.bbitMinhash _,
+    "q_percentile_bands"      -> Relational.qPercentileBands _,
+    "q_priority_trend"        -> Relational.qPriorityTrend _,
+    "q_region_top_parts"      -> Relational.qRegionTopParts _,
+    "etl_conversion_latency"  -> EventsEtl.conversionLatency _,
+    "pipeline_data_card"      -> Pipeline.dataCard _,
+    "embed_knn_purity"        -> ((s, d) => Similarity.knnPurity(s, d)),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. */
@@ -3368,5 +3374,104 @@ object SparkEntry {
         |  round(abs(est_full - exact_jaccard), 6) AS err_full,
         |  round(abs(round(greatest((r4 - 1.0/16) / (15.0/16), 0), 6) - exact_jaccard), 6) AS err_b4
         |FROM est JOIN ex USING (doc_a, doc_b) ORDER BY doc_a, doc_b""".stripMargin,
+    // per-segment exact spend percentile bands (mirrors
+    // Relational.qPercentileBands)
+    "q_percentile_bands" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+        |  round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+        |  round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.75), 6) AS p75,
+        |  round(quantile_cont(o_totalprice, 0.9), 6) AS p90
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // OLS slope of monthly priority share (mirrors
+    // Relational.qPriorityTrend; integer/decimal moment arithmetic)
+    "q_priority_trend" ->
+      """WITH m AS (SELECT
+        |   CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS month_sec,
+        |   o_orderpriority, count(*) AS c
+        |  FROM orders GROUP BY 1, 2),
+        |g AS (SELECT month_sec, o_orderpriority, c,
+        |   sum(c) OVER (PARTITION BY month_sec) AS mt,
+        |   CAST(dense_rank() OVER (ORDER BY month_sec) AS BIGINT) AS mi FROM m),
+        |s AS (SELECT o_orderpriority, mi,
+        |   CAST(round(c / CAST(mt AS DOUBLE), 6) AS DECIMAL(18,6)) AS share FROM g),
+        |agg AS (SELECT o_orderpriority, count(*) AS n_months,
+        |   sum(mi) AS sx, sum(share) AS sy, sum(mi * share) AS sxy,
+        |   sum(mi * mi) AS sxx FROM s GROUP BY 1)
+        |SELECT o_orderpriority, CAST(n_months AS BIGINT) AS n_months,
+        |  round(CAST(sy / n_months AS DOUBLE), 6) AS mean_share,
+        |  round(CAST(CAST(n_months * sxy - sx * sy AS DOUBLE) /
+        |    (n_months * sxx - sx * sx) AS DOUBLE), 9) AS share_slope
+        |FROM agg ORDER BY 1""".stripMargin,
+    // top-3 revenue parts per region (mirrors Relational.qRegionTopParts)
+    "q_region_top_parts" ->
+      """WITH rev AS (SELECT r_name,  l_partkey,
+        |   sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |       (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS rev
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT r_name, l_partkey, rev,
+        |   CAST(row_number() OVER (PARTITION BY r_name
+        |     ORDER BY rev DESC, l_partkey) AS BIGINT) AS rk FROM rev)
+        |SELECT r_name, l_partkey, round(CAST(rev AS DOUBLE), 2) AS revenue, rk
+        |FROM rk WHERE rk <= 3 ORDER BY r_name, rk""".stripMargin,
+    // view->purchase latency profile over the attributed purchases
+    // (mirrors EventsEtl.conversionLatency; the conversion_rate as-of
+    // CTE chain with the delay percentiles on top)
+    "etl_conversion_latency" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id AS view_id, user_id AS vuser, ts AS vts FROM events WHERE event_type = 'view'),
+        |j AS (SELECT p.purchase_id, p.ts, v.view_id, v.vts
+        |  FROM p LEFT JOIN v ON p.user_id = v.vuser
+        |    AND v.vts <= p.ts AND v.vts >= p.ts - INTERVAL 1 HOUR),
+        |m AS (SELECT purchase_id,
+        |   CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS purchase_sec,
+        |   view_id, CAST(epoch(date_trunc('second', vts)) AS BIGINT) AS view_sec
+        |  FROM j
+        |  QUALIFY row_number() OVER (PARTITION BY purchase_id ORDER BY vts DESC NULLS LAST) = 1),
+        |d AS (SELECT purchase_sec - view_sec AS delay_s FROM m WHERE view_id IS NOT NULL)
+        |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+        |  round(avg(delay_s), 6) AS mean_delay_s,
+        |  round(quantile_cont(delay_s, 0.5), 6) AS p50_delay_s,
+        |  round(quantile_cont(delay_s, 0.9), 6) AS p90_delay_s,
+        |  round(quantile_cont(delay_s, 0.99), 6) AS p99_delay_s,
+        |  CAST(max(delay_s) AS BIGINT) AS max_delay_s
+        |FROM d""".stripMargin,
+    // dataset card rollup at three grains (mirrors Pipeline.dataCard)
+    "pipeline_data_card" ->
+      """WITH d AS (SELECT source, lang, n_chars,
+        |   CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ntok FROM documents)
+        |SELECT coalesce(source, 'ALL') AS source, coalesce(lang, 'ALL') AS lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  round(sum(n_chars) / CAST(count(*) AS DOUBLE), 6) AS mean_chars
+        |FROM d GROUP BY GROUPING SETS ((source, lang), (source), ())
+        |ORDER BY source, lang""".stripMargin,
+    // whole-space 5-NN label purity per label (mirrors
+    // Similarity.knnPurity; integer hit counting)
+    "embed_knn_purity" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v,
+        |   sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM e),
+        |s AS (SELECT a.vec_id, a.label, b.vec_id AS nbr_id, b.label AS nbr_label,
+        |   round(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1]*z[2])) /
+        |     (a.norm * b.norm), 6) AS cosine
+        |  FROM n a CROSS JOIN n b WHERE a.vec_id <> b.vec_id),
+        |nn AS (SELECT vec_id, label, nbr_label FROM (SELECT *,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id) AS rk
+        |  FROM s) WHERE rk <= 5),
+        |h AS (SELECT vec_id, label,
+        |   sum(CASE WHEN nbr_label = label THEN 1 ELSE 0 END) AS hits
+        |  FROM nn GROUP BY 1, 2)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  round(sum(hits) / CAST(5 * count(*) AS DOUBLE), 6) AS mean_purity
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

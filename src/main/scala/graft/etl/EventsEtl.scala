@@ -819,4 +819,27 @@ object EventsEtl {
         countDistinct(col("user_id")).as("n_users"))
       .orderBy(col("streak_len"))
   }
+
+  /** View→purchase conversion LATENCY profile — the time-to-convert
+    * distribution behind [[conversionRate]]'s rate: over the
+    * attributed purchases (the [[asofViewWithinHour]] as-of output),
+    * the delay from last view to purchase as count / mean / exact
+    * p50/p90/p99 / max seconds. The number that picks the attribution
+    * window itself (is 1h generous or tight?) — the funnel sibling of
+    * [[latenessProfile]]'s watermark evidence.
+    *
+    * Shape at scale: the as-of join is the plan (one exchange per
+    * side); the profile is a single global agg over the attributed
+    * subset, exact percentiles swapping for the binned sketch at
+    * 100 TB exactly like [[interArrival]]. */
+  def conversionLatency(spark: SparkSession, dir: String): DataFrame =
+    asofViewWithinHour(spark, dir)
+      .filter(col("view_id").isNotNull)
+      .withColumn("delay_s", col("purchase_sec") - col("view_sec"))
+      .agg(count(lit(1)).as("n_converted"),
+        round(avg(col("delay_s")), 6).as("mean_delay_s"),
+        round(expr("percentile(delay_s, 0.5D)"), 6).as("p50_delay_s"),
+        round(expr("percentile(delay_s, 0.9D)"), 6).as("p90_delay_s"),
+        round(expr("percentile(delay_s, 0.99D)"), 6).as("p99_delay_s"),
+        max(col("delay_s")).as("max_delay_s"))
 }

@@ -1278,4 +1278,92 @@ object Relational {
           (col("n") * least(col("r") - 1, col("c") - 1)).cast("double")), 6)
           .as("cramers_v"))
   }
+
+  /** Per-segment spend distribution bands: exact interpolated
+    * p25/p50/p75/p90 of order totals per market segment — the
+    * "where does a typical BUILDING order sit" table a pricing
+    * analyst reads before [[qNtileDeciles]]' per-customer cut.
+    *
+    * Shape at scale: customer dim broadcast onto the fact, one
+    * |segments|-group agg; `percentile` is exact here (the grouped
+    * sort is per-segment), and the 100-TB swap is the binned quantile
+    * sketch ([[qQuantileSketch]]) at identical output shape. */
+  def qPercentileBands(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+          .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(expr("percentile(o_totalprice, 0.25D)"), 6).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5D)"), 6).as("p50"),
+        round(expr("percentile(o_totalprice, 0.75D)"), 6).as("p75"),
+        round(expr("percentile(o_totalprice, 0.9D)"), 6).as("p90"))
+      .orderBy(col("c_mktsegment"))
+
+  /** Priority-mix drift: per order priority, the OLS slope of its
+    * monthly order share over time — is URGENT quietly growing? The
+    * mix-shift monitor behind capacity planning. The regression is
+    * computed from Σx/Σy/Σxy/Σx² where x is the integer month index
+    * and y the 6-dp-rounded share held as DECIMAL, so the slope is
+    * exact integer/decimal arithmetic — no float moment accumulation,
+    * no addition-order dependence.
+    *
+    * Shape at scale: one fact-scan agg into the |months|·|priorities|
+    * grid; everything after lives on that tiny relation. */
+  def qPriorityTrend(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.orders(spark, dir)
+      .groupBy(unix_timestamp(date_trunc("month", col("o_orderdate")))
+          .cast("long").as("month_sec"),
+        col("o_orderpriority"))
+      .agg(count(lit(1)).as("c"))
+    val wTot = Window.partitionBy(col("month_sec"))
+    val wIdx = Window.orderBy(col("month_sec"))
+    val grid = m
+      .withColumn("mt", sum(col("c")).over(wTot))
+      .withColumn("mi", dense_rank().over(wIdx).cast("long"))
+      .withColumn("share",
+        round(col("c") / col("mt").cast("double"), 6).cast(DecimalType(18, 6)))
+    grid.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_months"),
+        sum(col("mi")).as("sx"), sum(col("share")).as("sy"),
+        sum(col("mi") * col("share")).as("sxy"),
+        sum(col("mi") * col("mi")).as("sxx"))
+      .select(col("o_orderpriority"), col("n_months"),
+        round((col("sy") / col("n_months")).cast("double"), 6).as("mean_share"),
+        round(((col("n_months") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_months") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .cast("double"), 9).as("share_slope"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Grouped top-N through the full dimension chain: the 3
+    * highest-revenue parts per REGION (exact decimal revenue) — the
+    * per-market bestseller board, and the canonical
+    * window-over-join-chain benchmark shape ([[q2MinWithinGroup]]'s
+    * top-N generalization).
+    *
+    * Shape at scale: all dims broadcast (region→nation→customer is
+    * dim-sized), ONE fact shuffle into the (region, part) agg, then
+    * the rank window runs per region over the part-grain table. */
+  def qRegionTopParts(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("r_name"))
+    val rev = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("r_name"), col("l_partkey"))
+      .agg(sum(revTerm(col("l_extendedprice"), col("l_discount"))).as("rev"))
+    val w = Window.partitionBy(col("r_name"))
+      .orderBy(col("rev").desc, col("l_partkey"))
+    rev.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("r_name"), col("l_partkey"),
+        round(col("rev").cast("double"), 2).as("revenue"), col("rk"))
+      .orderBy(col("r_name"), col("rk"))
+  }
 }

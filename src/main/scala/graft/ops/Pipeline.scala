@@ -731,4 +731,29 @@ object Pipeline {
         round(max(abs(col("ps") - col("pg"))), 6).as("max_share_delta"))
       .orderBy(col("shard"))
   }
+
+  /** Dataset card rollup — the per-(source, lang) + per-source +
+    * corpus-total summary table every dataset release ships (docs,
+    * token and char volume, mean doc length): one GROUPING SETS pass,
+    * so the card's three grains come from ONE scan with map-side
+    * partial aggregation, never three jobs. The token count is the
+    * whitespace tokenizer every text op here shares.
+    *
+    * Shape at scale: Expand×3 on the already-aggregated projection —
+    * the classic cube plan; all measures are map-side combinable. */
+  def dataCard(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .select(col("source"), col("lang"), col("n_chars"),
+        size(expr(raw"regexp_extract_all(text, '\\S+', 0)")).cast("long").as("ntok"))
+      .createOrReplaceTempView("documents_card_v")
+    spark.sql("""
+      SELECT coalesce(source, 'ALL') AS source, coalesce(lang, 'ALL') AS lang,
+             CAST(count(1) AS BIGINT) AS n_docs,
+             CAST(sum(ntok) AS BIGINT) AS n_tokens,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars,
+             round(sum(n_chars) / CAST(count(1) AS DOUBLE), 6) AS mean_chars
+      FROM documents_card_v
+      GROUP BY GROUPING SETS ((source, lang), (source), ())
+      ORDER BY source, lang""")
+  }
 }

@@ -1401,4 +1401,44 @@ object Similarity {
           .as("recall_at_10"))
       .orderBy(col("probe_id"))
   }
+
+  /** k-NN label purity — the classifier-free embedding-quality
+    * metric: for every vector, the fraction of its exact cosine 5-NN
+    * (over the WHOLE space — [[annKnnGraph]] is label-blocked by
+    * construction, so it can't measure this) sharing the vector's
+    * label, rolled up per label. High purity = the space clusters by
+    * label = retrieval and semdedup can be trusted; per-label rows
+    * expose the class that doesn't.
+    *
+    * Shape at scale: the all-pairs self-join is the honest exact
+    * measurement at this SF (n² cosine, partition-parallel, no
+    * shuffle after the broadcast side); at 100 TB the candidate side
+    * routes through the trained IVF cells exactly as [[annIvfTopk]]
+    * and purity becomes an estimate with the same downstream algebra. */
+  def knnPurity(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val e = graft.Caches.persistTracked(
+      vecs(spark, dir).select(col("vec_id"), col("label"), col("v"), col("norm")))
+    e.count() // materialize: the self-join broadcast gate needs real sizes
+    import graft.operators.Scale.maybeBroadcast
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("nbr_id"))
+    val nn = e.as("a").join(maybeBroadcast(e).as("b"),
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("a.label").as("label"),
+        col("b.vec_id").as("nbr_id"), col("b.label").as("nbr_label"),
+        round(expr("graft_dot(a.v, b.v)") / (col("a.norm") * col("b.norm")), 6)
+          .as("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+    // integer hit counting end to end: mean purity = Σhits/(k·n) from
+    // exact longs, never an average of inexact 1/k-step doubles
+    nn.groupBy(col("vec_id"), col("label"))
+      .agg(sum(when(col("nbr_label") === col("label"), 1L).otherwise(0L)).as("hits"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("hits")).as("sum_hits"))
+      .select(col("label").cast("long").as("label"), col("n_vecs"),
+        round(col("sum_hits") / (lit(k) * col("n_vecs")).cast("double"), 6)
+          .as("mean_purity"))
+      .orderBy(col("label"))
+  }
 }
