@@ -243,6 +243,12 @@ object SparkEntry {
     "etl_conversion_latency"  -> EventsEtl.conversionLatency _,
     "pipeline_data_card"      -> Pipeline.dataCard _,
     "embed_knn_purity"        -> ((s, d) => Similarity.knnPurity(s, d)),
+    "q_yoy_growth"            -> Relational.qYoyGrowth _,
+    "etl_mix_drift"           -> EventsEtl.mixDrift _,
+    "etl_ship_lag"            -> EventsEtl.shipLag _,
+    "embed_prefix_recall"     -> Similarity.prefixRecallSweep _,
+    "graph_harmonic_sample"   -> ((s, d) => Graph.harmonicSample(s, d)),
+    "text_vocab_growth"       -> TextAnalysis.vocabGrowth _,
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. */
@@ -3473,5 +3479,150 @@ object SparkEntry {
         |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
         |  round(sum(hits) / CAST(5 * count(*) AS DOUBLE), 6) AS mean_purity
         |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
+    // year-over-year monthly revenue growth (mirrors
+    // Relational.qYoyGrowth; integer month index join, IEEE ratio)
+    "q_yoy_growth" ->
+      """WITH m AS (SELECT
+        |   CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mi,
+        |   CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |   CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1, 2, 3)
+        |SELECT cur.yr, cur.mo, round(CAST(cur.rev AS DOUBLE), 2) AS revenue,
+        |  round(CAST(prev.rev AS DOUBLE), 2) AS prev_revenue,
+        |  round((CAST(cur.rev AS DOUBLE) - CAST(prev.rev AS DOUBLE)) /
+        |    CAST(prev.rev AS DOUBLE), 6) AS yoy_growth
+        |FROM m cur JOIN m prev ON cur.mi = prev.mi + 12
+        |ORDER BY cur.yr, cur.mo""".stripMargin,
+    // daily event-type mix JS divergence vs the corpus mix (mirrors
+    // EventsEtl.mixDrift; 9dp-decimal-staged divergence terms)
+    "etl_mix_drift" ->
+      """WITH ev AS (SELECT
+        |   CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day,
+        |   event_type FROM events),
+        |cell AS (SELECT day, event_type, count(*) AS c FROM ev GROUP BY 1, 2),
+        |dt AS (SELECT day, sum(c) AS dt FROM cell GROUP BY 1),
+        |gt AS (SELECT event_type, sum(c) AS gt FROM cell GROUP BY 1),
+        |g AS (SELECT sum(c) AS n FROM cell),
+        |grid AS (SELECT d.day, t.event_type, d.dt, t.gt, n, coalesce(cell.c, 0) AS c
+        |  FROM dt d CROSS JOIN gt t CROSS JOIN g
+        |  LEFT JOIN cell ON cell.day = d.day AND cell.event_type = t.event_type),
+        |x AS (SELECT day, dt, c / CAST(dt AS DOUBLE) AS p,
+        |   gt / CAST(n AS DOUBLE) AS q FROM grid),
+        |y AS (SELECT day, dt,
+        |   (CASE WHEN p > 0
+        |      THEN CAST(round(p * ln(p / ((p + q) / 2)), 9) AS DECIMAL(18,9))
+        |      ELSE CAST(0 AS DECIMAL(18,9)) END
+        |    + CAST(round(q * ln(q / ((p + q) / 2)), 9) AS DECIMAL(18,9))) AS term
+        |  FROM x)
+        |SELECT day, CAST(any_value(dt) AS BIGINT) AS n_events,
+        |  round(CAST(sum(term) AS DOUBLE) / 2, 6) AS js_divergence
+        |FROM y GROUP BY 1 ORDER BY 1""".stripMargin,
+    // order-to-ship lag SLA per order month (mirrors EventsEtl.shipLag)
+    "etl_ship_lag" ->
+      """WITH j AS (SELECT
+        |   CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS order_month,
+        |   CAST(epoch(date_trunc('second', l_shipdate)) AS BIGINT) // 86400
+        |     - CAST(epoch(date_trunc('second', o_orderdate)) AS BIGINT) // 86400 AS lag_days
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT order_month, CAST(count(*) AS BIGINT) AS n_lines,
+        |  round(avg(lag_days), 6) AS mean_lag_days,
+        |  round(quantile_cont(lag_days, 0.5), 6) AS p50_lag_days,
+        |  round(quantile_cont(lag_days, 0.9), 6) AS p90_lag_days,
+        |  CAST(max(lag_days) AS BIGINT) AS max_lag_days
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Matryoshka prefix-dim recall sweep (mirrors
+    // Similarity.prefixRecallSweep)
+    "embed_prefix_recall" ->
+      """WITH e AS (SELECT vec_id,
+        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5),
+        |s AS (SELECT probe_id, vec_id,
+        |   round(list_sum(list_transform(list_zip(pv[1:8], v[1:8]), z -> z[1]*z[2])) /
+        |     (sqrt(list_sum(list_transform(pv[1:8], x -> x*x))) *
+        |      sqrt(list_sum(list_transform(v[1:8], x -> x*x)))), 6) AS cos8,
+        |   round(list_sum(list_transform(list_zip(pv[1:16], v[1:16]), z -> z[1]*z[2])) /
+        |     (sqrt(list_sum(list_transform(pv[1:16], x -> x*x))) *
+        |      sqrt(list_sum(list_transform(v[1:16], x -> x*x)))), 6) AS cos16,
+        |   round(list_sum(list_transform(list_zip(pv[1:32], v[1:32]), z -> z[1]*z[2])) /
+        |     (sqrt(list_sum(list_transform(pv[1:32], x -> x*x))) *
+        |      sqrt(list_sum(list_transform(v[1:32], x -> x*x)))), 6) AS cos32,
+        |   round(list_sum(list_transform(list_zip(pv[1:64], v[1:64]), z -> z[1]*z[2])) /
+        |     (sqrt(list_sum(list_transform(pv[1:64], x -> x*x))) *
+        |      sqrt(list_sum(list_transform(v[1:64], x -> x*x)))), 6) AS cos64
+        |  FROM e CROSS JOIN p WHERE e.vec_id <> p.probe_id),
+        |t AS (SELECT probe_id, vec_id FROM (SELECT probe_id, vec_id,
+        |   row_number() OVER (PARTITION BY probe_id ORDER BY cos64 DESC, vec_id) AS rk
+        |  FROM s) WHERE rk <= 10),
+        |r8 AS (SELECT 8 AS prefix_dim, count(*) AS n_hits FROM t JOIN
+        |  (SELECT probe_id, vec_id FROM (SELECT probe_id, vec_id,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY cos8 DESC, vec_id) AS rk
+        |   FROM s) WHERE rk <= 10) a USING (probe_id, vec_id)),
+        |r16 AS (SELECT 16 AS prefix_dim, count(*) AS n_hits FROM t JOIN
+        |  (SELECT probe_id, vec_id FROM (SELECT probe_id, vec_id,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY cos16 DESC, vec_id) AS rk
+        |   FROM s) WHERE rk <= 10) a USING (probe_id, vec_id)),
+        |r32 AS (SELECT 32 AS prefix_dim, count(*) AS n_hits FROM t JOIN
+        |  (SELECT probe_id, vec_id FROM (SELECT probe_id, vec_id,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY cos32 DESC, vec_id) AS rk
+        |   FROM s) WHERE rk <= 10) a USING (probe_id, vec_id)),
+        |r64 AS (SELECT 64 AS prefix_dim, count(*) AS n_hits FROM t JOIN
+        |  (SELECT probe_id, vec_id FROM (SELECT probe_id, vec_id,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY cos64 DESC, vec_id) AS rk
+        |   FROM s) WHERE rk <= 10) a USING (probe_id, vec_id)),
+        |u AS (SELECT * FROM r8 UNION ALL SELECT * FROM r16
+        |  UNION ALL SELECT * FROM r32 UNION ALL SELECT * FROM r64)
+        |SELECT CAST(prefix_dim AS BIGINT) AS prefix_dim,
+        |  CAST(5 AS BIGINT) AS n_probes, CAST(n_hits AS BIGINT) AS n_hits,
+        |  round(n_hits / 50.0, 6) AS recall_at_10
+        |FROM u ORDER BY prefix_dim""".stripMargin,
+    // bounded-radius harmonic centrality for the 5 smallest nodes
+    // (mirrors Graph.harmonicSample; min-dist BFS via recursive CTE)
+    "graph_harmonic_sample" ->
+      """WITH RECURSIVE items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |edges AS (SELECT DISTINCT x.pk AS u, y.pk AS v
+        |  FROM items x JOIN items y ON x.ok = y.ok AND x.pk < y.pk),
+        |sym AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+        |seeds AS (SELECT DISTINCT u AS seed FROM sym ORDER BY 1 LIMIT 5),
+        |r AS (
+        |  SELECT seed, seed AS node, 0 AS dist FROM seeds
+        |  UNION
+        |  SELECT r.seed, sym.v AS node, r.dist + 1
+        |  FROM r JOIN sym ON sym.u = r.node WHERE r.dist < 3),
+        |d AS (SELECT seed, node, min(dist) AS dist FROM r GROUP BY 1, 2)
+        |SELECT seed, CAST(count(*) AS BIGINT) AS n_reached,
+        |  CAST(sum(CASE WHEN dist = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hop1,
+        |  CAST(sum(CASE WHEN dist = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_hop2,
+        |  CAST(sum(CASE WHEN dist = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_hop3,
+        |  round(sum(CASE WHEN dist = 1 THEN 1 ELSE 0 END)
+        |    + sum(CASE WHEN dist = 2 THEN 1 ELSE 0 END) * 0.5
+        |    + sum(CASE WHEN dist = 3 THEN 1 ELSE 0 END) * 0.333333333, 6) AS harmonic
+        |FROM d WHERE dist > 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Heaps'-law vocabulary growth at quarter checkpoints (mirrors
+    // TextAnalysis.vocabGrowth; decimal-staged log-log OLS)
+    "text_vocab_growth" ->
+      """WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+        |ck AS (SELECT i AS q, CAST(mx * i // 4 AS BIGINT) AS ckpt
+        |  FROM mx CROSS JOIN (SELECT unnest(range(1, 5)) AS i)),
+        |tok AS (SELECT doc_id,
+        |   unnest(regexp_extract_all(lower(text), '\S+')) AS term FROM documents),
+        |fs AS (SELECT term, min(doc_id) AS fd FROM tok GROUP BY 1),
+        |pd AS (SELECT doc_id, count(*) AS nt FROM tok GROUP BY 1),
+        |va AS (SELECT q, ckpt, count(*) AS vocab
+        |  FROM fs CROSS JOIN ck WHERE fd <= ckpt GROUP BY 1, 2),
+        |ta AS (SELECT q, count(*) AS n_docs, sum(nt) AS n_tokens
+        |  FROM pd CROSS JOIN ck WHERE doc_id <= ckpt GROUP BY 1),
+        |pts AS (SELECT q, ckpt, n_docs, n_tokens, vocab,
+        |   CAST(round(ln(CAST(n_tokens AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+        |   CAST(round(ln(CAST(vocab AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+        |  FROM va JOIN ta USING (q)),
+        |b AS (SELECT round(CAST(count(*) * sum(x*y) - sum(x) * sum(y) AS DOUBLE) /
+        |    CAST(count(*) * sum(x*x) - sum(x) * sum(x) AS DOUBLE), 6) AS heaps_beta
+        |  FROM pts)
+        |SELECT CAST(q AS BIGINT) AS quarter, ckpt, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens, CAST(vocab AS BIGINT) AS vocab,
+        |  heaps_beta
+        |FROM pts CROSS JOIN b ORDER BY quarter""".stripMargin,
   )
 }

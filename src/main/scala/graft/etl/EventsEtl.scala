@@ -842,4 +842,70 @@ object EventsEtl {
         round(expr("percentile(delay_s, 0.9D)"), 6).as("p90_delay_s"),
         round(expr("percentile(delay_s, 0.99D)"), 6).as("p99_delay_s"),
         max(col("delay_s")).as("max_delay_s"))
+
+  /** Daily event-type mix drift: Jensen–Shannon divergence of each
+    * day's event-type distribution against the corpus-wide mix — the
+    * composition-drift monitor that fires when a producer silently
+    * changes WHAT it sends, not how much ([[seasonalProfile]] and
+    * [[ewmaDaily]] only watch volume). JS over KL because days
+    * missing a type entirely are routine (KL would be ∞); absent
+    * types still contribute the q·ln(2) mass through the full
+    * (day × type) grid. All divergence terms are rounded to 9 dp and
+    * summed as DECIMAL — addition-order-independent.
+    *
+    * Shape at scale: one (day, type) fact agg, the ≤|types|-row
+    * global mix broadcast onto the days×types grid (built from two
+    * tiny relations, never the fact stream), arithmetic on that
+    * grid. */
+  def mixDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(expr("unix_timestamp(ts) div 86400").as("day"), col("event_type"))
+    val cell = ev.groupBy(col("day"), col("event_type")).agg(count(lit(1)).as("c"))
+    val dayTot = cell.groupBy(col("day")).agg(sum(col("c")).as("dt"))
+    val typeTot = cell.groupBy(col("event_type")).agg(sum(col("c")).as("gt"))
+    val grand = cell.agg(sum(col("c")).as("n"))
+    val grid = dayTot.crossJoin(broadcast(typeTot))
+      .join(cell, Seq("day", "event_type"), "left")
+      .crossJoin(broadcast(grand))
+      .withColumn("p", coalesce(col("c"), lit(0L)) / col("dt").cast("double"))
+      .withColumn("q", col("gt") / col("n").cast("double"))
+      .withColumn("m", (col("p") + col("q")) / 2)
+      .withColumn("term",
+        (when(col("p") > 0, round(col("p") * log(col("p") / col("m")), 9))
+          .otherwise(lit(0.0)).cast(org.apache.spark.sql.types.DecimalType(18, 9)) +
+         round(col("q") * log(col("q") / col("m")), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9))))
+    grid.groupBy(col("day"))
+      .agg(first(col("dt")).as("n_events"),
+        round(sum(col("term")).cast("double") / 2, 6).as("js_divergence"))
+      .orderBy(col("day"))
+  }
+
+  /** Order-to-ship fulfillment lag SLA: per order month, the
+    * count/mean/exact p50/p90/max days from order date to line ship
+    * date — the operations dashboard's promise-keeping table (the
+    * reference's planned-vs-actual journey timing, at order grain).
+    * Lag is pure integer epoch-day arithmetic.
+    *
+    * Shape at scale: the orders dim side of the join carries only
+    * (orderkey, month) — one fact shuffle on orderkey, one
+    * |months|-group agg; percentile → binned sketch at 100 TB as
+    * everywhere. */
+  def shipLag(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("long").as("order_month"),
+        (expr("unix_timestamp(l_shipdate) div 86400") -
+          expr("unix_timestamp(o_orderdate) div 86400")).as("lag_days"))
+      .groupBy(col("order_month"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(avg(col("lag_days")), 6).as("mean_lag_days"),
+        round(expr("percentile(lag_days, 0.5D)"), 6).as("p50_lag_days"),
+        round(expr("percentile(lag_days, 0.9D)"), 6).as("p90_lag_days"),
+        max(col("lag_days")).as("max_lag_days"))
+      .orderBy(col("order_month"))
 }

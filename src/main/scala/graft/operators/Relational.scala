@@ -1366,4 +1366,33 @@ object Relational {
         round(col("rev").cast("double"), 2).as("revenue"), col("rk"))
       .orderBy(col("r_name"), col("rk"))
   }
+
+  /** Year-over-year monthly revenue growth — the seasonality-free
+    * growth readout every revenue dashboard leads with (month vs the
+    * SAME month last year, so holiday peaks compare to holiday
+    * peaks). Months key on the integer year·12+month index, so the
+    * YoY join is exact integer arithmetic; revenue is the exact
+    * decimal sum.
+    *
+    * Shape at scale: one fact-scan agg into the |months|-row table,
+    * then a self-join on mi−12 over that tiny relation. */
+  def qYoyGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.orders(spark, dir)
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("mi"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"))
+      .agg(sum(d2(col("o_totalprice"))).as("rev"))
+    m.as("cur").join(
+        m.select(col("mi").as("pmi"), col("rev").as("prev_rev")).as("prev"),
+        col("cur.mi") === col("pmi") + 12)
+      .select(col("yr"), col("mo"),
+        round(col("rev").cast("double"), 2).as("revenue"),
+        round(col("prev_rev").cast("double"), 2).as("prev_revenue"),
+        // the ratio divides DOUBLES (exact decimal division rounds by
+        // engine-specific scale rules; IEEE division is portable)
+        round((col("rev").cast("double") - col("prev_rev").cast("double")) /
+          col("prev_rev").cast("double"), 6).as("yoy_growth"))
+      .orderBy(col("yr"), col("mo"))
+  }
 }

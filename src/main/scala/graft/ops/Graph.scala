@@ -635,4 +635,56 @@ object Graph {
       .orderBy(col("aa_score").desc, col("u"), col("v"))
       .limit(k)
   }
+
+  /** Sampled harmonic centrality: for the 5 smallest node ids of the
+    * full co-occurrence graph, the bounded-radius harmonic score
+    * Σ_reached 1/dist within 3 hops — the "how central is this item"
+    * estimate every influence/importance screen starts from, from
+    * exactly the multi-source BFS a 100-TB deploy would run (sampled
+    * seeds, bounded radius — full harmonic centrality is all-pairs
+    * and nobody computes it). The per-hop reach counts stay in the
+    * output, and the harmonic sum is pure counts × decimal weights
+    * (1, 0.5, round(1/3, 9)) — no float accumulation at all.
+    *
+    * Shape at scale: the [[bfsLevels]] loop with a (seed, node)
+    * frontier — per hop ONE semi-join against the symmetrized edge
+    * list + an anti-join vs the per-seed visited set,
+    * localCheckpoint'd; frontier and visited stay ≤ seeds·|V|. */
+  def harmonicSample(spark: SparkSession, dir: String,
+      seeds: Int = 5, maxHops: Int = 3): DataFrame = {
+    val edges = graft.Caches.persistTracked(coOccurrenceEdges(spark, dir))
+    edges.count()
+    val sym = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+    val seedRel = edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node")))
+      .distinct().orderBy(col("node")).limit(seeds)
+      .select(col("node").as("seed"))
+    var visited = seedRel.select(col("seed"), col("seed").as("node"),
+      lit(0).as("dist")).localCheckpoint()
+    var frontier = visited
+    for (hop <- 1 to maxHops) {
+      frontier = frontier
+        .select(col("seed"), col("node").as("u"))
+        .join(sym, Seq("u"))
+        .select(col("seed"), col("v").as("node")).distinct()
+        .join(visited.select(col("seed"), col("node")), Seq("seed", "node"),
+          "left_anti")
+        .select(col("seed"), col("node"), lit(hop).as("dist"))
+        .localCheckpoint()
+      visited = visited.unionAll(frontier).localCheckpoint()
+    }
+    visited.filter(col("dist") > 0)
+      .groupBy(col("seed"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(when(col("dist") === 1, 1L).otherwise(0L)).as("n_hop1"),
+        sum(when(col("dist") === 2, 1L).otherwise(0L)).as("n_hop2"),
+        sum(when(col("dist") === 3, 1L).otherwise(0L)).as("n_hop3"))
+      .select(col("seed"), col("n_reached"), col("n_hop1"), col("n_hop2"),
+        col("n_hop3"),
+        // scalar IEEE expression over three aggregated counts — the
+        // oracle evaluates the identical tree, so no staging needed
+        round(col("n_hop1") + col("n_hop2") * lit(0.5) +
+          col("n_hop3") * lit(0.333333333), 6).as("harmonic"))
+      .orderBy(col("seed"))
+  }
 }

@@ -1447,4 +1447,52 @@ object Similarity {
           .as("mean_purity"))
       .orderBy(col("label"))
   }
+
+  /** Matryoshka prefix-dimension recall sweep — the measurement
+    * behind [[matryoshkaRerank]]'s two-stage design: recall@10 of
+    * exact cosine over the FIRST d dimensions (d ∈ 8/16/32/64)
+    * against the full-width truth, per operating point. The curve
+    * that picks how much of an MRL embedding a first-stage index
+    * actually needs to store.
+    *
+    * Shape at scale: ONE broadcast-probe scan computes all four
+    * prefix cosines per candidate (slice + dot, no re-scan per
+    * operating point — the [[annIvfRecallSweep]] discipline); hits
+    * are integer-counted per (dim, probe) and reduced to the 4-row
+    * report. */
+  def prefixRecallSweep(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Seq(8, 16, 32, 64)
+    val e = vecs(spark, dir)
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    val scored = graft.Caches.persistTracked(
+      e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+        .select(Seq(col("probe_id"), col("vec_id")) ++ dims.map { d =>
+          round(expr(s"graft_dot(slice(pv, 1, $d), slice(v, 1, $d))") /
+            (sqrt(expr(s"graft_dot(slice(pv, 1, $d), slice(pv, 1, $d))")) *
+             sqrt(expr(s"graft_dot(slice(v, 1, $d), slice(v, 1, $d))"))), 6)
+            .as(s"cos$d")
+        }: _*))
+    val truth = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("probe_id")).orderBy(col("cos64").desc, col("vec_id"))
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+        .select(col("probe_id"), col("vec_id"))
+    }
+    val reports = dims.map { d =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("probe_id")).orderBy(col(s"cos$d").desc, col("vec_id"))
+      val top = scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+        .select(col("probe_id"), col("vec_id"))
+      truth.join(top, Seq("probe_id", "vec_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(d.toLong).as("prefix_dim"), col("n_hits"))
+    }
+    val nProbes = probes.count()
+    reports.reduce(_ unionAll _)
+      .select(col("prefix_dim"),
+        lit(nProbes).as("n_probes"), col("n_hits"),
+        round(col("n_hits") / lit(10.0 * nProbes), 6).as("recall_at_10"))
+      .orderBy(col("prefix_dim"))
+  }
 }

@@ -706,4 +706,53 @@ object TextAnalysis {
       .orderBy(col("df").desc, col("term"))
       .limit(k)
   }
+
+  /** Heaps'-law vocabulary growth: distinct-type count and token
+    * count at four corpus checkpoints (¼, ½, ¾, all of the doc-id
+    * order), plus the fitted Heaps exponent β from a log-log OLS over
+    * the four points (V ≈ K·Nᵝ; β ≈ 0.5 for natural text, higher for
+    * noisy/unbounded vocab, lower for templated corpora) — the
+    * corpus-composition audit that says whether MORE data keeps
+    * buying new vocabulary. The OLS runs on 6-dp-rounded decimal
+    * logs (the [[graft.operators.Relational.qPriorityTrend]] moment
+    * discipline), so the fit is exact arithmetic.
+    *
+    * Shape at scale: each term reduces to its FIRST-occurrence doc
+    * (one (term) agg over the token stream — map-side combinable);
+    * checkpoint vocab counts come from that |vocab|-row table joined
+    * against a broadcast 4-row checkpoint list; token totals from the
+    * per-doc count relation the same way. The corpus is scanned
+    * once. */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val maxId = docs.agg(max(col("doc_id")).as("mx"))
+    val ck = maxId.select(explode(expr(
+      "transform(sequence(1, 4), i -> struct(i AS q, CAST(mx * i DIV 4 AS BIGINT) AS ckpt))"))
+      .as("c")).select(col("c.q").as("q"), col("c.ckpt").as("ckpt"))
+    val tok = docs.select(col("doc_id"),
+      explode(expr(raw"regexp_extract_all(lower(text), '\\S+', 0)")).as("term"))
+    val firstSeen = tok.groupBy(col("term")).agg(min(col("doc_id")).as("fd"))
+    val perDoc = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
+    val vocabAt = firstSeen.crossJoin(broadcast(ck))
+      .filter(col("fd") <= col("ckpt"))
+      .groupBy(col("q"), col("ckpt")).agg(count(lit(1)).as("vocab"))
+    val tokensAt = perDoc.crossJoin(broadcast(ck))
+      .filter(col("doc_id") <= col("ckpt"))
+      .groupBy(col("q")).agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+    val pts = vocabAt.join(tokensAt, Seq("q"))
+      .withColumn("x", round(log(col("n_tokens").cast("double")), 6)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+      .withColumn("y", round(log(col("vocab").cast("double")), 6)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+    val beta = pts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(round(((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+        .cast("double"), 6).as("heaps_beta"))
+    pts.crossJoin(broadcast(beta))
+      .select(col("q").cast("long").as("quarter"), col("ckpt"), col("n_docs"),
+        col("n_tokens"), col("vocab"), col("heaps_beta"))
+      .orderBy(col("quarter"))
+  }
 }
