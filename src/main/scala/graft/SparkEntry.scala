@@ -249,6 +249,12 @@ object SparkEntry {
     "embed_prefix_recall"     -> Similarity.prefixRecallSweep _,
     "graph_harmonic_sample"   -> ((s, d) => Graph.harmonicSample(s, d)),
     "text_vocab_growth"       -> TextAnalysis.vocabGrowth _,
+    "q_cohort_ltv"            -> Relational.qCohortLtv _,
+    "q_reorder_gap"           -> Relational.qReorderGap _,
+    "text_pmi_pairs"          -> ((s, d) => TextAnalysis.pmiPairs(s, d)),
+    "dedup_band_tuning"       -> Dedup.bandTuning _,
+    "embed_split_stability"   -> Similarity.splitStability _,
+    "graph_triangle_estimate" -> Graph.triangleEstimate _,
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. */
@@ -3624,5 +3630,133 @@ object SparkEntry {
         |  CAST(n_tokens AS BIGINT) AS n_tokens, CAST(vocab AS BIGINT) AS vocab,
         |  heaps_beta
         |FROM pts CROSS JOIN b ORDER BY quarter""".stripMargin,
+    // cohort LTV triangle (mirrors Relational.qCohortLtv)
+    "q_cohort_ltv" ->
+      """WITH o AS (SELECT o_custkey,
+        |   CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mi,
+        |   CAST(o_totalprice AS DECIMAL(18,2)) AS price FROM orders),
+        |ch AS (SELECT o_custkey, min(mi) AS cohort_mi FROM o GROUP BY 1),
+        |sz AS (SELECT cohort_mi, count(*) AS n_customers FROM ch GROUP BY 1),
+        |cell AS (SELECT cohort_mi, mi - cohort_mi AS month_offset, sum(price) AS rev
+        |  FROM o JOIN ch USING (o_custkey) GROUP BY 1, 2),
+        |cum AS (SELECT cohort_mi, month_offset,
+        |   sum(rev) OVER (PARTITION BY cohort_mi ORDER BY month_offset
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+        |  FROM cell)
+        |SELECT cohort_mi, month_offset, CAST(n_customers AS BIGINT) AS n_customers,
+        |  round(CAST(cum_rev AS DOUBLE), 2) AS cum_revenue,
+        |  round(CAST(cum_rev AS DOUBLE) / n_customers, 6) AS ltv_per_customer
+        |FROM cum JOIN sz USING (cohort_mi) ORDER BY cohort_mi, month_offset""".stripMargin,
+    // repeat-purchase day-gap profile (mirrors Relational.qReorderGap)
+    "q_reorder_gap" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+        |   CAST(epoch(date_trunc('second', o_orderdate)) AS BIGINT) // 86400 AS day
+        |  FROM orders),
+        |g AS (SELECT day - lag(day) OVER
+        |   (PARTITION BY o_custkey ORDER BY day, o_orderkey) AS gap FROM o)
+        |SELECT CAST(count(gap) AS BIGINT) AS n_gaps,
+        |  round(avg(gap), 6) AS mean_gap_days,
+        |  round(quantile_cont(gap, 0.5), 6) AS p50_gap_days,
+        |  round(quantile_cont(gap, 0.9), 6) AS p90_gap_days,
+        |  CAST(max(gap) AS BIGINT) AS max_gap_days
+        |FROM g WHERE gap IS NOT NULL""".stripMargin,
+    // top-25 adjacent-pair PMI collocations (mirrors
+    // TextAnalysis.pmiPairs)
+    "text_pmi_pairs" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+        |  FROM documents),
+        |uni AS (SELECT w, count(*) AS cw FROM
+        |  (SELECT unnest(toks) AS w FROM t) GROUP BY 1),
+        |nu AS (SELECT sum(cw) AS nu FROM uni),
+        |bi AS (SELECT b[1] AS w1, b[2] AS w2 FROM (SELECT unnest(
+        |   list_transform(range(1, len(toks)), i -> [toks[i], toks[i+1]])) AS b
+        |  FROM t WHERE len(toks) >= 2)),
+        |cb AS (SELECT w1, w2, count(*) AS cxy FROM bi GROUP BY 1, 2
+        |  HAVING count(*) >= 5),
+        |nb AS (SELECT sum(len(toks) - 1) AS nb FROM t WHERE len(toks) >= 2)
+        |SELECT w1, w2, CAST(cxy AS BIGINT) AS cxy,
+        |  round(ln((cxy / CAST(nb AS DOUBLE)) /
+        |    ((x.cw / CAST(nu AS DOUBLE)) * (y.cw / CAST(nu AS DOUBLE)))), 6) AS pmi
+        |FROM cb JOIN uni x ON w1 = x.w JOIN uni y ON w2 = y.w
+        |CROSS JOIN nu CROSS JOIN nb
+        |ORDER BY pmi DESC, w1, w2 LIMIT 25""".stripMargin,
+    // LSH banding config sweep over the same signatures (mirrors
+    // Dedup.bandTuning; band key = the r-length signature slice)
+    "dedup_band_tuning" ->
+      """WITH t AS (SELECT doc_id, text, regexp_extract_all(text, '\S+') AS toks FROM documents),
+        |shl AS (SELECT doc_id, list_distinct(
+        |   CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1),
+        |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE [text] END) AS shingles FROM t),
+        |sig AS (SELECT doc_id, list_transform(range(0, 16), i ->
+        |   list_min(list_transform(shingles, s ->
+        |     ((1 + 2*i) * (('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) + 7 + 11*i) % 2147483647))) AS sg
+        |  FROM shl),
+        |b2 AS (SELECT doc_id, j, sg[8*j+1 : 8*j+8] AS key
+        |  FROM sig CROSS JOIN (SELECT unnest(range(0, 2)) AS j)),
+        |p2 AS (SELECT count(*) AS n FROM (SELECT DISTINCT x.doc_id, y.doc_id
+        |  FROM b2 x JOIN b2 y ON x.j = y.j AND x.key = y.key AND x.doc_id < y.doc_id)),
+        |b4 AS (SELECT doc_id, j, sg[4*j+1 : 4*j+4] AS key
+        |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS j)),
+        |p4 AS (SELECT count(*) AS n FROM (SELECT DISTINCT x.doc_id, y.doc_id
+        |  FROM b4 x JOIN b4 y ON x.j = y.j AND x.key = y.key AND x.doc_id < y.doc_id)),
+        |b8 AS (SELECT doc_id, j, sg[2*j+1 : 2*j+2] AS key
+        |  FROM sig CROSS JOIN (SELECT unnest(range(0, 8)) AS j)),
+        |p8 AS (SELECT count(*) AS n FROM (SELECT DISTINCT x.doc_id, y.doc_id
+        |  FROM b8 x JOIN b8 y ON x.j = y.j AND x.key = y.key AND x.doc_id < y.doc_id))
+        |SELECT * FROM (
+        |  SELECT CAST(2 AS BIGINT) AS bands, CAST(8 AS BIGINT) AS rows_per_band,
+        |    round(pow(1.0/2, 1.0/8), 6) AS s_curve_threshold,
+        |    CAST(n AS BIGINT) AS n_candidate_pairs FROM p2
+        |  UNION ALL SELECT 4, 4, round(pow(1.0/4, 1.0/4), 6), CAST(n AS BIGINT) FROM p4
+        |  UNION ALL SELECT 8, 2, round(pow(1.0/8, 1.0/2), 6), CAST(n AS BIGINT) FROM p8)
+        |ORDER BY bands""".stripMargin,
+    // split-half centroid stability per label (mirrors
+    // Similarity.splitStability)
+    "embed_split_stability" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |   vec_id % 2 AS half,
+        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |comp AS (SELECT half, label, d, round(avg(v[d]), 6) AS m
+        |  FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS d) GROUP BY 1, 2, 3),
+        |cent AS (SELECT half, label, list(m ORDER BY d) AS c FROM comp GROUP BY 1, 2),
+        |nn AS (SELECT half, label, count(*) AS n FROM e GROUP BY 1, 2),
+        |a AS (SELECT cent.label, nn.n AS n_even, c AS ca
+        |  FROM cent JOIN nn ON cent.half = nn.half AND cent.label = nn.label
+        |  WHERE cent.half = 0),
+        |b AS (SELECT cent.label, nn.n AS n_odd, c AS cb
+        |  FROM cent JOIN nn ON cent.half = nn.half AND cent.label = nn.label
+        |  WHERE cent.half = 1)
+        |SELECT label, CAST(n_even AS BIGINT) AS n_even,
+        |  CAST(n_odd AS BIGINT) AS n_odd,
+        |  round(list_sum(list_transform(list_zip(ca, cb), z -> z[1]*z[2])) /
+        |    (sqrt(list_sum(list_transform(ca, x -> x*x))) *
+        |     sqrt(list_sum(list_transform(cb, x -> x*x)))), 6) AS centroid_cosine
+        |FROM a JOIN b USING (label) ORDER BY label""".stripMargin,
+    // Doulion sampled triangle estimate vs exact (mirrors
+    // Graph.triangleEstimate; the md5 edge sample must agree across
+    // engines, so both hash the identical 'u-v' string)
+    "graph_triangle_estimate" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem WHERE l_quantity >= 48),
+        |edges AS (SELECT DISTINCT x.pk AS u, y.pk AS v
+        |  FROM items x JOIN items y ON x.ok = y.ok AND x.pk < y.pk),
+        |s AS (SELECT u, v FROM edges WHERE
+        |  ('0x' || substr(md5(CAST(u AS VARCHAR) || '-' || CAST(v AS VARCHAR)), 1, 15))::BIGINT % 4 = 0),
+        |tx AS (SELECT count(*) AS n FROM edges e1
+        |  JOIN edges e2 ON e1.u = e2.u AND e1.v < e2.v
+        |  JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v),
+        |ts AS (SELECT count(*) AS n FROM s e1
+        |  JOIN s e2 ON e1.u = e2.u AND e1.v < e2.v
+        |  JOIN s e3 ON e3.u = e1.v AND e3.v = e2.v),
+        |ne AS (SELECT count(*) AS n FROM edges),
+        |ns AS (SELECT count(*) AS n FROM s)
+        |SELECT CAST(ne.n AS BIGINT) AS n_edges,
+        |  CAST(ns.n AS BIGINT) AS n_sampled_edges,
+        |  round(ns.n / CAST(ne.n AS DOUBLE), 6) AS edge_sample_frac,
+        |  CAST(tx.n AS BIGINT) AS exact_triangles,
+        |  CAST(ts.n AS BIGINT) AS sampled_triangles,
+        |  CAST(ts.n * 64 AS BIGINT) AS estimated_triangles,
+        |  round(abs(ts.n * 64 - tx.n) / CAST(tx.n AS DOUBLE), 6) AS rel_error
+        |FROM ne, ns, tx, ts""".stripMargin,
   )
 }

@@ -1395,4 +1395,63 @@ object Relational {
           col("prev_rev").cast("double"), 6).as("yoy_growth"))
       .orderBy(col("yr"), col("mo"))
   }
+
+  /** Cohort lifetime value: customers grouped by first-order month,
+    * cumulative revenue PER COHORT CUSTOMER at each month offset —
+    * the LTV triangle finance reads next to [[qCohortRetention]]'s
+    * activity triangle (retention says they came back; this says
+    * what that was worth). Revenue accumulates as exact DECIMAL down
+    * the offset axis; only the final per-customer division goes to
+    * double.
+    *
+    * Shape at scale: per-customer first-month agg reuses the
+    * custkey partitioning of the revenue agg; the cumulative window
+    * runs per cohort over the ≤|months|²-row triangle, never the
+    * fact. */
+  def qCohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("mi"),
+        d2(col("o_totalprice")).as("price"))
+    val cohort = o.groupBy(col("o_custkey")).agg(min(col("mi")).as("cohort_mi"))
+    val sizes = cohort.groupBy(col("cohort_mi")).agg(count(lit(1)).as("n_customers"))
+    val cell = o.join(cohort, "o_custkey")
+      .groupBy(col("cohort_mi"), (col("mi") - col("cohort_mi")).as("month_offset"))
+      .agg(sum(col("price")).as("rev"))
+    val w = Window.partitionBy(col("cohort_mi")).orderBy(col("month_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cell.withColumn("cum_rev", sum(col("rev")).over(w))
+      .join(broadcast(sizes), Seq("cohort_mi"))
+      .select(col("cohort_mi"), col("month_offset"), col("n_customers"),
+        round(col("cum_rev").cast("double"), 2).as("cum_revenue"),
+        round(col("cum_rev").cast("double") / col("n_customers"), 6)
+          .as("ltv_per_customer"))
+      .orderBy(col("cohort_mi"), col("month_offset"))
+  }
+
+  /** Repeat-purchase cadence: the profile of day gaps between a
+    * customer's consecutive orders (count/mean/exact p50/p90/max) —
+    * the replenishment-cycle constant that calibrates
+    * [[qLapsedCustomers]]' inactivity threshold, measured instead of
+    * guessed ([[graft.etl.EventsEtl.interArrival]]'s order-grain
+    * sibling).
+    *
+    * Shape at scale: one lag window per customer (no global sort),
+    * one global agg; percentile → binned sketch at 100 TB. */
+  def qReorderGap(spark: SparkSession, dir: String): DataFrame = {
+    val byCust = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("unix_timestamp(o_orderdate) div 86400").as("day"))
+      .withColumn("prev", lag(col("day"), 1).over(byCust))
+      .filter(col("prev").isNotNull)
+      .withColumn("gap_days", col("day") - col("prev"))
+      .agg(count(lit(1)).as("n_gaps"),
+        round(avg(col("gap_days")), 6).as("mean_gap_days"),
+        round(expr("percentile(gap_days, 0.5D)"), 6).as("p50_gap_days"),
+        round(expr("percentile(gap_days, 0.9D)"), 6).as("p90_gap_days"),
+        max(col("gap_days")).as("max_gap_days"))
+  }
 }

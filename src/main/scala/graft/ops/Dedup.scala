@@ -789,4 +789,43 @@ object Dedup {
       .withColumn("err_b4", round(abs(col("est_b4") - col("exact_jaccard")), 6))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** LSH banding configuration sweep: the SAME 16 minhashes re-banded
+    * as (b=2,r=8) / (b=4,r=4) / (b=8,r=2), with each config's
+    * candidate-pair yield and its s-curve threshold (1/b)^(1/r) — the
+    * tuning table that picks the production banding (the 0.77-
+    * threshold b=4 the dedup family uses sits in the middle row).
+    * [[lshEval]] measures ONE config's precision/recall; this shows
+    * the knob's whole range from one signature pass.
+    *
+    * Shape at scale: signatures are computed ONCE (map-side native
+    * expression) and persisted; each config is a band-key explode +
+    * the same bucket self-join as [[minhashLsh]] — collision-bounded,
+    * never all-pairs. */
+  def bandTuning(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val sig = graft.Caches.persistTracked(
+      withShingles(Tables.documents(spark, dir))
+        .select(col("doc_id"), expr("graft_minhash_sig(shingles)").as("sig")))
+    sig.count()
+    val configs = Seq((2, 8), (4, 4), (8, 2))
+    configs.map { case (b, r) =>
+      val bands = sig.select(col("doc_id"),
+        explode(expr(
+          s"""transform(sequence(0, ${b - 1}, 1), j ->
+                struct(j AS band, md5(concat_ws(',',
+                  transform(sequence(0, ${r - 1}, 1),
+                    i -> CAST(sig[$r*j + i] AS STRING)))) AS bkey))"""))
+          .as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      val nPairs = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id"), col("y.doc_id")).distinct()
+        .agg(count(lit(1)).as("n_candidate_pairs"))
+      nPairs.select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+        round(pow(lit(1.0) / b, lit(1.0) / r), 6).as("s_curve_threshold"),
+        col("n_candidate_pairs"))
+    }.reduce(_ unionAll _).orderBy(col("bands"))
+  }
 }

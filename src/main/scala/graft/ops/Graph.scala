@@ -687,4 +687,42 @@ object Graph {
           col("n_hop3") * lit(0.333333333), 6).as("harmonic"))
       .orderBy(col("seed"))
   }
+
+  /** Triangle counting by edge sampling (the Doulion estimator,
+    * Tsourakakis et al. 2009): keep each edge iff its portable hash
+    * ≡ 0 (mod 4), count triangles in the ¼-sample, scale by p⁻³ = 64
+    * — reported AGAINST the exact count with the relative error, so
+    * the speed/accuracy trade of sampling-first triangle counting is
+    * measured the way [[graft.ops.Dedup.lshEval]] measures LSH. Runs
+    * on the sparsified graph; the hash-sample is the same
+    * derandomized md5 every sampler here uses — reproducible across
+    * engines and cluster sizes.
+    *
+    * Shape at scale: two triad self-joins (full + ~1/64-sized
+    * sample); at 100 TB you'd run ONLY the sampled side — the exact
+    * side exists to certify the estimator, over a sample of the
+    * corpus as in lshEval's sample-at-scale story. */
+  def triangleEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val edges = graft.Caches.persistTracked(sparseCoOccurrenceEdges(spark, dir))
+    edges.count()
+    def triads(e: DataFrame): DataFrame = e.as("e1")
+      .join(e.as("e2"), col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .join(e.as("e3"),
+        col("e3.u") === col("e1.v") && col("e3.v") === col("e2.v"))
+      .agg(count(lit(1)).as("n"))
+    val sampled = graft.Caches.persistTracked(edges.filter(
+      expr("CAST(conv(substr(md5(concat(CAST(u AS STRING), '-', CAST(v AS STRING))), 1, 15), 16, 10) AS BIGINT) % 4 = 0")))
+    val nE = edges.agg(count(lit(1)).as("n_edges"))
+    val nS = sampled.agg(count(lit(1)).as("n_sampled_edges"))
+    triads(edges).select(col("n").as("exact_triangles"))
+      .crossJoin(triads(sampled).select(col("n").as("sampled_triangles")))
+      .crossJoin(nE).crossJoin(nS)
+      .select(col("n_edges"), col("n_sampled_edges"),
+        round(col("n_sampled_edges") / col("n_edges").cast("double"), 6)
+          .as("edge_sample_frac"),
+        col("exact_triangles"), col("sampled_triangles"),
+        (col("sampled_triangles") * 64).as("estimated_triangles"),
+        round(abs(col("sampled_triangles") * 64 - col("exact_triangles")) /
+          col("exact_triangles").cast("double"), 6).as("rel_error"))
+  }
 }

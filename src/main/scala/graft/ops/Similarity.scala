@@ -1495,4 +1495,36 @@ object Similarity {
         round(col("n_hits") / lit(10.0 * nProbes), 6).as("recall_at_10"))
       .orderBy(col("prefix_dim"))
   }
+
+  /** Split-half embedding stability: the corpus halved by vec_id
+    * parity, per-label centroids computed in each half, and the
+    * cosine between the two half-centroids per label — the bootstrap
+    * "is this label's region real or sampling noise" audit read
+    * before trusting [[embedCentroids]] downstream (a label whose
+    * halves disagree has no stable centroid to route by). Centroid
+    * components are 6-dp-rounded means (the [[abtt]] wide-agg shape —
+    * one job, no posexplode), so the cosine compares identically
+    * staged arrays in both engines.
+    *
+    * Shape at scale: ONE scan into a 2·|labels|-group wide agg;
+    * everything after is |labels|-row arithmetic. */
+  def splitStability(spark: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val e = vecs(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"), col("v"))
+      .withColumn("half", (col("vec_id") % 2).cast("int"))
+    val cent = e.groupBy(col("half"), col("label"))
+      .agg(count(lit(1)).as("n"),
+        array((0 until dim).map(d => round(avg(col("v")(d)), 6)): _*).as("c"))
+    val a = cent.filter(col("half") === 0)
+      .select(col("label"), col("n").as("n_even"), col("c").as("ca"))
+    val b = cent.filter(col("half") === 1)
+      .select(col("label"), col("n").as("n_odd"), col("c").as("cb"))
+    a.join(b, Seq("label"))
+      .select(col("label"), col("n_even"), col("n_odd"),
+        round(expr("graft_dot(ca, cb)") /
+          (sqrt(expr("graft_dot(ca, ca)")) * sqrt(expr("graft_dot(cb, cb)"))), 6)
+          .as("centroid_cosine"))
+      .orderBy(col("label"))
+  }
 }

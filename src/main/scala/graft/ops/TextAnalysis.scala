@@ -755,4 +755,47 @@ object TextAnalysis {
         col("n_tokens"), col("vocab"), col("heaps_beta"))
       .orderBy(col("quarter"))
   }
+
+  /** Collocation extraction: top-25 adjacent-token pairs by pointwise
+    * mutual information (min joint count 5) — the multi-word-unit
+    * detector ("new york"-style) run before tokenizer training and
+    * phrase-aware dedup; [[topBigrams]] ranks by raw count (function-
+    * word pairs win), PMI ranks by ASSOCIATION. All counts are exact
+    * integers; PMI is one scalar log per surviving pair.
+    *
+    * Shape at scale: the bigram and unigram counts are two map-side-
+    * combinable aggs over one token stream; unigram totals broadcast
+    * onto the ≥5-count pair table (collapsed far below |bigrams|);
+    * top-k via TakeOrdered. */
+  def pmiPairs(spark: SparkSession, dir: String, minCount: Int = 5,
+      k: Int = 25): DataFrame = {
+    val toks = graft.Caches.persistTracked(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          expr(raw"regexp_extract_all(lower(text), '\\S+', 0)").as("toks")))
+    toks.count()
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val uniTot = uni.agg(sum(col("cw")).as("nu"))
+    val bi = toks.filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS w1, toks[i+1] AS w2))"))
+        .as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= minCount)
+    val biTot = toks.filter(size(col("toks")) >= 2)
+      .agg(sum(size(col("toks")) - 1).cast("long").as("nb"))
+    import graft.operators.Scale.maybeBroadcast
+    bi
+      .join(maybeBroadcast(uni.select(col("w").as("w1"), col("cw").as("cx"))), Seq("w1"))
+      .join(maybeBroadcast(uni.select(col("w").as("w2"), col("cw").as("cy"))), Seq("w2"))
+      .crossJoin(broadcast(uniTot)).crossJoin(broadcast(biTot))
+      .select(col("w1"), col("w2"), col("cxy"),
+        round(log((col("cxy") / col("nb").cast("double")) /
+          ((col("cx") / col("nu").cast("double")) *
+           (col("cy") / col("nu").cast("double")))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
 }
