@@ -2695,12 +2695,17 @@ object SparkEntry {
         |          + ord(substr(fx, CAST(2*i+2 AS INT), 1)) AS DOUBLE)
         |          * (ord(substr(fx, CAST(2*i+1 AS INT), 1)) * 256
         |          + ord(substr(fx, CAST(2*i+2 AS INT), 1))))) / 32), 6) AS rms
-        |  FROM frames)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
-        |  round(avg(rms), 6) AS mean_rms, round(max(rms), 6) AS max_rms,
-        |  round(sum(CASE WHEN rms < 25500 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
-        |    AS low_energy_frac
-        |FROM rms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |  FROM frames),
+        |agg AS (SELECT doc_id, count(*) AS nf2,
+        |   sum(CAST(CAST(rms AS DECIMAL(24,6)) * 1000000 AS BIGINT)) AS s6,
+        |   round(max(rms), 6) AS max_rms,
+        |   sum(CASE WHEN rms < 25500 THEN 1 ELSE 0 END) AS lo
+        |  FROM rms GROUP BY doc_id)
+        |SELECT doc_id, CAST(nf2 AS BIGINT) AS n_frames,
+        |  CAST((2*s6 + nf2) // (2*nf2) AS DOUBLE) / 1000000.0 AS mean_rms,
+        |  max_rms,
+        |  CAST((2*lo*1000000 + nf2) // (2*nf2) AS DOUBLE) / 1000000.0 AS low_energy_frac
+        |FROM agg ORDER BY doc_id""".stripMargin,
     // Newman modularity of the LPA communities: the graph_lpa CTE
     // chain + integer intra-edge/degree-mass aggs (mirrors
     // Graph.modularity)
@@ -2724,14 +2729,18 @@ object SparkEntry {
         |  WHERE a.lbl = b.lbl GROUP BY 1),
         |deg AS (SELECT u AS nd, count(*) AS d FROM e GROUP BY 1),
         |dc AS (SELECT l2.lbl, count(*) AS n_nodes, sum(deg.d) AS d_tot
-        |  FROM l2 JOIN deg USING (nd) GROUP BY 1)
-        |SELECT dc.lbl AS community, CAST(dc.n_nodes AS BIGINT) AS n_nodes,
-        |  CAST(coalesce(din.e_in, 0) AS BIGINT) AS e_in,
-        |  CAST(dc.d_tot AS BIGINT) AS d_tot,
-        |  round(coalesce(din.e_in, 0) / CAST(m.m AS DOUBLE)
-        |    - (dc.d_tot / (2.0 * m.m)) * (dc.d_tot / (2.0 * m.m)), 6) AS q_contrib
-        |FROM dc LEFT JOIN din USING (lbl) CROSS JOIN m
-        |ORDER BY community""".stripMargin,
+        |  FROM l2 JOIN deg USING (nd) GROUP BY 1),
+        |base AS (SELECT dc.lbl AS community, CAST(dc.n_nodes AS BIGINT) AS n_nodes,
+        |   CAST(coalesce(din.e_in, 0) AS BIGINT) AS e_in,
+        |   CAST(dc.d_tot AS BIGINT) AS d_tot,
+        |   (CAST(4 AS HUGEINT) * m.m * coalesce(din.e_in, 0)
+        |    - CAST(dc.d_tot AS HUGEINT) * dc.d_tot) * 1000000 AS n6,
+        |   CAST(4 AS HUGEINT) * m.m * m.m AS dd
+        |  FROM dc LEFT JOIN din USING (lbl) CROSS JOIN m)
+        |SELECT community, n_nodes, e_in, d_tot,
+        |  CAST(CASE WHEN n6 >= 0 THEN (2*n6 + dd) // (2*dd)
+        |       ELSE -((-2*n6 + dd) // (2*dd)) END AS DOUBLE) / 1000000.0 AS q_contrib
+        |FROM base ORDER BY community""".stripMargin,
     // HITS: 2 unrolled mutual-reinforcement rounds, max-normalized
     // (max of rounded values is order-independent) — mirrors Graph.hits
     "graph_hits" ->
@@ -3156,7 +3165,8 @@ object SparkEntry {
         |   monetary FROM rfm)
         |SELECT r_bucket, f_bucket, m_bucket,
         |  CAST(count(*) AS BIGINT) AS n_customers,
-        |  round(CAST(sum(monetary) / count(*) AS DOUBLE), 6) AS mean_monetary
+        |  CAST((2 * CAST(sum(monetary) * 100 AS BIGINT) * 10000 + count(*))
+        |    // (2 * count(*)) AS DOUBLE) / 1000000.0 AS mean_monetary
         |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     // ABC/Pareto revenue classes (mirrors Relational.qAbcClass; the
     // class cut is the exact decimal comparison cum*10 <= total*k)
@@ -3174,7 +3184,10 @@ object SparkEntry {
         |   rev, total FROM c)
         |SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
         |  round(CAST(sum(rev) AS DOUBLE), 2) AS class_rev,
-        |  round(CAST(sum(rev) / any_value(total) AS DOUBLE), 6) AS rev_share
+        |  CAST((2 * CAST(sum(rev) * 1000000 AS HUGEINT) * 1000000
+        |    + CAST(any_value(total) * 1000000 AS HUGEINT))
+        |    // (2 * CAST(any_value(total) * 1000000 AS HUGEINT)) AS DOUBLE)
+        |    / 1000000.0 AS rev_share
         |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin,
     // Mann-Whitney U with tie-corrected normal approximation (mirrors
     // Relational.qMannWhitney; avg-rank via avg(row_number) per value)
@@ -3577,11 +3590,12 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY probe_id ORDER BY cos64 DESC, vec_id) AS rk
         |   FROM s) WHERE rk <= 10) a USING (probe_id, vec_id)),
         |u AS (SELECT * FROM r8 UNION ALL SELECT * FROM r16
-        |  UNION ALL SELECT * FROM r32 UNION ALL SELECT * FROM r64)
+        |  UNION ALL SELECT * FROM r32 UNION ALL SELECT * FROM r64),
+        |pc AS (SELECT count(*) AS np FROM p)
         |SELECT CAST(prefix_dim AS BIGINT) AS prefix_dim,
-        |  CAST(5 AS BIGINT) AS n_probes, CAST(n_hits AS BIGINT) AS n_hits,
-        |  round(n_hits / 50.0, 6) AS recall_at_10
-        |FROM u ORDER BY prefix_dim""".stripMargin,
+        |  CAST(pc.np AS BIGINT) AS n_probes, CAST(n_hits AS BIGINT) AS n_hits,
+        |  round(n_hits / (10.0 * pc.np), 6) AS recall_at_10
+        |FROM u CROSS JOIN pc ORDER BY prefix_dim""".stripMargin,
     // bounded-radius harmonic centrality for the 5 smallest nodes
     // (mirrors Graph.harmonicSample; min-dist BFS via recursive CTE)
     "graph_harmonic_sample" ->

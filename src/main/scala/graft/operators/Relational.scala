@@ -1153,9 +1153,15 @@ object Relational {
         ntile(5).over(wm).cast("long").as("m_bucket"),
         col("monetary"))
       .groupBy(col("r_bucket"), col("f_bucket"), col("m_bucket"))
-      .agg(count(lit(1)).as("n_customers"),
-        round((sum(col("monetary")) / count(lit(1))).cast("double"), 6)
-          .as("mean_monetary"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("monetary")).as("mon_sum"))
+      // ADVICE r8: never divide DECIMALs across engines — and per the
+      // r9 mm_audio_energy lesson, double division can still TIE at
+      // the 6th digit. The mean is the exact rational cents/(100·n):
+      // 6-dp half-up via integer (2·S·10⁴+n) div (2n) is tie-free.
+      .select(col("r_bucket"), col("f_bucket"), col("m_bucket"),
+        col("n_customers"),
+        expr("CAST((2 * CAST(mon_sum * 100 AS BIGINT) * 10000 + n_customers) " +
+          "div (2 * n_customers) AS DOUBLE) / 1000000.0").as("mean_monetary"))
       .orderBy(col("r_bucket"), col("f_bucket"), col("m_bucket"))
   }
 
@@ -1185,7 +1191,14 @@ object Relational {
       .groupBy(col("abc_class"))
       .agg(count(lit(1)).as("n_parts"),
         round(sum(col("rev")).cast("double"), 2).as("class_rev"),
-        round((sum(col("rev")) / first(col("total"))).cast("double"), 6)
+        sum(col("rev")).as("crev"), first(col("total")).as("tot"))
+      // ADVICE r8: the share is the exact rational crev/total (both
+      // scale-6 DECIMALs); 6-dp half-up in exact integer arithmetic —
+      // micro-units can exceed long range, so stage through DECIMAL(38,0)
+      .select(col("abc_class"), col("n_parts"), col("class_rev"),
+        expr("CAST((2 * CAST(crev * 1000000 AS DECIMAL(38,0)) * 1000000 " +
+          " + CAST(tot * 1000000 AS DECIMAL(38,0))) " +
+          "div (2 * CAST(tot * 1000000 AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0")
           .as("rev_share"))
       .orderBy(col("abc_class"))
   }

@@ -243,16 +243,25 @@ object Dedup {
   /** (doc_id, band, bkey) LSH band-bucket relation — the shared
     * candidate-generation surface for near-dup pairing AND benchmark
     * decontamination (Pipeline.decontaminate). */
+  /** (band, bkey) struct-array explode for `b` bands × `r` rows over a
+    * `sig` column — the ONE definition of LSH banding, shared by the
+    * production path ([[lshBands]]) and the calibration sweep
+    * ([[bandTuning]]) so the tuned config and the deployed config are
+    * definitionally identical (ADVICE r8: two independent encodings of
+    * the same banding can silently drift apart). */
+  private[ops] def bandKeysExpr(b: Int, r: Int): org.apache.spark.sql.Column =
+    explode(expr(
+      s"""transform(sequence(0, ${b - 1}, 1), j ->
+            struct(j AS band, md5(concat_ws(',',
+              transform(sequence(0, ${r - 1}, 1),
+                i -> CAST(sig[$r*j + i] AS STRING)))) AS bkey))"""))
+
   private[ops] def lshBands(spark: SparkSession, dir: String,
       sampleMod: Long = 1): DataFrame = {
     GraftFunctions.register(spark)
     val sig = withShingles(sampleDocs(Tables.documents(spark, dir), sampleMod))
       .select(col("doc_id"), expr("graft_minhash_sig(shingles)").as("sig"))
-    sig.select(col("doc_id"),
-        explode(expr(
-          """transform(sequence(0, 3), j ->
-               struct(j AS band, md5(concat_ws(',', sig[4*j], sig[4*j+1], sig[4*j+2], sig[4*j+3])) AS bkey))"""))
-          .as("b"))
+    sig.select(col("doc_id"), bandKeysExpr(4, 4).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
   }
 
@@ -810,13 +819,7 @@ object Dedup {
     sig.count()
     val configs = Seq((2, 8), (4, 4), (8, 2))
     configs.map { case (b, r) =>
-      val bands = sig.select(col("doc_id"),
-        explode(expr(
-          s"""transform(sequence(0, ${b - 1}, 1), j ->
-                struct(j AS band, md5(concat_ws(',',
-                  transform(sequence(0, ${r - 1}, 1),
-                    i -> CAST(sig[$r*j + i] AS STRING)))) AS bkey))"""))
-          .as("bb"))
+      val bands = sig.select(col("doc_id"), bandKeysExpr(b, r).as("bb"))
         .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
       val nPairs = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&

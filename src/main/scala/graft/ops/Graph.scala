@@ -356,12 +356,24 @@ object Graph {
     val dc = labels.join(deg, Seq("nd"))
       .groupBy(col("lbl"))
       .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("d_tot"))
+    // q_contrib is the exact rational (4·m·e_in − d_tot²)/(4m²); its
+    // 6-dp half-up rounding is computed ENTIRELY in exact integer
+    // (decimal-0) arithmetic — (2|n6|+D) div (2D) with a sign split so
+    // both engines' integral division sees only positives. r8's
+    // double-round version hash-diverged on some of the 42 rows
+    // (engines break round() ties differently); integer rounding is
+    // tie-free by construction.
     dc.join(ein, Seq("lbl"), "left")
       .select(col("lbl").as("community"), col("n_nodes"),
-        coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_tot"),
-        round(coalesce(col("e_in"), lit(0L)).cast("double") / m -
-          (col("d_tot") / lit(2.0 * m)) * (col("d_tot") / lit(2.0 * m)), 6)
-          .as("q_contrib"))
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_tot"))
+      .withColumn("n6", expr(
+        s"(CAST(${4L * m} AS DECIMAL(38,0)) * e_in " +
+        s" - CAST(d_tot AS DECIMAL(38,0)) * d_tot) * 1000000"))
+      .withColumn("dd", expr(s"CAST(${4L * m} AS DECIMAL(38,0)) * $m"))
+      .withColumn("q_contrib", expr(
+        "CAST(CASE WHEN n6 >= 0 THEN (2*n6 + dd) div (2*dd) " +
+        "ELSE -((-2*n6 + dd) div (2*dd)) END AS DOUBLE) / 1000000.0"))
+      .drop("n6", "dd")
       .orderBy(col("community"))
   }
 

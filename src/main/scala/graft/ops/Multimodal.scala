@@ -125,11 +125,21 @@ object Multimodal {
                   + ascii(substr(fx, 2*i+2, 1)) AS DOUBLE)),
              CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x) / 32""")), 6))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_frames"),
-        round(avg(col("rms")), 6).as("mean_rms"),
+      .agg(count(lit(1)).as("nf2"),
+        // mean over the 6-dp frame values, fully in INTEGER micro-units:
+        // r8's avg(double) hash-fail was accumulation order, and the
+        // first decimal-staged fix still tied EXACTLY at the 6th digit
+        // on 2/4876 docs at sf0.1 (engines break double round() ties
+        // differently). round_half_up(S/n) = (2S+n) div (2n) over exact
+        // integers is tie-free and engine-independent.
+        sum((col("rms").cast("decimal(24,6)") * 1000000).cast("long")).as("s6"),
         round(max(col("rms")), 6).as("max_rms"),
-        round(sum(when(col("rms") < 25500, 1L).otherwise(0L)) /
-          count(lit(1)).cast("double"), 6).as("low_energy_frac"))
+        sum(when(col("rms") < 25500, 1L).otherwise(0L)).as("lo"))
+      .select(col("doc_id"), col("nf2").as("n_frames"),
+        (expr("(2*s6 + nf2) div (2*nf2)").cast("double") / 1000000.0).as("mean_rms"),
+        col("max_rms"),
+        (expr("(2*lo*1000000 + nf2) div (2*nf2)").cast("double") / 1000000.0)
+          .as("low_energy_frac"))
       .orderBy(col("doc_id"))
 
   /** Scene-cut detection over the frame stream (oracle-checked): the
@@ -179,25 +189,83 @@ object Multimodal {
   case class ResizedMedia(doc_id: Long, media_type: String, orig_bytes: Long,
       resized_bytes: Long, resized: Array[Byte])
 
-  /** Deterministic stand-in for an image resize: keep every `factor`-th
-    * byte. A real deployment swaps the body for the scaler call. */
-  private def resizeStub(payload: Array[Byte], factor: Int): Array[Byte] = {
+  /** Deterministic byte decimation — the fallback for payloads that are
+    * not decodable images (the audio/video byte stand-ins; the container
+    * carries no audio/video codecs, a real deployment swaps only this
+    * branch). */
+  private def resizeBytes(payload: Array[Byte], factor: Int): Array[Byte] = {
     val out = new Array[Byte]((payload.length + factor - 1) / factor)
     var i = 0
     while (i < out.length) { out(i) = payload(i * factor); i += 1 }
     out
   }
 
+  /** REAL image resize for decodable payloads (JDK imageio — the same
+    * codec path [[phashDedup]] uses): decode, grayscale, integer
+    * box-filter downsample by `factor`, re-encode as PNG. Deterministic
+    * (pure integer means, no AWT interpolation) so results are
+    * reproducible across executors and cluster sizes. Returns None for
+    * non-image payloads. */
+  private def resizeImage(payload: Array[Byte], factor: Int): Option[Array[Byte]] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Throwable => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      val ow = math.max(1, w / factor); val oh = math.max(1, h / factor)
+      // grayscale read (luminance raster) then exact integer box means
+      val gray =
+        if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) img
+        else {
+          val g = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val g2 = g.createGraphics()
+          g2.drawImage(img, 0, 0, null); g2.dispose()
+          g
+        }
+      val out = new java.awt.image.BufferedImage(
+        ow, oh, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val src = gray.getRaster; val dst = out.getRaster
+      var y = 0
+      while (y < oh) {
+        var x = 0
+        while (x < ow) {
+          var s = 0; var n = 0
+          var dy = 0
+          while (dy < factor && y * factor + dy < h) {
+            var dx = 0
+            while (dx < factor && x * factor + dx < w) {
+              s += src.getSample(x * factor + dx, y * factor + dy, 0)
+              n += 1; dx += 1
+            }
+            dy += 1
+          }
+          dst.setSample(x, y, 0, s / n)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      Some(bos.toByteArray)
+    }
+  }
+
   /** Batched resize over the typed path (same mapInPandas-shaped
-    * contract as decodePipeline): payload in, smaller payload out,
-    * peak memory bounded by batchSize × payload size per task. */
+    * contract as decodePipeline): payload in, smaller payload out, peak
+    * memory bounded by batchSize × payload size per task. Image
+    * payloads go through the REAL decode → box-filter → PNG re-encode
+    * ([[resizeImage]]); non-image payloads fall back to byte
+    * decimation. */
   def resizePipeline(media: Dataset[MediaRecord], factor: Int = 4,
       batchSize: Int = 64): Dataset[ResizedMedia] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
-          val small = resizeStub(r.payload, factor)
+          val small = resizeImage(r.payload, factor)
+            .getOrElse(resizeBytes(r.payload, factor))
           ResizedMedia(r.doc_id, r.media_type, r.payload.length.toLong,
             small.length.toLong, small)
         }

@@ -18,14 +18,54 @@ import graft.etl.SiriSnapshotEtl
   */
 object SnapshotStorage {
 
-  private val idFromPath = raw"(\d{4}/\d{2}/\d{2}/\d{2}/\d{2})\.json"
+  private val idFromPath = raw"(\d{4}/\d{2}/\d{2}/\d{2}/\d{2})\.(json|br)"
 
-  /** Batch read of every raw snapshot under `rootDir`. */
-  def readRaw(spark: SparkSession, rootDir: String): DataFrame =
-    spark.read.option("wholetext", "true").text(s"$rootDir/*/*/*/*/*.json")
-      .select(
-        regexp_extract(input_file_name(), idFromPath, 1).as("snapshot_id"),
-        col("value").as("json"))
+  private def hasGlob(spark: SparkSession, pattern: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(pattern)
+    Option(p.getFileSystem(spark.sparkContext.hadoopConfiguration).globStatus(p))
+      .exists(_.nonEmpty)
+  }
+
+  /** Batch read of every raw snapshot under `rootDir` — both plain
+    * `.json` minutes and the reference's actual landing format, one
+    * brotli-compressed document per minute (`MM.br` —
+    * local_development_helpers.py:14; process_snapshot.py:324-342 pipes
+    * downloads through `brotli -d`). `.br` files are read as binary and
+    * decoded IN THE MAPPER by [[Brotli.decompress]] (pure JVM, RFC
+    * 7932), so decompression scales with executors, not the driver. */
+  def readRaw(spark: SparkSession, rootDir: String): DataFrame = {
+    val jsonPat = s"$rootDir/*/*/*/*/*.json"
+    val brPat = s"$rootDir/*/*/*/*/*.br"
+    val parts = Seq(
+      if (hasGlob(spark, jsonPat))
+        Some(spark.read.option("wholetext", "true").text(jsonPat)
+          .select(
+            regexp_extract(input_file_name(), idFromPath, 1).as("snapshot_id"),
+            col("value").as("json")))
+      else None,
+      if (hasGlob(spark, brPat)) Some(readRawBrotli(spark, brPat)) else None
+    ).flatten
+    if (parts.isEmpty) {
+      import spark.implicits._
+      Seq.empty[(String, String)].toDF("snapshot_id", "json")
+    } else parts.reduce(_ unionByName _)
+  }
+
+  /** Distributed `.br` snapshot read: binaryFile rows decoded per
+    * partition — the Spark-native shape of the reference's per-file
+    * `brotli -d` subprocess loop. */
+  private def readRawBrotli(spark: SparkSession, pattern: String): DataFrame = {
+    import spark.implicits._
+    val idRe = idFromPath.r
+    spark.read.format("binaryFile").load(pattern)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .map { case (p, bytes) =>
+        val id = idRe.findFirstMatchIn(p).map(_.group(1)).getOrElse(p)
+        (id, new String(Brotli.decompress(bytes), java.nio.charset.StandardCharsets.UTF_8))
+      }
+      .toDF("snapshot_id", "json")
+  }
 
   /** Streaming read of the same layout (json-lines documents carrying
     * snapshot_id + json, as the daemon's requester writes them). */
@@ -134,15 +174,17 @@ object SnapshotStorage {
     val conf = spark.sparkContext.hadoopConfiguration
     val srcFs = new org.apache.hadoop.fs.Path(srcRoot).getFileSystem(conf)
     val dstFs = new org.apache.hadoop.fs.Path(dstRoot).getFileSystem(conf)
-    val glob = new org.apache.hadoop.fs.Path(s"$srcRoot/*/*/*/*/*.json")
+    val globs = Seq(s"$srcRoot/*/*/*/*/*.json", s"$srcRoot/*/*/*/*/*.br")
+      .map(new org.apache.hadoop.fs.Path(_))
     val idRe = idFromPath.r
-    val found = Option(srcFs.globStatus(glob)).getOrElse(Array.empty)
+    val found = globs.flatMap(g => Option(srcFs.globStatus(g)).getOrElse(Array.empty))
     var copied = 0L
     found.foreach { st =>
-      idRe.findFirstMatchIn(st.getPath.toString).map(_.group(1)).foreach { id =>
+      idRe.findFirstMatchIn(st.getPath.toString).foreach { mtc =>
+        val id = mtc.group(1); val ext = mtc.group(2)
         val inRange = fromId.forall(id >= _) && toId.forall(id <= _)
         if (inRange) {
-          val dst = new org.apache.hadoop.fs.Path(s"$dstRoot/$id.json")
+          val dst = new org.apache.hadoop.fs.Path(s"$dstRoot/$id.$ext")
           if (force || !dstFs.exists(dst)) {
             dstFs.mkdirs(dst.getParent)
             org.apache.hadoop.fs.FileUtil.copy(

@@ -273,4 +273,28 @@ class MultimodalSpec extends SparkSpec {
       assert(java.util.Arrays.equals(r64(r.doc_id).resized, r.resized))
     }
   }
+
+  test("resize pipeline REALLY resizes image payloads: dims shrink by factor, pixels are box means") {
+    val ids = Seq(1L, 24L, 77L)
+    val media = ids.map { id =>
+      Multimodal.MediaRecord(id, "image",
+        Multimodal.PHash.encodePng(Multimodal.PHash.pixelGrid(id)))
+    }.toDS()
+    val out = Multimodal.resizePipeline(media, factor = 4).collect()
+      .map(r => r.doc_id -> r).toMap
+    ids.foreach { id =>
+      val r = out(id)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.resized))
+      assert(img != null && img.getWidth == 8 && img.getHeight == 8,
+        s"doc $id: expected a real 8x8 PNG")
+      val px = Multimodal.PHash.pixelGrid(id)
+      val raster = img.getRaster
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val mean = (for (dy <- 0 until 4; dx <- 0 until 4)
+          yield px((y * 4 + dy) * 32 + (x * 4 + dx))).sum / 16
+        assert(raster.getSample(x, y, 0) == mean, s"pixel ($x,$y) of doc $id")
+      }
+    }
+  }
 }

@@ -14,6 +14,18 @@ class QualityOpsR8Spec extends SparkSpec {
     BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
   private def r6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  /** 6-dp round-half-away-from-zero of the exact rational num/den via
+    * integer arithmetic — the tie-free discipline modularity and
+    * audioEnergy adopted after r8's cross-engine round() divergence. */
+  private def halfUp6(num: BigInt, den: BigInt): Double = {
+    val n6 = num * 1000000
+    val k = if (n6.signum >= 0) (n6 * 2 + den) / (den * 2)
+            else -(((-n6) * 2 + den) / (den * 2))
+    k.toDouble / 1e6
+  }
+  /** micro-units (×1e6) of an already-6-dp double, exactly */
+  private def micro(x: Double): BigInt =
+    (BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP) * 1000000).toBigInt
 
   test("hits: matches an in-memory two-round max-normalized recomputation") {
     try {
@@ -120,8 +132,9 @@ class QualityOpsR8Spec extends SparkSpec {
         val ein = edges.count(e => nodes(e._1) && nodes(e._2) &&
           labels(e._1) == labels(e._2)).toLong
         val dtot = nodes.toSeq.map(deg).sum
+        val mL = BigInt(edges.length)
         (c, nodes.size.toLong, ein, dtot,
-          r6(ein / m - (dtot / (2.0 * m)) * (dtot / (2.0 * m))))
+          halfUp6(4 * mL * ein - BigInt(dtot) * dtot, 4 * mL * mL))
       }.toSet
       assert(out.toSet == expect,
         s"modularity mismatch, e.g. ${(out.toSet -- expect).take(2)}")
@@ -148,8 +161,9 @@ class QualityOpsR8Spec extends SparkSpec {
             }.sum
             r6(math.sqrt(e / 32))
           }
-          Some((id, nf.toLong, r6(rms.sum / nf), r6(rms.max),
-            r6(rms.count(_ < 25500).toDouble / nf)))
+          Some((id, nf.toLong, halfUp6(rms.map(micro).sum, BigInt(nf) * 1000000),
+            r6(rms.max),
+            halfUp6(BigInt(rms.count(_ < 25500)), BigInt(nf))))
         }
       }.toSet
       assert(out.toSet == expect,
