@@ -255,6 +255,12 @@ object SparkEntry {
     "dedup_band_tuning"       -> Dedup.bandTuning _,
     "embed_split_stability"   -> Similarity.splitStability _,
     "graph_triangle_estimate" -> Graph.triangleEstimate _,
+    "etl_window_funnel"       -> EventsEtl.windowFunnel _,
+    "etl_attribution"         -> EventsEtl.attribution _,
+    "graph_square_count"      -> Graph.squareCount _,
+    "embed_random_projection" -> Similarity.randomProjection _,
+    "pipeline_dataset_hash"   -> Pipeline.datasetHash _,
+    "mm_shot_keyframes"       -> Multimodal.shotKeyframes _,
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. */
@@ -3772,5 +3778,139 @@ object SparkEntry {
         |  CAST(ts.n * 64 AS BIGINT) AS estimated_triangles,
         |  round(abs(ts.n * 64 - tx.n) / CAST(tx.n AS DOUBLE), 6) AS rel_error
         |FROM ne, ns, tx, ts""".stripMargin,
+    // ClickHouse-style windowFunnel: deepest view->click->purchase
+    // prefix with every step inside 4h of the anchoring view (mirrors
+    // EventsEtl.windowFunnel)
+    "etl_window_funnel" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+        |l3 AS (SELECT DISTINCT v.user_id FROM v
+        |  JOIN c ON c.user_id = v.user_id AND c.ts > v.ts
+        |    AND c.ts <= v.ts + INTERVAL 4 HOUR
+        |  JOIN p ON p.user_id = v.user_id AND p.ts > c.ts
+        |    AND p.ts <= v.ts + INTERVAL 4 HOUR),
+        |l2 AS (SELECT DISTINCT v.user_id FROM v
+        |  JOIN c ON c.user_id = v.user_id AND c.ts > v.ts
+        |    AND c.ts <= v.ts + INTERVAL 4 HOUR),
+        |lv AS (SELECT u.user_id,
+        |  CASE WHEN u.user_id IN (SELECT user_id FROM l3) THEN 3
+        |       WHEN u.user_id IN (SELECT user_id FROM l2) THEN 2
+        |       WHEN u.user_id IN (SELECT user_id FROM v) THEN 1
+        |       ELSE 0 END AS funnel_level FROM u)
+        |SELECT CAST(funnel_level AS BIGINT) AS funnel_level,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM lv GROUP BY 1 ORDER BY 1""".stripMargin,
+    // first/last-touch attribution with a 7-day lookback; out-of-window
+    // purchases attribute to 'none' (mirrors EventsEtl.attribution)
+    "etl_attribution" ->
+      """WITH b AS (SELECT user_id, ts AS pt, event_id AS pid FROM events
+        |  WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, ts AS tt, event_id AS tid, event_type AS channel
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |j AS (SELECT b.pid, t.channel, t.tt, t.tid FROM b
+        |  LEFT JOIN t ON t.user_id = b.user_id AND t.tt < b.pt
+        |    AND t.tt >= b.pt - INTERVAL 7 DAY),
+        |f AS (SELECT pid, coalesce(channel, 'none') AS channel FROM j
+        |  QUALIFY row_number() OVER (PARTITION BY pid
+        |    ORDER BY tt ASC NULLS LAST, tid ASC NULLS LAST) = 1),
+        |l AS (SELECT pid, coalesce(channel, 'none') AS channel FROM j
+        |  QUALIFY row_number() OVER (PARTITION BY pid
+        |    ORDER BY tt DESC NULLS LAST, tid DESC NULLS LAST) = 1),
+        |un AS (SELECT 'first_touch' AS model, channel FROM f
+        |  UNION ALL SELECT 'last_touch' AS model, channel FROM l)
+        |SELECT model, channel, CAST(count(*) AS BIGINT) AS n_purchases
+        |FROM un GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // 4-cycle census over the qty>=40 co-occurrence slice: top-15
+    // diagonals by common-neighbor count + a TOTAL row (mirrors
+    // Graph.squareCount)
+    "graph_square_count" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem WHERE l_quantity >= 40),
+        |p AS (SELECT DISTINCT x.pk AS u, y.pk AS v
+        |  FROM items x JOIN items y ON x.ok = y.ok AND x.pk < y.pk),
+        |e AS (SELECT u, v FROM p UNION ALL SELECT v, u FROM p),
+        |w AS (SELECT a.u AS x, b.v AS y, count(*) AS cn
+        |  FROM e a JOIN e b ON a.v = b.u AND a.u < b.v GROUP BY 1, 2),
+        |d AS (SELECT x, y, cn, (cn * (cn - 1)) // 2 AS sq FROM w WHERE cn >= 2),
+        |top AS (SELECT x, y, cn AS common_neighbors, sq AS n_squares FROM d
+        |  ORDER BY cn DESC, x, y LIMIT 15),
+        |tot AS (SELECT CAST(-1 AS BIGINT) AS x, CAST(-1 AS BIGINT) AS y,
+        |   count(*) AS common_neighbors, sum(sq) // 2 AS n_squares FROM d)
+        |SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+        |  CAST(common_neighbors AS BIGINT) AS common_neighbors,
+        |  CAST(n_squares AS BIGINT) AS n_squares
+        |FROM (SELECT * FROM top UNION ALL SELECT * FROM tot)
+        |ORDER BY x, y""".stripMargin,
+    // Johnson-Lindenstrauss distortion audit: deterministic +/-1 sign
+    // matrix inlined verbatim from Similarity.jlSigns (mirrors
+    // Similarity.randomProjection)
+    "embed_random_projection" ->
+      s"""WITH e AS (SELECT vec_id,
+        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings WHERE vec_id < 20),
+        |pr AS (SELECT vec_id, v, list_transform(range(0, 16), j ->
+        |   list_reduce(list_transform(range(0, 64), i ->
+        |     CASE WHEN substr('${graft.ops.Similarity.jlSigns}', CAST(j*64 + i + 1 AS INT), 1) = '+'
+        |          THEN v[CAST(i + 1 AS INT)] ELSE -v[CAST(i + 1 AS INT)] END),
+        |     (a, b) -> a + b)) AS p
+        |  FROM e),
+        |pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |   a.v AS va, b.v AS vb, a.p AS pa, b.p AS pb
+        |  FROM pr a JOIN pr b ON a.vec_id < b.vec_id),
+        |sc AS (SELECT vec_a, vec_b,
+        |   round(list_sum(list_transform(list_zip(va, vb), z -> z[1]*z[2])) /
+        |     (sqrt(list_sum(list_transform(va, x -> x*x))) *
+        |      sqrt(list_sum(list_transform(vb, x -> x*x)))), 6) AS cos_full,
+        |   round(list_sum(list_transform(list_zip(pa, pb), z -> z[1]*z[2])) /
+        |     (sqrt(list_sum(list_transform(pa, x -> x*x))) *
+        |      sqrt(list_sum(list_transform(pb, x -> x*x)))), 6) AS cos_proj
+        |  FROM pairs)
+        |SELECT vec_a, vec_b, cos_full, cos_proj,
+        |  round(abs(cos_full - cos_proj), 6) AS abs_err
+        |FROM sc ORDER BY vec_a, vec_b""".stripMargin,
+    // order-independent corpus fingerprint: sum of 60-bit md5 folds mod
+    // 2^60, per source + ALL (mirrors Pipeline.datasetHash)
+    "pipeline_dataset_hash" ->
+      """WITH d AS (SELECT source, n_chars,
+        |   ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15))::BIGINT AS hv
+        |  FROM documents),
+        |per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |   CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |   CAST(sum(CAST(hv AS HUGEINT)) % 1152921504606846976 AS BIGINT) AS fingerprint
+        |  FROM d GROUP BY 1),
+        |tot AS (SELECT 'ALL' AS source, CAST(count(*) AS BIGINT) AS n_docs,
+        |   CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |   CAST(sum(CAST(hv AS HUGEINT)) % 1152921504606846976 AS BIGINT) AS fingerprint
+        |  FROM d)
+        |SELECT * FROM per UNION ALL SELECT * FROM tot ORDER BY source""".stripMargin,
+    // per-shot keyframe extraction over the scene-cut segmentation
+    // (mirrors Multimodal.shotKeyframes)
+    "mm_shot_keyframes" ->
+      """WITH t AS (SELECT doc_id, text FROM documents WHERE len(text) // 64 > 0),
+        |fr AS (SELECT doc_id, unnest(range(0, len(text) // 64)) AS f, text FROM t),
+        |frames AS (SELECT doc_id, f, substr(text, CAST(f*64+1 AS INT), 64) AS fx FROM fr),
+        |rms AS (SELECT doc_id, f,
+        |   round(sqrt(list_sum(list_transform(range(0, 32),
+        |     i -> CAST(ord(substr(fx, CAST(2*i+1 AS INT), 1)) * 256
+        |          + ord(substr(fx, CAST(2*i+2 AS INT), 1)) AS DOUBLE)
+        |          * (ord(substr(fx, CAST(2*i+1 AS INT), 1)) * 256
+        |          + ord(substr(fx, CAST(2*i+2 AS INT), 1))))) / 32), 6) AS rms
+        |  FROM frames),
+        |c AS (SELECT doc_id, f, rms, CASE WHEN abs(rms - lag(rms) OVER
+        |    (PARTITION BY doc_id ORDER BY f)) > 2000.0 THEN 1 ELSE 0 END AS cut
+        |  FROM rms),
+        |s AS (SELECT doc_id, f, rms,
+        |   sum(cut) OVER (PARTITION BY doc_id ORDER BY f) AS shot_id FROM c),
+        |kf AS (SELECT doc_id, shot_id, f, rms FROM s
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id, shot_id
+        |    ORDER BY rms DESC, f) = 1),
+        |g AS (SELECT doc_id, shot_id, count(*) AS n_frames FROM s GROUP BY 1, 2)
+        |SELECT g.doc_id, CAST(g.shot_id AS BIGINT) AS shot_id,
+        |  CAST(g.n_frames AS BIGINT) AS n_frames,
+        |  CAST(kf.f AS BIGINT) AS key_f, kf.rms AS key_rms
+        |FROM g JOIN kf USING (doc_id, shot_id)
+        |ORDER BY doc_id, shot_id""".stripMargin,
   )
 }

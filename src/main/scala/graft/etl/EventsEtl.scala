@@ -908,4 +908,101 @@ object EventsEtl {
         round(expr("percentile(lag_days, 0.9D)"), 6).as("p90_lag_days"),
         max(col("lag_days")).as("max_lag_days"))
       .orderBy(col("order_month"))
+
+  /** ClickHouse-style windowFunnel: per user, the deepest prefix of
+    * view → click → purchase reachable with EVERY step inside 4 hours
+    * of the anchoring view — the product-analytics primitive behind
+    * "conversion within a session window" dashboards (the classic
+    * sequenced-steps variant of [[conversionRate]], which ignores
+    * time). Output: users per deepest level (0 = active but never
+    * viewed).
+    *
+    * Dominance pruning keeps the chain joins linear: for a level-3
+    * chain it is sufficient to test the EARLIEST in-window click per
+    * (user, view) anchor — any purchase satisfying a later click also
+    * satisfies the earliest — so the purchase join runs on ≤|views|
+    * rows, not |views×clicks|.
+    *
+    * Shape at scale: three filtered scans of the one persisted event
+    * projection; all joins are per-user equi-joins with time-range
+    * predicates (co-partitioned on user_id — the interval-join
+    * discipline); at 100 TB the anchor stream would pre-bucket on
+    * (user, ts div window) like [[intervalJoin]]'s bucketing. */
+  def windowFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val w = "INTERVAL 4 HOURS"
+    val ev = graft.Caches.persistTracked(Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts")))
+    ev.count()
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("t1"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("t2"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("t3"))
+    val pairs = views.join(clicks,
+      col("user_id") === col("cu") && col("t2") > col("t1") &&
+        col("t2") <= col("t1") + expr(w))
+    // dominance pruning: earliest in-window click per anchor
+    val anchors = pairs.groupBy(col("user_id"), col("t1"))
+      .agg(min(col("t2")).as("t2"))
+    val l3 = anchors.join(buys,
+        col("user_id") === col("pu") && col("t3") > col("t2") &&
+          col("t3") <= col("t1") + expr(w))
+      .select(col("user_id")).distinct().withColumn("l3", lit(1))
+    val l2 = pairs.select(col("user_id")).distinct().withColumn("l2", lit(1))
+    val l1 = views.select(col("user_id")).distinct().withColumn("l1", lit(1))
+    ev.select(col("user_id")).distinct()
+      .join(l1, Seq("user_id"), "left")
+      .join(l2, Seq("user_id"), "left")
+      .join(l3, Seq("user_id"), "left")
+      .select(when(col("l3") === 1, 3L).when(col("l2") === 1, 2L)
+        .when(col("l1") === 1, 1L).otherwise(0L).as("funnel_level"))
+      .groupBy(col("funnel_level"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("funnel_level"))
+  }
+
+  /** First-touch / last-touch conversion attribution: each purchase is
+    * attributed to the user's earliest and latest preceding view/click
+    * within a 7-day lookback — the two bookend models every marketing
+    * attribution report starts from (the reference's journey timing
+    * read backwards from the conversion). Purchases with no in-window
+    * touch land in channel 'none' so totals reconcile to the purchase
+    * count. Ties (same-timestamp touches) break on event_id — rankings
+    * are total orders, deterministic in both engines.
+    *
+    * Shape at scale: one per-user equi-join (purchases × touches,
+    * range-bounded) and two row_number windows partitioned by the
+    * purchase — co-partitioned by user after the join shuffle; no
+    * global sorts. */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Caches.persistTracked(Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id")))
+    ev.count()
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pt"), col("event_id").as("pid"))
+    val touches = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id").as("tu"), col("ts").as("tt"), col("event_id").as("tid"),
+        col("event_type").as("channel"))
+    // window predicate INSIDE the left-join condition: a purchase whose
+    // touches are all out-of-window must surface as channel 'none',
+    // not vanish to a post-join filter
+    val joined = buys.join(touches,
+      col("user_id") === col("tu") && col("tt") < col("pt") &&
+        col("tt") >= col("pt") - expr("INTERVAL 7 DAYS"), "left")
+    val wFirst = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid")).orderBy(col("tt").asc_nulls_last, col("tid").asc_nulls_last)
+    val wLast = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid")).orderBy(col("tt").desc_nulls_last, col("tid").desc_nulls_last)
+    val first = joined.withColumn("rn", row_number().over(wFirst)).filter(col("rn") === 1)
+      .select(lit("first_touch").as("model"),
+        coalesce(col("channel"), lit("none")).as("channel"))
+    val last = joined.withColumn("rn", row_number().over(wLast)).filter(col("rn") === 1)
+      .select(lit("last_touch").as("model"),
+        coalesce(col("channel"), lit("none")).as("channel"))
+    first.unionAll(last)
+      .groupBy(col("model"), col("channel"))
+      .agg(count(lit(1)).as("n_purchases"))
+      .orderBy(col("model"), col("channel"))
+  }
 }

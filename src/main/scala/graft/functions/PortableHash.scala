@@ -204,5 +204,8 @@ object GraftFunctions {
       es => WinnowFingerprint(es.head, k = 16, w = 4), "scala_udf")
     reg.createOrReplaceTempFunction("graft_dot", es => DotProduct(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_l2sq", es => L2Squared(es(0), es(1)), "scala_udf")
+    // raw AggregateFunction — the analyzer wraps it in AggregateExpression
+    reg.createOrReplaceTempFunction("graft_topk",
+      es => TopKTriples(es(0), es(1), es(2), es(3)), "scala_udf")
   }
 }

@@ -737,4 +737,50 @@ object Graph {
         round(abs(col("sampled_triangles") * 64 - col("exact_triangles")) /
           col("exact_triangles").cast("double"), 6).as("rel_error"))
   }
+
+  /** 4-cycle (square) census over a mid-density co-occurrence slice
+    * (quantity ≥ 40): squares are the smallest non-trivial motif after
+    * triangles and the standard bipartite-cohesion signal ("two parts
+    * bought together with two DIFFERENT companions each" — triangles
+    * can't see bipartite structure). Per diagonal pair (x, y) the
+    * common-neighbor count cn gives C(cn,2) squares through that
+    * diagonal; each square has two diagonals, so the global count is
+    * Σ C(cn,2)/2 (always even — exact integer). Output: the top-15
+    * diagonals by (cn, x, y) plus one TOTAL row (x = y = −1).
+    *
+    * Shape at scale: ONE wedge self-join of the symmetric adjacency on
+    * the midpoint (the [[neighborJaccard]] bound, Σdeg²) into a
+    * (x, y)-keyed count — map-side combinable; the top-k is a
+    * TakeOrdered, never a global sort. A 100 TB deploy degree-caps or
+    * orientation-splits hub wedges exactly as [[triangleCounts]]
+    * does. */
+  def squareCount(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 40)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val p = items.as("x").join(items.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("u"), col("y.pk").as("v"))
+      .distinct()
+    val e = graft.Caches.persistTracked(
+      p.unionAll(p.select(col("v").as("u"), col("u").as("v"))))
+    e.count()
+    val diag = e.as("a").join(e.as("b"),
+        col("a.v") === col("b.u") && col("a.u") < col("b.v"))
+      .groupBy(col("a.u").as("x"), col("b.v").as("y"))
+      .agg(count(lit(1)).as("cn"))
+      .filter(col("cn") >= 2)
+      .withColumn("pair_squares", expr("(cn * (cn - 1)) div 2"))
+    val top = diag
+      .orderBy(col("cn").desc, col("x"), col("y")).limit(15)
+      .select(col("x"), col("y"), col("cn").as("common_neighbors"),
+        col("pair_squares").as("n_squares"))
+    val total = diag.agg(
+        count(lit(1)).as("common_neighbors"),
+        expr("sum(pair_squares) div 2").as("n_squares"))
+      .select(lit(-1L).as("x"), lit(-1L).as("y"),
+        col("common_neighbors"), col("n_squares"))
+    top.unionAll(total).orderBy(col("x"), col("y"))
+  }
 }

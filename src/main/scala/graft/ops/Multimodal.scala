@@ -110,7 +110,13 @@ object Multimodal {
     * agg — the [[frameSample]] plan with arithmetic instead of
     * hashing. Trailing partial frames are dropped on both engines
     * (floor division). */
-  def audioEnergy(spark: SparkSession, dir: String): DataFrame =
+  /** (doc_id, f, rms) — the shared 64-byte-frame RMS stream behind
+    * [[audioEnergy]], [[sceneCut]] and [[shotKeyframes]]: map-side
+    * sequence+explode fan-out, per-frame RMS as a codegen'd aggregate
+    * over a 32-element transform in LIST ORDER (so DuckDB's list_sum
+    * agrees bit-for-bit), rounded 6. Trailing partial frames dropped
+    * on both engines (floor division). */
+  private def frameRms(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"),
         (length(col("text")) / 64).cast("int").as("nf"))
@@ -124,6 +130,10 @@ object Multimodal {
              i -> CAST(ascii(substr(fx, 2*i+1, 1)) * 256
                   + ascii(substr(fx, 2*i+2, 1)) AS DOUBLE)),
              CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x) / 32""")), 6))
+      .select(col("doc_id"), col("f"), col("rms"))
+
+  def audioEnergy(spark: SparkSession, dir: String): DataFrame =
+    frameRms(spark, dir)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("nf2"),
         // mean over the 6-dp frame values, fully in INTEGER micro-units:
@@ -161,19 +171,7 @@ object Multimodal {
   def sceneCut(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("f"))
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"),
-        (length(col("text")) / 64).cast("int").as("nf"))
-      .filter(col("nf") > 0)
-      .select(col("doc_id"), explode(sequence(lit(0), col("nf") - 1)).as("f"),
-        col("text"))
-      .select(col("doc_id"), col("f"),
-        expr("substr(text, f * 64 + 1, 64)").as("fx"))
-      .withColumn("rms", round(sqrt(expr(
-        """aggregate(transform(sequence(0, 31),
-             i -> CAST(ascii(substr(fx, 2*i+1, 1)) * 256
-                  + ascii(substr(fx, 2*i+2, 1)) AS DOUBLE)),
-             CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x) / 32""")), 6))
+    frameRms(spark, dir)
       .withColumn("cut",
         when(abs(col("rms") - lag(col("rms"), 1).over(w)) > 2000.0, 1L)
           .otherwise(0L))
@@ -184,6 +182,38 @@ object Multimodal {
         round(count(lit(1)).cast("double") / (sum(col("cut")) + 1L), 6)
           .as("mean_shot_len"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Keyframe extraction per shot — the step AFTER [[sceneCut]] in a
+    * video curation pipeline: segment each doc's frame stream into
+    * shots (running sum of the same cut flags), then pick each shot's
+    * representative frame as the max-RMS frame (tie → lowest index) —
+    * what a captioning/embedding stage would actually decode instead of
+    * every frame. Output grain: one row per (doc, shot) with the shot
+    * length and the keyframe's index and feature value.
+    *
+    * Shape at scale: the cut/segment windows and the keyframe
+    * row_number all partition by doc (one shuffle, frames stay
+    * co-located); the per-shot rollup is map-side combinable on the
+    * already-partitioned stream. Selection is rank-based on the 6-dp
+    * feature — deterministic across engines. */
+  def shotKeyframes(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("f"))
+    val seg = frameRms(spark, dir)
+      .withColumn("cut",
+        when(abs(col("rms") - lag(col("rms"), 1).over(w)) > 2000.0, 1L)
+          .otherwise(0L))
+      .withColumn("shot_id", sum(col("cut")).over(w))
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("shot_id"))
+      .orderBy(col("rms").desc, col("f"))
+    seg.withColumn("rk", row_number().over(wk))
+      .groupBy(col("doc_id"), col("shot_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        max(when(col("rk") === 1, col("f"))).cast("long").as("key_f"),
+        max(when(col("rk") === 1, col("rms"))).as("key_rms"))
+      .orderBy(col("doc_id"), col("shot_id"))
   }
 
   case class ResizedMedia(doc_id: Long, media_type: String, orig_bytes: Long,

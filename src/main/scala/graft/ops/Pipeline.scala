@@ -756,4 +756,38 @@ object Pipeline {
       GROUP BY GROUPING SETS ((source, lang), (source), ())
       ORDER BY source, lang""")
   }
+
+  /** Order-independent dataset fingerprint — the data-versioning
+    * identity a training run records so "same corpus?" is a 64-bit
+    * comparison, not a re-scan: per source (plus an ALL row), the doc
+    * count, total chars, and Σ h(doc_id|text) mod 2⁶⁰ where h folds the
+    * first 15 hex digits of the row md5. Addition commutes, so the
+    * fingerprint is independent of row order, partitioning, and cluster
+    * size — two pipelines that produced the same logical corpus agree
+    * bit-for-bit even if their shuffles never did.
+    *
+    * Shape at scale: ONE scan, map-side hash + fold, a |sources|-group
+    * agg with map-side partials (the sum is associative — Spark's
+    * partial aggregation IS the tree-reduce). The DECIMAL(38,0)
+    * accumulator makes the sum exact before the mod. */
+  def datasetHash(spark: SparkSession, dir: String): DataFrame = {
+    val mod = "1152921504606846976" // 2^60
+    val d = Tables.documents(spark, dir)
+      .withColumn("h", md5(concat_ws("|", col("doc_id"), col("text"))))
+      .withColumn("hv", expr(
+        "aggregate(sequence(1, 15), 0L, (acc, k) -> acc * 16 + " +
+        "CAST(instr('0123456789abcdef', substr(h, k, 1)) - 1 AS BIGINT))"))
+    val per = d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"),
+        expr(s"CAST(sum(CAST(hv AS DECIMAL(38,0))) % $mod AS BIGINT)")
+          .as("fingerprint"))
+    val total = d.agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"),
+        expr(s"CAST(sum(CAST(hv AS DECIMAL(38,0))) % $mod AS BIGINT)")
+          .as("fingerprint"))
+      .select(lit("ALL").as("source"), col("n_docs"), col("n_chars"),
+        col("fingerprint"))
+    per.select(col("source"), col("n_docs"), col("n_chars"), col("fingerprint"))
+      .unionAll(total)
+      .orderBy(col("source"))
+  }
 }

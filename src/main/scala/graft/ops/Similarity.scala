@@ -1418,28 +1418,35 @@ object Similarity {
     *
     * Shape at scale: the all-pairs self-join is the honest exact
     * measurement at this SF (n² cosine, partition-parallel, no
-    * shuffle after the broadcast side); at 100 TB the candidate side
-    * routes through the trained IVF cells exactly as [[annIvfTopk]]
-    * and purity becomes an estimate with the same downstream algebra. */
+    * shuffle after the broadcast side); the top-k itself is the
+    * [[graft.functions.TopKTriples]] bounded-heap aggregate, NOT a
+    * row_number window — the window form exchanges and sorts all n²
+    * candidate rows, the aggregate folds each candidate into a k-slot
+    * buffer in the map task that produced it, so the one shuffle
+    * carries n buffers of k triples (at sf1 this was the difference
+    * between 539 s and the join's raw compute). Ordering
+    * (cosine DESC, nbr_id ASC) is total, so the result is identical
+    * to the window form and the DuckDB window oracle still matches.
+    * At 100 TB the candidate side routes through the trained IVF
+    * cells exactly as [[annIvfTopk]] and purity becomes an estimate
+    * with the same downstream algebra. */
   def knnPurity(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val e = graft.Caches.persistTracked(
       vecs(spark, dir).select(col("vec_id"), col("label"), col("v"), col("norm")))
     e.count() // materialize: the self-join broadcast gate needs real sizes
     import graft.operators.Scale.maybeBroadcast
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("nbr_id"))
-    val nn = e.as("a").join(maybeBroadcast(e).as("b"),
-        col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_id"), col("a.label").as("label"),
-        col("b.vec_id").as("nbr_id"), col("b.label").as("nbr_label"),
-        round(expr("graft_dot(a.v, b.v)") / (col("a.norm") * col("b.norm")), 6)
-          .as("cosine"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
     // integer hit counting end to end: mean purity = Σhits/(k·n) from
     // exact longs, never an average of inexact 1/k-step doubles
-    nn.groupBy(col("vec_id"), col("label"))
-      .agg(sum(when(col("nbr_label") === col("label"), 1L).otherwise(0L)).as("hits"))
+    e.as("a").join(maybeBroadcast(e).as("b"),
+        col("a.vec_id") =!= col("b.vec_id"))
+      .groupBy(col("a.vec_id").as("vec_id"), col("a.label").as("label"))
+      .agg(expr(s"""graft_topk(
+          round(graft_dot(a.v, b.v) / (a.norm * b.norm), 6),
+          b.vec_id,
+          CAST(CASE WHEN b.label = a.label THEN 1 ELSE 0 END AS BIGINT),
+          $k)""").as("top"))
+      .select(col("vec_id"), col("label"),
+        expr("aggregate(top, 0L, (acc, t) -> acc + t.pay)").as("hits"))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"), sum(col("hits")).as("sum_hits"))
       .select(col("label").cast("long").as("label"), col("n_vecs"),
@@ -1526,5 +1533,59 @@ object Similarity {
           (sqrt(expr("graft_dot(ca, ca)")) * sqrt(expr("graft_dot(cb, cb)"))), 6)
           .as("centroid_cosine"))
       .orderBy(col("label"))
+  }
+
+  /** The deterministic ±1 Johnson–Lindenstrauss projection matrix as a
+    * 16×64 sign string ('+'/'−' per (out_dim, in_dim) cell, md5-derived)
+    * — inlined VERBATIM into both the Spark expression and the DuckDB
+    * oracle so the projection is definitionally identical in both
+    * engines (the PHash ctab discipline). */
+  private[graft] lazy val jlSigns: String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until 16).flatMap { j =>
+      (0 until 64).map { i =>
+        md.reset()
+        val h = md.digest(s"jl-$j-$i".getBytes("UTF-8"))
+        if ((h(0) & 1) == 0) '+' else '-'
+      }
+    }.mkString
+  }
+
+  /** Johnson–Lindenstrauss distortion audit: project the 64-d
+    * embeddings to 16-d with a deterministic ±1 sign matrix (Achlioptas
+    * 2003 — database-friendly random projections) and report, per probe
+    * pair, the full-dimension cosine beside the projected cosine and
+    * the absolute error. This is the measurement a pipeline runs BEFORE
+    * switching its ANN index to a cheaper projected space: JL says
+    * pairwise geometry survives k ≪ d, this op says by how much on THIS
+    * corpus (the measured-not-assumed discipline of
+    * [[Dedup.minhashEstError]], applied to dimensionality).
+    *
+    * Shape at scale: the projection is ONE map-side transform
+    * (O(d·k) per row, no shuffle) a 100 TB corpus applies to every
+    * vector; the distortion audit joins the 20-probe subset against
+    * itself — 190 pairs, broadcast, constant cost at any corpus
+    * size. */
+  def randomProjection(spark: SparkSession, dir: String): DataFrame = {
+    val signs = jlSigns
+    val e = vecs(spark, dir).filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("v"))
+      .withColumn("p", expr(
+        s"""transform(sequence(0, 15), j ->
+              aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE),
+                (acc, i) -> acc + IF(substr('$signs', j*64 + i + 1, 1) = '+',
+                  element_at(v, i + 1), -element_at(v, i + 1))))"""))
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("p").as("pa"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("p").as("pb"))
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(expr("graft_dot(va, vb)") /
+          (sqrt(expr("graft_dot(va, va)")) * sqrt(expr("graft_dot(vb, vb)"))), 6)
+          .as("cos_full"),
+        round(expr("graft_dot(pa, pb)") /
+          (sqrt(expr("graft_dot(pa, pa)")) * sqrt(expr("graft_dot(pb, pb)"))), 6)
+          .as("cos_proj"))
+      .withColumn("abs_err", round(abs(col("cos_full") - col("cos_proj")), 6))
+      .orderBy(col("vec_a"), col("vec_b"))
   }
 }
