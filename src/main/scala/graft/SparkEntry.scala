@@ -261,6 +261,12 @@ object SparkEntry {
     "embed_random_projection" -> Similarity.randomProjection _,
     "pipeline_dataset_hash"   -> Pipeline.datasetHash _,
     "mm_shot_keyframes"       -> Multimodal.shotKeyframes _,
+    "mm_silence_trim"         -> Multimodal.silenceTrim _,
+    "mm_image_histogram"      -> Multimodal.imageHistogram _,
+    "graph_rich_club"         -> Graph.richClub _,
+    "q_hhi_concentration"     -> Relational.qHhiConcentration _,
+    "q_bucket_migration"      -> Relational.qBucketMigration _,
+    "text_rake_keywords"      -> ((s: SparkSession, d: String) => TextAnalysis.rakeKeywords(s, d)),
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. */
@@ -3912,5 +3918,120 @@ object SparkEntry {
         |  CAST(kf.f AS BIGINT) AS key_f, kf.rms AS key_rms
         |FROM g JOIN kf USING (doc_id, shot_id)
         |ORDER BY doc_id, shot_id""".stripMargin,
+    // leading/trailing silence trim over the same frame-RMS stream
+    // (mirrors Multimodal.silenceTrim; threshold = audioEnergy's 25500)
+    "mm_silence_trim" ->
+      """WITH t AS (SELECT doc_id, text FROM documents WHERE len(text) // 64 > 0),
+        |fr AS (SELECT doc_id, unnest(range(0, len(text) // 64)) AS f, text FROM t),
+        |frames AS (SELECT doc_id, f, substr(text, CAST(f*64+1 AS INT), 64) AS fx FROM fr),
+        |rms AS (SELECT doc_id, f,
+        |   round(sqrt(list_sum(list_transform(range(0, 32),
+        |     i -> CAST(ord(substr(fx, CAST(2*i+1 AS INT), 1)) * 256
+        |          + ord(substr(fx, CAST(2*i+2 AS INT), 1)) AS DOUBLE)
+        |          * (ord(substr(fx, CAST(2*i+1 AS INT), 1)) * 256
+        |          + ord(substr(fx, CAST(2*i+2 AS INT), 1))))) / 32), 6) AS rms
+        |  FROM frames),
+        |agg AS (SELECT doc_id, count(*) AS nf,
+        |   min(CASE WHEN rms >= 25500 THEN f END) AS fa,
+        |   max(CASE WHEN rms >= 25500 THEN f END) AS la
+        |  FROM rms GROUP BY doc_id)
+        |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(coalesce(fa, -1) AS BIGINT) AS first_active,
+        |  CAST(coalesce(la, -1) AS BIGINT) AS last_active,
+        |  CAST(CASE WHEN fa IS NULL THEN nf ELSE nf - (la - fa + 1) END
+        |    AS BIGINT) AS n_trimmed
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    // 16-bin luminance histogram from the SAME pixel formula the PNG
+    // payloads encode (mirrors Multimodal.imageHistogram / PHash.pixelGrid)
+    "mm_image_histogram" ->
+      """WITH d AS (SELECT doc_id, doc_id % 23 AS g, (doc_id // 23) % 13 AS w,
+        |   doc_id % 3 AS dd FROM documents),
+        |cells AS (SELECT doc_id, g, w, dd, x.i AS x, y.i AS y
+        |  FROM d CROSS JOIN (SELECT unnest(range(0, 32)) AS i) x
+        |  CROSS JOIN (SELECT unnest(range(0, 32)) AS i) y),
+        |px AS (SELECT doc_id, least(
+        |   ((x+1) * (g+3) + (y+1) * (w+5) + ((x*y) % (g+2)) * 7) % 256
+        |   + (CASE WHEN x BETWEEN 12 AND 13 AND y BETWEEN 12 AND 13
+        |      THEN dd ELSE 0 END), 255) AS v FROM cells)
+        |SELECT doc_id, CAST(v // 16 AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_px
+        |FROM px GROUP BY 1, 2 ORDER BY doc_id, bin""".stripMargin,
+    // rich-club coefficient curve over the co-occurrence graph
+    // (mirrors Graph.richClub; tie-free 6-dp rounding)
+    "graph_rich_club" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |p AS (SELECT DISTINCT x.pk AS u, y.pk AS v
+        |  FROM items x JOIN items y ON x.ok = y.ok AND x.pk < y.pk),
+        |deg AS (SELECT n, count(*) AS deg FROM
+        |  (SELECT u AS n FROM p UNION ALL SELECT v FROM p) GROUP BY 1),
+        |ks AS (SELECT unnest([2, 4, 8, 16]) AS k),
+        |nodes AS (SELECT k, count(*) AS n_nodes FROM deg CROSS JOIN ks
+        |  WHERE deg > k GROUP BY k),
+        |edges AS (SELECT k, count(*) AS n_edges FROM p
+        |  JOIN deg du ON p.u = du.n JOIN deg dv ON p.v = dv.n
+        |  CROSS JOIN ks WHERE du.deg > k AND dv.deg > k GROUP BY k)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(n_nodes AS BIGINT) AS n_nodes,
+        |  CAST(coalesce(n_edges, 0) AS BIGINT) AS n_edges,
+        |  CASE WHEN n_nodes < 2 THEN 0.0 ELSE
+        |   CAST((2 * coalesce(n_edges, 0) * 2 * 1000000
+        |     + n_nodes * (n_nodes - 1))
+        |    // (2 * n_nodes * (n_nodes - 1)) AS DOUBLE) / 1000000.0 END AS phi
+        |FROM nodes LEFT JOIN edges USING (k) ORDER BY k""".stripMargin,
+    // per-nation supplier-revenue HHI in exact integer micro-units
+    // (mirrors Relational.qHhiConcentration)
+    "q_hhi_concentration" ->
+      """WITH sr AS (SELECT l_suppkey,
+        |   sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |       (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |c AS (SELECT l_suppkey, CAST(rev * 1000000 AS HUGEINT) AS c FROM sr),
+        |g AS (SELECT n_name, count(*) AS n_suppliers,
+        |   sum(c * c) AS s2, sum(c) AS t
+        |  FROM c JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey GROUP BY 1)
+        |SELECT n_name, CAST(n_suppliers AS BIGINT) AS n_suppliers,
+        |  round(CAST(t AS DOUBLE) / 1000000.0, 2) AS total_rev,
+        |  CAST((2 * s2 * 1000000 + t * t) // (2 * t * t) AS DOUBLE)
+        |    / 1000000.0 AS hhi
+        |FROM g ORDER BY n_name""".stripMargin,
+    // year-over-year spend-quintile migration (mirrors
+    // Relational.qBucketMigration; ntile tie-broken on custkey)
+    "q_bucket_migration" ->
+      """WITH yearly AS (SELECT o_custkey,
+        |   CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |  FROM orders GROUP BY 1, 2),
+        |q AS (SELECT o_custkey, yr, CAST(ntile(5) OVER
+        |   (PARTITION BY yr ORDER BY spend, o_custkey) AS BIGINT) AS bucket
+        |  FROM yearly),
+        |mx AS (SELECT max(yr) AS max_yr FROM q)
+        |SELECT a.bucket AS from_bucket,
+        |  coalesce(b.bucket, 0) AS to_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_customers
+        |FROM q a LEFT JOIN q b
+        |  ON a.o_custkey = b.o_custkey AND b.yr = a.yr + 1
+        |CROSS JOIN mx WHERE a.yr < max_yr
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // RAKE keyword scores: phrase runs between stopwords, deg/freq
+    // (mirrors TextAnalysis.rakeKeywords; tie-free 6-dp)
+    "text_rake_keywords" ->
+      """WITH t AS (SELECT doc_id,
+        |   regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents),
+        |tok AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+        |   i -> struct_pack(pos := i, w := toks[i]))) AS u FROM t),
+        |st AS (SELECT doc_id, u.pos AS pos, u.w AS w,
+        |   CASE WHEN u.w IN ('the','a','of','and','to','in')
+        |     THEN 1 ELSE 0 END AS is_stop FROM tok),
+        |ph AS (SELECT doc_id, pos, w, is_stop, sum(is_stop) OVER
+        |   (PARTITION BY doc_id ORDER BY pos) AS phrase_id FROM st),
+        |np AS (SELECT doc_id, pos, w, phrase_id FROM ph WHERE is_stop = 0),
+        |pl AS (SELECT doc_id, w, count(*) OVER
+        |   (PARTITION BY doc_id, phrase_id) AS phrase_len FROM np),
+        |ag AS (SELECT w, count(*) AS freq, sum(phrase_len) AS deg
+        |  FROM pl GROUP BY 1)
+        |SELECT w, CAST(freq AS BIGINT) AS freq, CAST(deg AS BIGINT) AS deg,
+        |  CAST((2 * deg * 1000000 + freq) // (2 * freq) AS DOUBLE)
+        |    / 1000000.0 AS score
+        |FROM ag ORDER BY score DESC, w LIMIT 25""".stripMargin,
   )
 }

@@ -1467,4 +1467,78 @@ object Relational {
         round(expr("percentile(gap_days, 0.9D)"), 6).as("p90_gap_days"),
         max(col("gap_days")).as("max_gap_days"))
   }
+
+  /** Herfindahl–Hirschman supplier-concentration index per nation:
+    * HHI = Σᵢ shareᵢ² over each nation's suppliers' revenue shares —
+    * the antitrust-style concentration number that says whether a
+    * nation's supply base is a monopoly (→1) or fragmented (→0),
+    * the squared-share sibling of [[qGiniSpend]]. Computed as the
+    * exact rational Σcᵢ²/(Σcᵢ)² in integer cents (DECIMAL(38,0)
+    * accumulators — cᵢ² at 100 TB exceeds BIGINT), rounded 6-dp with
+    * the tie-free (2·num·10⁶+den) div (2·den) rule.
+    *
+    * Shape at scale: one fact-scan agg on suppkey (map-side partials),
+    * then nation-grain sums over the |suppliers| rows — the squares
+    * and the total both come from the same supplier-grain table, no
+    * second fact pass; nation dim broadcasts. */
+  def qHhiConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val supRev = Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(revTerm(col("l_extendedprice"), col("l_discount"))).as("rev"))
+      // exact integer micro-units (rev is scale-6: ×10⁶ is lossless;
+      // ×100 would round) as DECIMAL(38,0) so the squares stay exact
+      .withColumn("c", expr("CAST(rev * 1000000 AS DECIMAL(38,0))"))
+    supRev
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("c") * col("c")).as("s2"), sum(col("c")).as("t"))
+      .select(col("n_name"), col("n_suppliers"),
+        round(col("t").cast("double") / 1000000.0, 2).as("total_rev"),
+        expr("""CAST((2 * s2 * 1000000 + t * t) div (2 * t * t) AS DOUBLE)
+               / 1000000.0""").as("hhi"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Year-over-year spend-quintile migration matrix: each customer's
+    * annual spend is bucketed into within-year quintiles (ntile over
+    * (spend, custkey) — total order, engine-identical), and every
+    * consecutive-year pair contributes one (from_quintile →
+    * to_quintile) transition; customers absent the following year
+    * migrate to bucket 0 ("churned"). The 5×6 matrix is the segment
+    * half-life picture behind [[qRfmSegments]] — not where customers
+    * ARE but how fast they MOVE.
+    *
+    * Shape at scale: one fact agg to (custkey, year) grain, ntile
+    * windows PARTITIONED BY year over that dim-grain table (|C| rows
+    * per partition — approx-quantile bucketing at 100 TB, same note
+    * as [[qRfmSegments]]), one self-join on (custkey, year+1), and a
+    * ≤30-group agg. */
+  def qBucketMigration(spark: SparkSession, dir: String): DataFrame = {
+    val yearly = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(sum(d2(col("o_totalprice"))).as("spend"))
+    val wq = Window.partitionBy(col("yr")).orderBy(col("spend"), col("o_custkey"))
+    val q = graft.Caches.persistTracked(
+      yearly.select(col("o_custkey"), col("yr"),
+        ntile(5).over(wq).cast("long").as("bucket")))
+    q.count()
+    q.as("a").join(q.as("b"),
+        col("a.o_custkey") === col("b.o_custkey") &&
+          col("b.yr") === col("a.yr") + 1, "left")
+      // customers in the LAST observed year have no "next year" to
+      // migrate into; drop that frontier, keep true churn
+      .join(broadcast(q.agg(max(col("yr")).as("max_yr"))),
+        col("a.yr") < col("max_yr"))
+      .groupBy(col("a.bucket").as("from_bucket"),
+        coalesce(col("b.bucket"), lit(0L)).as("to_bucket"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("from_bucket"), col("to_bucket"))
+  }
 }

@@ -216,6 +216,58 @@ object Multimodal {
       .orderBy(col("doc_id"), col("shot_id"))
   }
 
+  /** Silence trimming over the frame-RMS stream — the VAD step that
+    * decides WHICH frames survive before transcription (the companion
+    * of [[audioEnergy]], which only measures): per doc the first and
+    * last frame at-or-above the low-energy threshold (the same 25500
+    * cut [[audioEnergy]] counts against), the kept span, and the
+    * trimmed leading/trailing frame count. All-silent docs report
+    * first/last = −1 and everything trimmed. Integer-exact end to end.
+    *
+    * Shape at scale: the shared map-side frame fan-out plus ONE
+    * doc-grain agg (min/max/count are map-side combinable) — no
+    * window, no join; identical plan family to [[audioEnergy]]. */
+  def silenceTrim(spark: SparkSession, dir: String): DataFrame =
+    frameRms(spark, dir)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        min(when(col("rms") >= 25500.0, col("f"))).as("fa"),
+        max(when(col("rms") >= 25500.0, col("f"))).as("la"))
+      .select(col("doc_id"), col("n_frames"),
+        coalesce(col("fa"), lit(-1L)).cast("long").as("first_active"),
+        coalesce(col("la"), lit(-1L)).cast("long").as("last_active"),
+        when(col("fa").isNull, col("n_frames"))
+          .otherwise(col("n_frames") - (col("la") - col("fa") + 1))
+          .cast("long").as("n_trimmed"))
+      .orderBy(col("doc_id"))
+
+  /** Luminance histogram over REAL decoded pixels — the
+    * dark/blown-exposure screen an image-curation pipeline runs before
+    * anything expensive (the statistics sibling of [[phashDedup]],
+    * same codec in the loop): each doc's PNG payload is decoded back
+    * to the 32×32 grayscale grid via the JDK's imageio, pixels are
+    * bucketed into 16 luminance bins (level div 16), and the output is
+    * one row per (doc, non-empty bin) with the pixel count — integers
+    * only, so the DuckDB oracle recomputes the identical histogram
+    * from the same pixel formula without a codec.
+    *
+    * Shape at scale: decode + bucket is one map-side pass (the
+    * [[PHash]] discipline); the only shuffle is the (doc, bin)-grain
+    * agg, map-side combinable, output ≤16 rows per doc. */
+  def imageHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val px = PHash.decodeGray(PHash.encodePng(PHash.pixelGrid(id)))
+          px.iterator.map(v => (id, (v / 16).toLong))
+        }
+      }.toDF("doc_id", "bin")
+      .groupBy(col("doc_id"), col("bin"))
+      .agg(count(lit(1)).as("n_px"))
+      .orderBy(col("doc_id"), col("bin"))
+  }
+
   case class ResizedMedia(doc_id: Long, media_type: String, orig_bytes: Long,
       resized_bytes: Long, resized: Array[Byte])
 

@@ -798,4 +798,42 @@ object TextAnalysis {
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
       .limit(k)
   }
+
+  /** RAKE-style keyword extraction (Rose et al. 2010): candidate
+    * phrases are maximal runs of non-stopword tokens (the same 6-word
+    * stop set [[quality]] scores against); each word scores
+    * deg(w)/freq(w), where deg sums the lengths of every phrase the
+    * word appears in and freq counts its occurrences — words that
+    * live in LONG phrases outrank equally-frequent words that stand
+    * alone. Top 25 by (score, word). The score is an exact integer
+    * rational, 6-dp via the tie-free (2·num·10⁶+den) div (2·den)
+    * rule.
+    *
+    * Shape at scale: tokenize map-side, phrase segmentation is two
+    * windows BOTH partitioned by doc (one exchange — the running
+    * stopword count that assigns phrase ids, then the per-phrase
+    * length), one word-grain agg (map-side combinable), TakeOrdered
+    * top-k. No joins. */
+  def rakeKeywords(spark: SparkSession, dir: String, k: Int = 25): DataFrame = {
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("phrase_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")))
+      .withColumnRenamed("col", "w").withColumnRenamed("pos", "pos")
+      .withColumn("is_stop",
+        col("w").isin("the", "a", "of", "and", "to", "in").cast("long"))
+      .withColumn("phrase_id", sum(col("is_stop")).over(wd))
+      .filter(col("is_stop") === 0)
+      .withColumn("phrase_len", count(lit(1)).over(wp))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("phrase_len")).as("deg"))
+      .select(col("w"), col("freq"), col("deg"),
+        expr("CAST((2 * deg * 1000000 + freq) div (2 * freq) AS DOUBLE) " +
+          "/ 1000000.0").as("score"))
+      .orderBy(col("score").desc, col("w"))
+      .limit(k)
+  }
 }
