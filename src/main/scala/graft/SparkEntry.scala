@@ -267,6 +267,11 @@ object SparkEntry {
     "q_hhi_concentration"     -> Relational.qHhiConcentration _,
     "q_bucket_migration"      -> Relational.qBucketMigration _,
     "text_rake_keywords"      -> ((s: SparkSession, d: String) => TextAnalysis.rakeKeywords(s, d)),
+    "etl_user_lifecycle"      -> EventsEtl.userLifecycle _,
+    "text_compression_proxy"  -> TextAnalysis.compressionProxy _,
+    "embed_cosine_calibration" -> Similarity.cosineCalibration _,
+    "q_part_growth_topk"      -> Relational.qPartGrowthTopk _,
+    "pipeline_source_dup_rate" -> Pipeline.sourceDupRate _,
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. */
@@ -4033,5 +4038,104 @@ object SparkEntry {
         |  CAST((2 * deg * 1000000 + freq) // (2 * freq) AS DOUBLE)
         |    / 1000000.0 AS score
         |FROM ag ORDER BY score DESC, w LIMIT 25""".stripMargin,
+    // growth-accounting lifecycle (mirrors EventsEtl.userLifecycle;
+    // churn booked on prev-active-day + 8 when confirmable in-range)
+    "etl_user_lifecycle" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |   CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day FROM events),
+        |lg AS (SELECT user_id, day,
+        |   lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev,
+        |   lead(day) OVER (PARTITION BY user_id ORDER BY day) AS nxt FROM ud),
+        |mx AS (SELECT max(day) AS max_day FROM ud),
+        |states AS (SELECT day, CASE WHEN prev IS NULL THEN 'new'
+        |   WHEN day - prev > 7 THEN 'resurrected'
+        |   ELSE 'retained' END AS state FROM lg),
+        |churn AS (SELECT day + 8 AS day, 'churned' AS state
+        |  FROM lg CROSS JOIN mx
+        |  WHERE coalesce(nxt - day, 9223372036854775807) > 7
+        |    AND day + 8 <= max_day),
+        |u AS (SELECT * FROM states UNION ALL SELECT * FROM churn)
+        |SELECT day,
+        |  CAST(sum(CASE WHEN state = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |  CAST(sum(CASE WHEN state = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        |  CAST(sum(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+        |  CAST(sum(CASE WHEN state = 'churned' THEN 1 ELSE 0 END) AS BIGINT) AS n_churned
+        |FROM u GROUP BY day ORDER BY day""".stripMargin,
+    // distinct-4-gram compression proxy (mirrors
+    // TextAnalysis.compressionProxy; tie-free micro-unit mean)
+    "text_compression_proxy" ->
+      """WITH d AS (SELECT source, len(text) - 3 AS n4,
+        |   len(list_distinct(list_transform(range(0, len(text) - 3),
+        |     i -> substr(text, CAST(i + 1 AS INT), 4)))) AS d4
+        |  FROM documents WHERE len(text) >= 4),
+        |r AS (SELECT source, n4, d4,
+        |   (2 * d4 * 1000000 + n4) // (2 * n4) AS r6 FROM d),
+        |g AS (SELECT source, count(*) AS n_docs, sum(r6) AS s6,
+        |   sum(CASE WHEN d4 * 5 < n4 THEN 1 ELSE 0 END) AS n_low
+        |  FROM r GROUP BY 1)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST((2 * s6 + n_docs) // (2 * n_docs) AS DOUBLE) / 1000000.0
+        |    AS mean_distinct_ratio,
+        |  CAST(n_low AS BIGINT) AS n_low_diversity
+        |FROM g ORDER BY source""".stripMargin,
+    // sampled pairwise-cosine histogram (mirrors
+    // Similarity.cosineCalibration; integer micro-unit binning)
+    "embed_cosine_calibration" ->
+      """WITH e AS (SELECT vec_id,
+        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+        |  WHERE vec_id % 17 = 0),
+        |n AS (SELECT vec_id, v,
+        |   sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e),
+        |p AS (SELECT round(list_sum(list_transform(list_zip(a.v, b.v),
+        |     z -> z[1] * z[2])) / (a.norm * b.norm), 6) AS cos
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id),
+        |b AS (SELECT (CAST(CAST(cos AS DECIMAL(9,6)) * 1000000 AS BIGINT)
+        |   + 1000000) // 100000 AS bin FROM p),
+        |g AS (SELECT bin, count(*) AS n_pairs FROM b GROUP BY 1),
+        |t AS (SELECT sum(n_pairs) AS tot FROM g)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  CAST((2 * n_pairs * 1000000 + tot) // (2 * tot) AS DOUBLE)
+        |    / 1000000.0 AS share
+        |FROM g CROSS JOIN t ORDER BY bin""".stripMargin,
+    // top part-level YoY growers (mirrors Relational.qPartGrowthTopk;
+    // sign-split half-away-from-zero rounding)
+    "q_part_growth_topk" ->
+      """WITH py AS (SELECT l_partkey, CAST(year(l_shipdate) AS BIGINT) AS yr,
+        |   sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |       (CAST(1 AS DECIMAL(5,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS rev
+        |  FROM lineitem GROUP BY 1, 2),
+        |lg AS (SELECT l_partkey, yr, rev,
+        |   lag(rev) OVER (PARTITION BY l_partkey ORDER BY yr) AS prev,
+        |   lag(yr) OVER (PARTITION BY l_partkey ORDER BY yr) AS prev_yr
+        |  FROM py),
+        |d AS (SELECT l_partkey, yr, rev, prev,
+        |   CAST((rev - prev) * 1000000 AS HUGEINT) AS n6,
+        |   CAST(prev * 1000000 AS HUGEINT) AS d6
+        |  FROM lg WHERE prev IS NOT NULL AND yr - prev_yr = 1)
+        |SELECT l_partkey, yr, round(CAST(rev AS DOUBLE), 2) AS revenue,
+        |  round(CAST(prev AS DOUBLE), 2) AS prev_revenue,
+        |  CAST(CASE WHEN n6 >= 0 THEN (2 * n6 * 1000000 + d6) // (2 * d6)
+        |    ELSE -((2 * (-n6) * 1000000 + d6) // (2 * d6)) END AS DOUBLE)
+        |    / 1000000.0 AS growth
+        |FROM d ORDER BY growth DESC, l_partkey, yr LIMIT 15""".stripMargin,
+    // per-source near-dup rate over the LSH component labels (mirrors
+    // Pipeline.sourceDupRate; canonical = cluster-min doc_id)
+    "pipeline_source_dup_rate" ->
+      s"""WITH RECURSIVE $componentsCtes,
+        |lbl AS (SELECT node AS doc_id, min(reach) AS component
+        |  FROM walk GROUP BY 1),
+        |j AS (SELECT d.source, d.doc_id, lbl.component
+        |  FROM documents d LEFT JOIN lbl ON d.doc_id = lbl.doc_id),
+        |g AS (SELECT source, count(*) AS n_docs,
+        |   sum(CASE WHEN component IS NOT NULL THEN 1 ELSE 0 END) AS n_clustered,
+        |   sum(CASE WHEN component IS NOT NULL AND component <> doc_id
+        |     THEN 1 ELSE 0 END) AS n_removable
+        |  FROM j GROUP BY 1)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_clustered AS BIGINT) AS n_clustered,
+        |  CAST(n_removable AS BIGINT) AS n_removable,
+        |  CAST((2 * n_removable * 1000000 + n_docs) // (2 * n_docs) AS DOUBLE)
+        |    / 1000000.0 AS removable_share
+        |FROM g ORDER BY source""".stripMargin,
   )
 }

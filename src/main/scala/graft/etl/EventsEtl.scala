@@ -1005,4 +1005,48 @@ object EventsEtl {
       .agg(count(lit(1)).as("n_purchases"))
       .orderBy(col("model"), col("channel"))
   }
+
+  /** Growth-accounting user lifecycle: every (user, active-day) is
+    * classified NEW (first activity ever), RESURRECTED (gap from the
+    * previous active day > 7), or RETAINED; churn is booked on
+    * prev_active_day + 8 for every >7-day silence that the observed
+    * range can actually confirm (a user silent past the corpus edge is
+    * unknowable, not churned — the frontier rule
+    * [[graft.operators.Relational.qBucketMigration]] also applies).
+    * Per day: the four counts — the standard DAU decomposition
+    * new + retained + resurrected − churned that growth dashboards
+    * plot, where [[rollingActives]] only plots the level.
+    *
+    * Shape at scale: (user, day) distinct, ONE lag window per user (no
+    * global sort), the churn stream derived from the same lagged rows,
+    * one day-grain map-side-combinable agg. */
+  def userLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_timestamp(ts) div 86400").as("day"))
+      .distinct()
+      .withColumn("prev", lag(col("day"), 1).over(w))
+      .withColumn("nxt", lead(col("day"), 1).over(w))
+    val g = graft.Caches.persistTracked(
+      ud.crossJoin(broadcast(ud.agg(max(col("day")).as("max_day")))))
+    g.count()
+    val states = g.select(col("day"),
+      when(col("prev").isNull, "new")
+        .when(col("day") - col("prev") > 7, "resurrected")
+        .otherwise("retained").as("state"))
+    // churn: prev-active day d with silence (d, d+7] confirmed inside
+    // the observed range — booked on d+8
+    val churn = g
+      .filter((coalesce(col("nxt") - col("day"), lit(Long.MaxValue)) > 7) &&
+        col("day") + 8 <= col("max_day"))
+      .select((col("day") + 8).as("day"), lit("churned").as("state"))
+    states.unionAll(churn)
+      .groupBy(col("day"))
+      .agg(
+        sum(when(col("state") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("state") === "retained", 1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("state") === "resurrected", 1L).otherwise(0L)).as("n_resurrected"),
+        sum(when(col("state") === "churned", 1L).otherwise(0L)).as("n_churned"))
+      .orderBy(col("day"))
+  }
 }

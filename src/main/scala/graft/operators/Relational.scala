@@ -1541,4 +1541,40 @@ object Relational {
       .agg(count(lit(1)).as("n_customers"))
       .orderBy(col("from_bucket"), col("to_bucket"))
   }
+
+  /** Top-15 part-level YoY revenue growers: [[qYoyGrowth]] says THAT
+    * the business grew; this says WHICH parts drove it. Per (part,
+    * year) exact-decimal revenue, lag along the year axis per part,
+    * growth = (rev − prev)/prev as an exact micro-unit rational with
+    * the tie-free 6-dp rounding; top-15 by (growth, part, year) so the
+    * cut is a total order.
+    *
+    * Shape at scale: one fact agg to (part, year) grain (map-side
+    * partials), ONE lag window partitioned by part over that dim×|years|
+    * table, TakeOrdered top-k — no global sort of anything fact-sized. */
+  def qPartGrowthTopk(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_partkey")).orderBy(col("yr"))
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"),
+        year(col("l_shipdate")).cast("long").as("yr"))
+      .agg(sum(revTerm(col("l_extendedprice"), col("l_discount"))).as("rev"))
+      .withColumn("prev", lag(col("rev"), 1).over(w))
+      .withColumn("prev_yr", lag(col("yr"), 1).over(w))
+      .filter(col("prev").isNotNull && col("yr") - col("prev_yr") === 1)
+      // growth can be NEGATIVE: integer div is truncate-toward-zero in
+      // Spark but floor in DuckDB, so the tie-free formula runs on the
+      // magnitude and the sign is reapplied (half-away-from-zero —
+      // identical in both engines)
+      .withColumn("n6", expr("CAST((rev - prev) * 1000000 AS DECIMAL(38,0))"))
+      .withColumn("d6", expr("CAST(prev * 1000000 AS DECIMAL(38,0))"))
+      .select(col("l_partkey"), col("yr"),
+        round(col("rev").cast("double"), 2).as("revenue"),
+        round(col("prev").cast("double"), 2).as("prev_revenue"),
+        expr("""CAST(CASE WHEN n6 >= 0
+                 THEN (2 * n6 * 1000000 + d6) div (2 * d6)
+                 ELSE -((2 * (-n6) * 1000000 + d6) div (2 * d6)) END
+               AS DOUBLE) / 1000000.0""").as("growth"))
+      .orderBy(col("growth").desc, col("l_partkey"), col("yr"))
+      .limit(15)
+  }
 }

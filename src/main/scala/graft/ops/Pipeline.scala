@@ -790,4 +790,38 @@ object Pipeline {
       .unionAll(total)
       .orderBy(col("source"))
   }
+
+  /** Near-duplicate rate per source — the "which feed is spamming the
+    * corpus" attribution behind [[domainMix]]'s raw shares: the
+    * MinHash-LSH component labels ([[graft.ops.Dedup.components]] —
+    * canonical = cluster min doc_id) joined back to the source column;
+    * a doc is REMOVABLE when it belongs to a cluster and is not its
+    * canonical. Per source: docs, clustered docs, removable docs, and
+    * the removable share (exact rational, tie-free 6-dp) — the number
+    * a data card quotes per provider and the input to renegotiating a
+    * crawl's dedup budget.
+    *
+    * Shape at scale: the label table is LSH-collision-sized (≪ corpus);
+    * ONE broadcast-gated left join onto the doc-grain (doc, source)
+    * projection, one |sources|-group agg. */
+  def sourceDupRate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Scale.maybeBroadcast
+    val labels = graft.Caches.persistTracked(
+      graft.ops.Dedup.components(spark, dir))
+    labels.count()
+    Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      .join(maybeBroadcast(labels), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("component").isNotNull, 1L).otherwise(0L))
+          .as("n_clustered"),
+        sum(when(col("component").isNotNull &&
+            col("component") =!= col("doc_id"), 1L).otherwise(0L))
+          .as("n_removable"))
+      .select(col("source"), col("n_docs"), col("n_clustered"),
+        col("n_removable"),
+        expr("""CAST((2 * n_removable * 1000000 + n_docs) div (2 * n_docs)
+               AS DOUBLE) / 1000000.0""").as("removable_share"))
+      .orderBy(col("source"))
+  }
 }

@@ -1588,4 +1588,37 @@ object Similarity {
       .withColumn("abs_err", round(abs(col("cos_full") - col("cos_proj")), 6))
       .orderBy(col("vec_a"), col("vec_b"))
   }
+
+  /** Pairwise-cosine calibration histogram — the distribution every
+    * similarity THRESHOLD in this repo (semdedup's cut, the cosine
+    * near-dup bound, ANN candidate pruning) should be read against
+    * before it is chosen: exact cosines over a deterministic
+    * vec_id %% 17 sample of the corpus (a hash-free systematic sample —
+    * ids are arbitrary, and the modulus keeps the pair count at
+    * (n/17)², bounded and scale-predictable), bucketed into 21
+    * half-open bins of width 0.1 over [−1, 1]. Binning is INTEGER:
+    * the 6-dp cosine becomes exact micro-units via DECIMAL, then
+    * (c6 + 10⁶) div 10⁵ — no float boundary can disagree across
+    * engines. Output per bin: pair count and 6-dp share (tie-free).
+    *
+    * Shape at scale: sample × sample broadcast self-join (the small
+    * side is |corpus|/17 rows), map-side dot products, one ≤21-group
+    * agg. At 100 TB the modulus rises with the corpus so the sampled
+    * pair count stays a constant budget. */
+  def cosineCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val s = vecs(spark, dir).filter(col("vec_id") % 17 === 0)
+      .select(col("vec_id"), col("v"), col("norm"))
+    val pairs = s.as("a").join(broadcast(s).as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .select(round(expr("graft_dot(a.v, b.v)") /
+        (col("a.norm") * col("b.norm")), 6).as("cos"))
+      .select(expr("""(CAST(CAST(cos AS DECIMAL(9,6)) * 1000000 AS BIGINT)
+          + 1000000) div 100000""").as("bin"))
+    val binned = pairs.groupBy(col("bin")).agg(count(lit(1)).as("n_pairs"))
+    binned.crossJoin(broadcast(binned.agg(sum(col("n_pairs")).as("tot"))))
+      .select(col("bin"), col("n_pairs"),
+        expr("CAST((2 * n_pairs * 1000000 + tot) div (2 * tot) AS DOUBLE) " +
+          "/ 1000000.0").as("share"))
+      .orderBy(col("bin"))
+  }
 }

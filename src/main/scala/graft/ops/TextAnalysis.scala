@@ -836,4 +836,36 @@ object TextAnalysis {
       .orderBy(col("score").desc, col("w"))
       .limit(k)
   }
+
+  /** Compression-ratio proxy (the Gopher "repetitious document" family
+    * of filters without a codec in the loop): per doc the ratio of
+    * DISTINCT character 4-grams to total 4-gram windows — boilerplate
+    * and template spam compress (low ratio), organic prose doesn't.
+    * Per source: doc count, the mean per-doc ratio (per-doc ratios are
+    * exact 6-dp rationals; the mean sums their integer micro-units and
+    * divides ONCE, tie-free — the mm_audio_energy discipline), and the
+    * count of low-diversity docs (ratio < 0.2, compared as the exact
+    * integer d·5 < n — no float boundary).
+    *
+    * Shape at scale: the 4-gram windows never leave the row
+    * (transform + array_distinct inside codegen, O(len) per doc, no
+    * explode); ONE |sources|-group agg, map-side combinable. */
+  def compressionProxy(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(length(col("text")) >= 4)
+      .select(col("source"),
+        (length(col("text")) - 3).cast("long").as("n4"),
+        expr("""CAST(size(array_distinct(transform(
+            sequence(0, length(text) - 4),
+            i -> substr(text, i + 1, 4)))) AS BIGINT)""").as("d4"))
+      .withColumn("r6", expr("(2 * d4 * 1000000 + n4) div (2 * n4)"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("r6")).as("s6"),
+        sum(when(col("d4") * 5 < col("n4"), 1L).otherwise(0L))
+          .as("n_low_diversity"))
+      .select(col("source"), col("n_docs"),
+        expr("CAST((2 * s6 + n_docs) div (2 * n_docs) AS DOUBLE) / 1000000.0")
+          .as("mean_distinct_ratio"),
+        col("n_low_diversity"))
+      .orderBy(col("source"))
 }
