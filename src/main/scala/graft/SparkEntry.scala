@@ -268,6 +268,9 @@ object SparkEntry {
     "q_bucket_migration"      -> Relational.qBucketMigration _,
     "text_rake_keywords"      -> ((s: SparkSession, d: String) => TextAnalysis.rakeKeywords(s, d)),
     "etl_user_lifecycle"      -> EventsEtl.userLifecycle _,
+    "etl_bounce_rate"         -> EventsEtl.bounceRate _,
+    "etl_funnel_window_sweep" -> EventsEtl.funnelWindowSweep _,
+    "etl_power_users"         -> EventsEtl.powerUsers _,
     "text_compression_proxy"  -> TextAnalysis.compressionProxy _,
     "embed_cosine_calibration" -> Similarity.cosineCalibration _,
     "q_part_growth_topk"      -> Relational.qPartGrowthTopk _,
@@ -4038,6 +4041,68 @@ object SparkEntry {
         |  CAST((2 * deg * 1000000 + freq) // (2 * freq) AS DOUBLE)
         |    / 1000000.0 AS score
         |FROM ag ORDER BY score DESC, w LIMIT 25""".stripMargin,
+    // daily bounce rate over the sessionize session grain (mirrors
+    // EventsEtl.bounceRate; tie-free 6-dp)
+    "etl_bounce_rate" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+        |    lag(CAST(epoch(date_trunc('second', ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+        |  FROM events),
+        |t AS (SELECT *, CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800 THEN 1 ELSE 0 END AS new_sess FROM s),
+        |u AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_num FROM t),
+        |sess AS (SELECT user_id, session_num, count(*) AS n_events,
+        |   min(sec) // 86400 AS day FROM u GROUP BY 1, 2),
+        |g AS (SELECT day, count(*) AS n_sessions,
+        |   sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS n_bounces
+        |  FROM sess GROUP BY 1)
+        |SELECT day, CAST(n_sessions AS BIGINT) AS n_sessions,
+        |  CAST(n_bounces AS BIGINT) AS n_bounces,
+        |  CAST((2 * n_bounces * 1000000 + n_sessions) // (2 * n_sessions)
+        |    AS DOUBLE) / 1000000.0 AS bounce_rate
+        |FROM g ORDER BY day""".stripMargin,
+    // window-size sensitivity sweep of the funnel (mirrors
+    // EventsEtl.funnelWindowSweep: the window_funnel chain at 1h/4h/24h)
+    "etl_funnel_window_sweep" -> Seq(1, 4, 24).map { h =>
+      s"""SELECT CAST($h AS BIGINT) AS window_hours,
+        |  CAST(funnel_level AS BIGINT) AS funnel_level,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM (WITH u AS (SELECT DISTINCT user_id FROM events),
+        | v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+        | c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        | p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+        | l3 AS (SELECT DISTINCT v.user_id FROM v
+        |   JOIN c ON c.user_id = v.user_id AND c.ts > v.ts
+        |     AND c.ts <= v.ts + INTERVAL $h HOUR
+        |   JOIN p ON p.user_id = v.user_id AND p.ts > c.ts
+        |     AND p.ts <= v.ts + INTERVAL $h HOUR),
+        | l2 AS (SELECT DISTINCT v.user_id FROM v
+        |   JOIN c ON c.user_id = v.user_id AND c.ts > v.ts
+        |     AND c.ts <= v.ts + INTERVAL $h HOUR)
+        | SELECT u.user_id,
+        |  CASE WHEN u.user_id IN (SELECT user_id FROM l3) THEN 3
+        |       WHEN u.user_id IN (SELECT user_id FROM l2) THEN 2
+        |       WHEN u.user_id IN (SELECT user_id FROM v) THEN 1
+        |       ELSE 0 END AS funnel_level FROM u)
+        |GROUP BY 1, 2""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY window_hours, funnel_level"),
+    // top-p% activity concentration (mirrors EventsEtl.powerUsers;
+    // exact ceil cohort cut, tie-free shares)
+    "etl_power_users" ->
+      """WITH uc AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_users, sum(n_events) AS tot FROM uc),
+        |rk AS (SELECT user_id, n_events,
+        |   row_number() OVER (ORDER BY n_events DESC, user_id) AS rk FROM uc),
+        |ks AS (SELECT unnest([1, 5, 10]) AS pct),
+        |g AS (SELECT pct, count(*) AS n_top_users, sum(n_events) AS top_events
+        |  FROM rk CROSS JOIN ks CROSS JOIN tot
+        |  WHERE rk <= (n_users * pct + 99) // 100 GROUP BY 1)
+        |SELECT CAST(pct AS BIGINT) AS pct,
+        |  CAST(n_top_users AS BIGINT) AS n_top_users,
+        |  CAST(top_events AS BIGINT) AS top_events,
+        |  CAST((2 * top_events * 1000000 + tot) // (2 * tot) AS DOUBLE)
+        |    / 1000000.0 AS event_share
+        |FROM g CROSS JOIN tot ORDER BY pct""".stripMargin,
     // growth-accounting lifecycle (mirrors EventsEtl.userLifecycle;
     // churn booked on prev-active-day + 8 when confirmable in-range)
     "etl_user_lifecycle" ->

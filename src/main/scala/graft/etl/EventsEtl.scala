@@ -928,8 +928,18 @@ object EventsEtl {
     * predicates (co-partitioned on user_id — the interval-join
     * discipline); at 100 TB the anchor stream would pre-bucket on
     * (user, ts div window) like [[intervalJoin]]'s bucketing. */
-  def windowFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val w = "INTERVAL 4 HOURS"
+  def windowFunnel(spark: SparkSession, dir: String): DataFrame =
+    funnelLevels(spark, dir, 4)
+      .groupBy(col("funnel_level"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("funnel_level"))
+
+  /** (user_id, funnel_level) for one attribution window — the shared
+    * core of [[windowFunnel]] (the 4h production point) and
+    * [[funnelWindowSweep]] (the sensitivity curve that justifies it). */
+  private def funnelLevels(spark: SparkSession, dir: String,
+      windowHours: Int): DataFrame = {
+    val w = s"INTERVAL $windowHours HOURS"
     val ev = graft.Caches.persistTracked(Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"), col("ts")))
     ev.count()
@@ -955,12 +965,31 @@ object EventsEtl {
       .join(l1, Seq("user_id"), "left")
       .join(l2, Seq("user_id"), "left")
       .join(l3, Seq("user_id"), "left")
-      .select(when(col("l3") === 1, 3L).when(col("l2") === 1, 2L)
-        .when(col("l1") === 1, 1L).otherwise(0L).as("funnel_level"))
-      .groupBy(col("funnel_level"))
-      .agg(count(lit(1)).as("n_users"))
-      .orderBy(col("funnel_level"))
+      .select(col("user_id"),
+        when(col("l3") === 1, 3L).when(col("l2") === 1, 2L)
+          .when(col("l1") === 1, 1L).otherwise(0L).as("funnel_level"))
   }
+
+  /** Attribution-window sensitivity sweep for [[windowFunnel]]: the
+    * users-per-level rollup at 1h / 4h / 24h windows side by side —
+    * the evidence that PICKS the production window (a curve that is
+    * still rising at 24h says the 4h cut under-attributes; a flat one
+    * says 1h suffices), the funnel sibling of
+    * [[conversionLatency]]'s percentile read.
+    *
+    * Shape at scale: the level-assignment chain runs once per window
+    * point over the SAME persisted event projection (three cheap
+    * passes, each the [[windowFunnel]] plan); output |windows|×4
+    * rows. */
+  def funnelWindowSweep(spark: SparkSession, dir: String): DataFrame =
+    Seq(1, 4, 24).map { h =>
+      funnelLevels(spark, dir, h)
+        .groupBy(col("funnel_level"))
+        .agg(count(lit(1)).as("n_users"))
+        .select(lit(h.toLong).as("window_hours"), col("funnel_level"),
+          col("n_users"))
+    }.reduce(_ unionAll _)
+      .orderBy(col("window_hours"), col("funnel_level"))
 
   /** First-touch / last-touch conversion attribution: each purchase is
     * attributed to the user's earliest and latest preceding view/click
@@ -1048,5 +1077,71 @@ object EventsEtl {
         sum(when(col("state") === "resurrected", 1L).otherwise(0L)).as("n_resurrected"),
         sum(when(col("state") === "churned", 1L).otherwise(0L)).as("n_churned"))
       .orderBy(col("day"))
+  }
+
+  /** Daily bounce rate over the [[sessionize]] session grain (same
+    * 30-minute inactivity cut): a session bounces when it contains
+    * exactly one event; per start-day the session count, bounce count,
+    * and the exact tie-free 6-dp rate — the engagement-quality
+    * companion to [[sessionize]]'s volume view.
+    *
+    * Shape at scale: the one per-user session window (inherited),
+    * then a day-grain map-side-combinable agg over the SESSION-grain
+    * table — never a second pass over raw events. */
+  def bounceRate(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_sec", lag(epochSec(col("ts")), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_sec").isNull || epochSec(col("ts")) - col("prev_sec") > 1800, 1L)
+          .otherwise(0L))
+      .withColumn("session_num", sum(col("new_sess")).over(byUser))
+      .groupBy(col("user_id"), col("session_num"))
+      .agg(count(lit(1)).as("n_events"),
+        min(epochSec(col("ts"))).as("start_sec"))
+      .select(expr("start_sec div 86400").as("day"), col("n_events"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"))
+      .select(col("day"), col("n_sessions"), col("n_bounces"),
+        expr("""CAST((2 * n_bounces * 1000000 + n_sessions)
+               div (2 * n_sessions) AS DOUBLE) / 1000000.0""")
+          .as("bounce_rate"))
+      .orderBy(col("day"))
+  }
+
+  /** Activity concentration — the share of all events generated by the
+    * top 1% / 5% / 10% most-active users (rank by (event count,
+    * user_id) — a total order, so the cut set is engine-identical;
+    * cohort size = ceil(n·p) computed as the exact integer
+    * (n·p + 99) div 100). The ops-side Pareto read that
+    * [[graft.operators.Relational.qGiniSpend]] gives finance: it
+    * decides whether per-user salting is needed BEFORE a skewed key
+    * takes an executor down.
+    *
+    * Shape at scale: one user-grain count agg (map-side), ONE global
+    * rank window over the |users| table (dim-grain — the documented
+    * approx-quantile swap at 100 TB), a 3-row literal cross join and
+    * a 3-group agg. */
+  def powerUsers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    val ranked = graft.Caches.persistTracked(counts
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("n_events").desc, col("user_id"))))
+      .crossJoin(broadcast(counts.agg(
+        count(lit(1)).as("n_users"), sum(col("n_events")).as("tot")))))
+    ranked.count()
+    ranked.crossJoin(broadcast(Seq(1L, 5L, 10L).toDF("pct")))
+      .filter(col("rk") <= expr("(n_users * pct + 99) div 100"))
+      .groupBy(col("pct"))
+      .agg(count(lit(1)).as("n_top_users"), sum(col("n_events")).as("top_events"),
+        first(col("tot")).as("tot"))
+      .select(col("pct"), col("n_top_users"), col("top_events"),
+        expr("""CAST((2 * top_events * 1000000 + tot) div (2 * tot)
+               AS DOUBLE) / 1000000.0""").as("event_share"))
+      .orderBy(col("pct"))
   }
 }
