@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
-import graft.functions.{ApproxDistinctRewrite, GraftFunctions, NativeHashRewrite}
+import graft.functions.{ApproxDistinctRewrite, GraftFunctions, NativeHashRewrite, TopKRewrite}
 import graft.plans.AsOfJoinStrategy
 
 /** Session extensions: custom planner strategy (as-of join) + optimizer
@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectOptimizerRule(_ => NativeHashRewrite)
     e.injectOptimizerRule(_ => ApproxDistinctRewrite)
+    e.injectOptimizerRule(_ => TopKRewrite)
   }
 }
 
@@ -34,6 +35,10 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(ApproxDistinctRewrite)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ ApproxDistinctRewrite
+    }
+    if (!spark.experimental.extraOptimizations.contains(TopKRewrite)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ TopKRewrite
     }
     GraftFunctions.register(spark)
   }

@@ -1,0 +1,271 @@
+package graft.functions
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
+import org.apache.spark.sql.types._
+
+/** One buffered candidate: the evaluated sort-key values plus the
+  * packed payload row. Keys are kept separately so merge/insert never
+  * re-evaluates expressions. */
+private[functions] final class TopKRowsBuf(val k: Int) {
+  val keys = new ArrayBuffer[Array[Any]]()
+  val rows = new ArrayBuffer[InternalRow]()
+}
+
+/** graft internal: exact per-group top-k ROWS by an arbitrary
+  * SortOrder sequence — the generic engine behind [[TopKRewrite]]
+  * (where [[TopKTriples]] is the hand-tuned (double, long, long)
+  * special case). Buffer holds ≤k (sort-keys, payload-row) entries in
+  * window order; partial aggregation folds candidates map-side, so
+  * the rewritten plan shuffles n·k rows instead of the window's full
+  * candidate set. eval returns array<struct<payload>> best-first, so
+  * `posexplode` position + 1 IS the row_number. */
+case class TopKRowsAgg(
+    order: Seq[SortOrder],
+    payload: Expression, // CreateStruct of the child's output
+    kExpr: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKRowsBuf] {
+
+  private lazy val k: Int = kExpr.eval().asInstanceOf[Number].intValue()
+  private lazy val keyExprs = order.map(_.child)
+  private lazy val keyTypes = keyExprs.map(_.dataType)
+  @transient private lazy val baseOrderings =
+    keyTypes.map(TypeUtils.getInterpretedOrdering).toArray
+  private lazy val payloadType = payload.dataType.asInstanceOf[StructType]
+
+  /** window order: per SortOrder direction + null placement. */
+  private def cmpKeys(a: Array[Any], b: Array[Any]): Int = {
+    var i = 0
+    while (i < a.length) {
+      val so = order(i)
+      val (x, y) = (a(i), b(i))
+      val c =
+        if (x == null && y == null) 0
+        else if (x == null) { if (so.nullOrdering == NullsFirst) -1 else 1 }
+        else if (y == null) { if (so.nullOrdering == NullsFirst) 1 else -1 }
+        else {
+          val base = baseOrderings(i).compare(x, y)
+          if (so.direction == Descending) -base else base
+        }
+      if (c != 0) return c
+      i += 1
+    }
+    0
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (!kExpr.foldable || k <= 0)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_topk_rows k must be a positive foldable integer")
+    else if (!payload.dataType.isInstanceOf[StructType])
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "graft_topk_rows payload must be a struct")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def children: Seq[Expression] = order ++ Seq(payload, kExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(payloadType, containsNull = false)
+
+  override def createAggregationBuffer(): TopKRowsBuf = new TopKRowsBuf(k)
+
+  private def insert(buf: TopKRowsBuf, key: Array[Any], row: InternalRow): Unit = {
+    if (buf.keys.length == k && cmpKeys(key, buf.keys.last) >= 0) return
+    // binary search for the insertion point (stable: equal keys keep
+    // arrival order, matching row_number's tie behavior within a task)
+    var lo = 0; var hi = buf.keys.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (cmpKeys(key, buf.keys(mid)) < 0) hi = mid else lo = mid + 1
+    }
+    buf.keys.insert(lo, key)
+    buf.rows.insert(lo, row)
+    if (buf.keys.length > k) { buf.keys.remove(k); buf.rows.remove(k) }
+  }
+
+  override def update(buf: TopKRowsBuf, input: InternalRow): TopKRowsBuf = {
+    val key = new Array[Any](keyExprs.length)
+    var i = 0
+    while (i < keyExprs.length) {
+      key(i) = InternalRow.copyValue(keyExprs(i).eval(input)); i += 1
+    }
+    val row = payload.eval(input).asInstanceOf[InternalRow].copy()
+    insert(buf, key, row)
+    buf
+  }
+
+  override def merge(a: TopKRowsBuf, b: TopKRowsBuf): TopKRowsBuf = {
+    var i = 0
+    while (i < b.keys.length) { insert(a, b.keys(i), b.rows(i)); i += 1 }
+    a
+  }
+
+  override def eval(buf: TopKRowsBuf): Any =
+    new GenericArrayData(buf.rows.toArray[Any])
+
+  // serialize each entry as one UnsafeRow over (keys..., payload)
+  private lazy val entrySchema: Seq[DataType] = keyTypes :+ payloadType
+  @transient private lazy val entryProj =
+    UnsafeProjection.create(entrySchema.toArray)
+
+  override def serialize(buf: TopKRowsBuf): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.keys.length)
+    var i = 0
+    while (i < buf.keys.length) {
+      val entry = new GenericInternalRow(
+        (buf.keys(i) :+ buf.rows(i)).toArray[Any])
+      val u = entryProj(entry)
+      out.writeInt(u.getSizeInBytes)
+      u.writeToStream(out, null)
+      i += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKRowsBuf = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val buf = new TopKRowsBuf(k)
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      val sz = in.readInt()
+      val arr = new Array[Byte](sz)
+      in.readFully(arr)
+      val u = new UnsafeRow(entrySchema.length)
+      u.pointTo(arr, sz)
+      val key = new Array[Any](keyTypes.length)
+      var j = 0
+      while (j < keyTypes.length) {
+        key(j) = InternalRow.copyValue(u.get(j, keyTypes(j))); j += 1
+      }
+      // entries arrive sorted; append preserves order
+      buf.keys += key
+      buf.rows += u.getStruct(keyTypes.length, payloadType.length).copy()
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKRowsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKRowsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKRowsAgg = {
+    val n = order.length
+    copy(
+      order = newChildren.take(n).map(_.asInstanceOf[SortOrder]),
+      payload = newChildren(n), kExpr = newChildren(n + 1))
+  }
+  override def prettyName: String = "graft_topk_rows"
+}
+
+/** Opt-in optimizer rule: rewrite the rank-filter idiom
+  *
+  *   df.withColumn("rn", row_number().over(Window.partitionBy(p).orderBy(o)))
+  *     .filter($"rn" <= k)
+  *
+  * into a [[TopKRowsAgg]] bounded-heap aggregate + posexplode when the
+  * session sets
+  *
+  *   spark.graft.topkRewrite.enabled = true
+  *
+  * Why: the window form exchanges and sorts EVERY candidate row on the
+  * partition key before discarding all but k per key — over a join
+  * fan-out that is an n² shuffle (embed_knn_purity measured 538.8s →
+  * 5.5s at sf1 from exactly this transformation, applied by hand).
+  * The aggregate form folds candidates into a k-slot buffer in the
+  * map task that produced them; the one exchange carries n buffers of
+  * k rows. Results are identical whenever the window order is total
+  * on each partition (the same condition under which row_number
+  * itself is deterministic) — the same caveat every engine's
+  * TopNRowNumber/rank-pushdown optimization carries, which is why the
+  * flag is opt-in like [[ApproxDistinctRewrite]].
+  *
+  * Scope guards (all must hold, else the plan is left untouched):
+  * the Filter sits DIRECTLY on a Window whose only window expression
+  * is a row_number; the condition is a single `rn <= k` / `rn < k` /
+  * `rn = k` comparison against a foldable integer; k ≤
+  * spark.graft.topkRewrite.maxK (default 1024 — the buffer is O(k)
+  * per group); the window has a non-empty orderSpec. The original
+  * Filter is kept on top of the rewritten subtree, so `<` / `=`
+  * conditions keep their exact semantics for free. Output attributes
+  * (ids included) are preserved exactly, so parent plans are
+  * untouched.
+  */
+object TopKRewrite extends Rule[LogicalPlan] {
+  private val FlagKey = "spark.graft.topkRewrite.enabled"
+  private val MaxKKey = "spark.graft.topkRewrite.maxK"
+
+  private object RankLimit {
+    /** cond on `rn` → max rank the aggregate must retain. */
+    def unapply(x: (Expression, Attribute)): Option[Int] = {
+      val (cond, rn) = x
+      def lit(e: Expression): Option[Int] = e match {
+        case Literal(v: Int, IntegerType) => Some(v)
+        case Literal(v: Long, LongType) if v <= Int.MaxValue => Some(v.toInt)
+        case _ => None
+      }
+      cond match {
+        case LessThanOrEqual(a: Attribute, l) if a.semanticEquals(rn) => lit(l)
+        case LessThan(a: Attribute, l) if a.semanticEquals(rn) => lit(l).map(_ - 1)
+        case EqualTo(a: Attribute, l) if a.semanticEquals(rn) => lit(l)
+        case GreaterThanOrEqual(l, a: Attribute) if a.semanticEquals(rn) => lit(l)
+        case GreaterThan(l, a: Attribute) if a.semanticEquals(rn) => lit(l).map(_ - 1)
+        case _ => None
+      }
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString(FlagKey, "false").toBoolean) plan
+    else {
+      val maxK = conf.getConfString(MaxKKey, "1024").toInt
+      plan.transform {
+        case f @ Filter(cond,
+            Window(Seq(alias @ Alias(WindowExpression(RowNumber(), _), _)),
+              partSpec, orderSpec, child, _))
+            if orderSpec.nonEmpty =>
+          (cond, alias.toAttribute) match {
+            case RankLimit(k) if k > 0 && k <= maxK =>
+              val payload = CreateStruct(child.output)
+              val arr = Alias(
+                TopKRowsAgg(orderSpec, payload, Literal(k))
+                  .toAggregateExpression(), "graft_topk_rows")()
+              // group exprs that aren't plain attributes need names
+              val groupNamed = partSpec.map {
+                case ne: NamedExpression => ne
+                case e => Alias(e, "graft_topk_grp")()
+              }
+              val agg = Aggregate(groupNamed, groupNamed :+ arr, child)
+              val pos = AttributeReference("graft_topk_pos", IntegerType,
+                nullable = false)()
+              val packed = AttributeReference("graft_topk_row",
+                payload.dataType, nullable = false)()
+              val gen = Generate(PosExplode(arr.toAttribute),
+                unrequiredChildIndex = Nil, outer = false, qualifier = None,
+                generatorOutput = Seq(pos, packed), agg)
+              // restore the ORIGINAL attribute ids so parents are unchanged
+              val restored = child.output.zipWithIndex.map { case (a, i) =>
+                Alias(GetStructField(packed, i, Some(a.name)), a.name)(
+                  exprId = a.exprId, qualifier = a.qualifier)
+              }
+              val rn = Alias(Add(pos, Literal(1)), alias.name)(
+                exprId = alias.exprId, qualifier = alias.qualifier)
+              Filter(cond, Project(restored :+ rn, gen))
+            case _ => f
+          }
+      }
+    }
+}
