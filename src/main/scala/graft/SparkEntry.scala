@@ -275,6 +275,9 @@ object SparkEntry {
     "embed_cosine_calibration" -> Similarity.cosineCalibration _,
     "q_part_growth_topk"      -> Relational.qPartGrowthTopk _,
     "pipeline_source_dup_rate" -> Pipeline.sourceDupRate _,
+    "q_weekday_anova"         -> Relational.qWeekdayAnova _,
+    "q_seasonal_decompose"    -> Relational.qSeasonalDecompose _,
+    "text_code_detection"     -> TextAnalysis.codeDetection _,
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. */
@@ -4041,6 +4044,75 @@ object SparkEntry {
         |  CAST((2 * deg * 1000000 + freq) // (2 * freq) AS DOUBLE)
         |    / 1000000.0 AS score
         |FROM ag ORDER BY score DESC, w LIMIT 25""".stripMargin,
+    // one-way weekday ANOVA over order totals (mirrors
+    // Relational.qWeekdayAnova; wide single-row fixed-order doubles)
+    "q_weekday_anova" -> {
+      val n = (0 until 7).map(d => s"CAST(n$d AS DOUBLE)").mkString(" + ")
+      val sx = (0 until 7).map(d => s"CAST(sx$d AS DOUBLE)").mkString(" + ")
+      val sxx = (0 until 7).map(d => s"CAST(sxx$d AS DOUBLE)").mkString(" + ")
+      val ssb = (0 until 7)
+        .map(d => s"CAST(sx$d AS DOUBLE) * CAST(sx$d AS DOUBLE) / CAST(n$d AS DOUBLE)")
+        .mkString(" + ")
+      val accs = (0 until 7).map { d =>
+        s"""sum(CASE WHEN dow = $d THEN 1 ELSE 0 END) AS n$d,
+           |   sum(CASE WHEN dow = $d THEN x END) AS sx$d,
+           |   sum(CASE WHEN dow = $d THEN x * x END) AS sxx$d""".stripMargin
+      }.mkString(",\n|   ")
+      s"""WITH b AS (SELECT
+        |   (CAST(epoch(date_trunc('second', o_orderdate)) AS BIGINT) // 86400) % 7 AS dow,
+        |   CAST(o_totalprice AS DECIMAL(18,2)) AS x FROM orders),
+        |wide AS (SELECT
+        |   $accs
+        |  FROM b)
+        |SELECT CAST(7 AS BIGINT) AS k_groups,
+        |  CAST($n AS BIGINT) AS n_total,
+        |  round(($ssb) - ($sx) * ($sx) / ($n), 6) AS ss_between,
+        |  round(($sxx) - ($ssb), 6) AS ss_within,
+        |  round(((($ssb) - ($sx) * ($sx) / ($n)) / 6.0)
+        |    / ((($sxx) - ($ssb)) / (($n) - 7.0)), 6) AS f_stat,
+        |  round((($ssb) - ($sx) * ($sx) / ($n))
+        |    / (($sxx) - ($sx) * ($sx) / ($n)), 6) AS eta_sq
+        |FROM wide""".stripMargin
+    },
+    // exact-integer STL-lite decomposition of monthly revenue
+    // (mirrors Relational.qSeasonalDecompose)
+    "q_seasonal_decompose" ->
+      """WITH m AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mi,
+        |   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |w AS (SELECT mi, rev,
+        |   count(*) OVER win AS win_n,
+        |   sum(CAST(rev * 1000000 AS HUGEINT)) OVER win AS win_sum6
+        |  FROM m WINDOW win AS (ORDER BY mi ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)),
+        |t AS (SELECT mi, rev,
+        |   (2 * win_sum6 + 13) // 26 AS t6,
+        |   CAST(rev * 1000000 AS HUGEINT) - (2 * win_sum6 + 13) // 26 AS d6
+        |  FROM w WHERE win_n = 13),
+        |s AS (SELECT mi % 12 AS moy,
+        |   CASE WHEN sum(d6) >= 0 THEN (2 * sum(d6) + count(*)) // (2 * count(*))
+        |     ELSE -((2 * (-sum(d6)) + count(*)) // (2 * count(*))) END AS s6
+        |  FROM t GROUP BY 1)
+        |SELECT t.mi AS month_index, round(CAST(rev AS DOUBLE), 2) AS revenue,
+        |  CAST(t6 AS DOUBLE) / 1e6 AS trend,
+        |  CAST(s6 AS DOUBLE) / 1e6 AS seasonal,
+        |  CAST(t6 - t6 + d6 - s6 AS DOUBLE) / 1e6 AS residual
+        |FROM t JOIN s ON t.mi % 12 = s.moy
+        |ORDER BY month_index""".stripMargin,
+    // code-vs-prose density screen (mirrors TextAnalysis.codeDetection)
+    "text_code_detection" ->
+      """WITH d AS (SELECT source, len(text) AS len,
+        |   len(regexp_extract_all(text, '[{}();=<>\[\]]')) AS sym
+        |  FROM documents WHERE len(text) > 0),
+        |r AS (SELECT source, len, sym,
+        |   (2 * sym * 1000000 + len) // (2 * len) AS r6 FROM d),
+        |g AS (SELECT source, count(*) AS n_docs,
+        |   sum(CASE WHEN sym * 20 >= len THEN 1 ELSE 0 END) AS n_code,
+        |   sum(r6) AS s6 FROM r GROUP BY 1)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_code AS BIGINT) AS n_code_like,
+        |  CAST((2 * s6 + n_docs) // (2 * n_docs) AS DOUBLE) / 1000000.0
+        |    AS mean_symbol_density
+        |FROM g ORDER BY source""".stripMargin,
     // daily bounce rate over the sessionize session grain (mirrors
     // EventsEtl.bounceRate; tie-free 6-dp)
     "etl_bounce_rate" ->

@@ -1577,4 +1577,88 @@ object Relational {
       .orderBy(col("growth").desc, col("l_partkey"), col("yr"))
       .limit(15)
   }
+
+  /** One-way ANOVA across the 7 weekdays of order totals — "does the
+    * day of the week move the basket?" — the k-group generalization
+    * of [[qWelchTtest]]'s two arms. Weekday is the portable integer
+    * `epoch_day mod 7` (calendar-function week-start conventions
+    * differ across engines; integer day arithmetic doesn't). The
+    * float discipline is the [[graft.ops.Similarity]] embed_abtt
+    * "wide single-row agg" trick: the 7 groups pivot into ONE row of
+    * exact-decimal (n, Σx, Σx²) columns, so every double in the F
+    * statistic is computed by the SAME fixed-order scalar expression
+    * in both engines — no engine-dependent float summation order
+    * exists anywhere in the plan.
+    *
+    * Shape at scale: one conditional-aggregation pass over the fact
+    * (map-side partials, 21 exact-decimal accumulators), then scalar
+    * math on a single row. */
+  def qWeekdayAnova(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select(expr("(unix_timestamp(o_orderdate) div 86400) % 7").as("dow"),
+        d2(col("o_totalprice")).as("x"))
+    val accs = (0 until 7).flatMap { d =>
+      Seq(
+        sum(when(col("dow") === d, 1L).otherwise(0L)).as(s"n$d"),
+        sum(when(col("dow") === d, col("x"))).as(s"sx$d"),
+        sum(when(col("dow") === d, col("x") * col("x"))).as(s"sxx$d"))
+    }
+    val wide = base.agg(accs.head, accs.tail: _*)
+    val n = (0 until 7).map(d => s"CAST(n$d AS DOUBLE)").mkString(" + ")
+    val sx = (0 until 7).map(d => s"CAST(sx$d AS DOUBLE)").mkString(" + ")
+    val sxx = (0 until 7).map(d => s"CAST(sxx$d AS DOUBLE)").mkString(" + ")
+    val ssbTerms = (0 until 7)
+      .map(d => s"CAST(sx$d AS DOUBLE) * CAST(sx$d AS DOUBLE) / CAST(n$d AS DOUBLE)")
+      .mkString(" + ")
+    wide.select(
+        lit(7L).as("k_groups"),
+        expr(s"CAST($n AS BIGINT)").as("n_total"),
+        expr(s"round(($ssbTerms) - ($sx) * ($sx) / ($n), 6)").as("ss_between"),
+        expr(s"round(($sxx) - ($ssbTerms), 6)").as("ss_within"),
+        expr(s"""round(((($ssbTerms) - ($sx) * ($sx) / ($n)) / 6.0)
+               / ((($sxx) - ($ssbTerms)) / (($n) - 7.0)), 6)""").as("f_stat"),
+        expr(s"""round((($ssbTerms) - ($sx) * ($sx) / ($n))
+               / (($sxx) - ($sx) * ($sx) / ($n)), 6)""").as("eta_sq"))
+  }
+
+  /** Classical seasonal decomposition of monthly revenue (STL-lite):
+    * revenue = trend (centered 13-month moving mean) + seasonal
+    * (month-of-year mean of the detrended series) + residual — the
+    * decomposition behind "was December big, or is December always
+    * big?". EVERY stage is exact-integer: the trend is the rational
+    * Σ₁₃/13 in micro-units with tie-free rounding, detrended =
+    * exact − trend in integers, the seasonal mean is sign-split
+    * half-away-from-zero over integer micro-units — no float
+    * accumulates anywhere, so both engines agree bit-for-bit.
+    *
+    * Shape at scale: one fact agg to the |months|-row grain; the
+    * moving window and the month-of-year agg run on that tiny table
+    * (documented dim-grain global window); output only months with a
+    * full 13-month window. */
+  def qSeasonalDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .groupBy(expr("(year(o_orderdate) * 12 + month(o_orderdate))")
+        .cast("long").as("mi"))
+      .agg(sum(d2(col("o_totalprice"))).as("rev"))
+    val w = Window.orderBy(col("mi")).rowsBetween(-6, 6)
+    val trended = monthly
+      .withColumn("win_n", count(lit(1)).over(w))
+      .withColumn("win_sum6", sum(expr("CAST(rev * 1000000 AS DECIMAL(38,0))")).over(w))
+      .filter(col("win_n") === 13)
+      .withColumn("t6", expr("(2 * win_sum6 + 13) div 26"))
+      .withColumn("d6", expr("CAST(rev * 1000000 AS DECIMAL(38,0)) - t6"))
+    val seasonal = trended
+      .groupBy((col("mi") % 12).as("moy"))
+      .agg(sum(col("d6")).as("sd6"), count(lit(1)).as("nm"))
+      .select(col("moy"),
+        expr("""CASE WHEN sd6 >= 0 THEN (2 * sd6 + nm) div (2 * nm)
+               ELSE -((2 * (-sd6) + nm) div (2 * nm)) END""").as("s6"))
+    trended.join(broadcast(seasonal), (col("mi") % 12) === col("moy"))
+      .select(col("mi").as("month_index"),
+        round(col("rev").cast("double"), 2).as("revenue"),
+        (col("t6").cast("double") / 1e6).as("trend"),
+        (col("s6").cast("double") / 1e6).as("seasonal"),
+        ((col("d6") - col("s6")).cast("double") / 1e6).as("residual"))
+      .orderBy(col("month_index"))
+  }
 }

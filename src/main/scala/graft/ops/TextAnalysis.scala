@@ -850,6 +850,33 @@ object TextAnalysis {
     * Shape at scale: the 4-gram windows never leave the row
     * (transform + array_distinct inside codegen, O(len) per doc, no
     * explode); ONE |sources|-group agg, map-side combinable. */
+  /** Code-vs-prose screen — the pretraining router that decides
+    * whether a doc goes to the code pipeline, the prose pipeline, or
+    * the bin: per doc the density of code-marker characters
+    * (`{}();=<>[]`) over total length; a doc is code-like at ≥5%
+    * density, compared as the exact integer sym·20 ≥ len (no float
+    * boundary). Per source: docs, code-like docs, and the tie-free
+    * micro-unit mean density — [[langid]] tells you the human
+    * language, this tells you whether it's a language at all.
+    *
+    * Shape at scale: one map-side regexp count per doc, one
+    * |sources|-group agg. */
+  def codeDetection(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), length(col("text")).cast("long").as("len"),
+        size(expr("regexp_extract_all(text, '[{}();=<>\\\\[\\\\]]', 0)"))
+          .cast("long").as("sym"))
+      .filter(col("len") > 0)
+      .withColumn("r6", expr("(2 * sym * 1000000 + len) div (2 * len)"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("sym") * 20 >= col("len"), 1L).otherwise(0L)).as("n_code_like"),
+        sum(col("r6")).as("s6"))
+      .select(col("source"), col("n_docs"), col("n_code_like"),
+        expr("CAST((2 * s6 + n_docs) div (2 * n_docs) AS DOUBLE) / 1000000.0")
+          .as("mean_symbol_density"))
+      .orderBy(col("source"))
+
   def compressionProxy(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .filter(length(col("text")) >= 4)
