@@ -81,6 +81,26 @@ class TopKRewriteSpec extends SparkSpec {
     } finally spark.conf.set(Flag, "false")
   }
 
+  test("flag on: null sort keys honor the window's null placement") {
+    GraftExtensions.install(spark)
+    val rows = (0 until 400).map { i =>
+      (i.toLong % 11,
+        if (i % 7 == 0) None else Some((i * 13 % 97).toDouble), i.toLong)
+    }
+    val df = spark.createDataFrame(rows).toDF("g", "v", "id").repartition(4)
+    val wLast = Window.partitionBy(col("g")).orderBy(col("v").desc_nulls_last, col("id"))
+    val wFirst = Window.partitionBy(col("g")).orderBy(col("v").asc_nulls_first, col("id"))
+    def runBoth() = Seq(wLast, wFirst).map { w =>
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) null else r.getDouble(1), r.getLong(2), r.getInt(3))).toSet
+    }
+    spark.conf.set(Flag, "false")
+    val off = runBoth()
+    spark.conf.set(Flag, "true")
+    try assert(runBoth() == off) finally spark.conf.set(Flag, "false")
+  }
+
   test("guards: rank >= / other window functions / non-literal k are untouched") {
     GraftExtensions.install(spark)
     spark.conf.set(Flag, "true")
