@@ -278,6 +278,8 @@ object SparkEntry {
     "q_weekday_anova"         -> Relational.qWeekdayAnova _,
     "q_seasonal_decompose"    -> Relational.qSeasonalDecompose _,
     "text_code_detection"     -> TextAnalysis.codeDetection _,
+    "q_lorenz_deciles"        -> Relational.qLorenzDeciles _,
+    "dedup_shingle_df_profile" -> Dedup.shingleDfProfile _,
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. */
@@ -4044,6 +4046,47 @@ object SparkEntry {
         |  CAST((2 * deg * 1000000 + freq) // (2 * freq) AS DOUBLE)
         |    / 1000000.0 AS score
         |FROM ag ORDER BY score DESC, w LIMIT 25""".stripMargin,
+    // Lorenz curve at decile grain (mirrors Relational.qLorenzDeciles;
+    // exact micro-unit shares, integer cumulative before division)
+    "q_lorenz_deciles" ->
+      """WITH sp AS (SELECT o_custkey,
+        |   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |  FROM orders GROUP BY 1),
+        |d AS (SELECT CAST(ntile(10) OVER (ORDER BY spend, o_custkey) AS BIGINT)
+        |   AS decile, spend FROM sp),
+        |g AS (SELECT decile, count(*) AS n_customers,
+        |   sum(CAST(spend * 1000000 AS HUGEINT)) AS s6 FROM d GROUP BY 1),
+        |c AS (SELECT decile, n_customers, s6,
+        |   sum(s6) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+        |     AND CURRENT ROW) AS c6 FROM g),
+        |t AS (SELECT sum(s6) AS t6 FROM g)
+        |SELECT decile, CAST(n_customers AS BIGINT) AS n_customers,
+        |  round(CAST(s6 AS DOUBLE) / 1e6, 2) AS spend,
+        |  CAST((2 * s6 * 1000000 + t6) // (2 * t6) AS DOUBLE) / 1000000.0
+        |    AS spend_share,
+        |  CAST((2 * c6 * 1000000 + t6) // (2 * t6) AS DOUBLE) / 1000000.0
+        |    AS cum_share
+        |FROM c CROSS JOIN t ORDER BY decile""".stripMargin,
+    // shingle document-frequency profile (mirrors
+    // Dedup.shingleDfProfile; pow2 buckets like graph_degree_dist)
+    "dedup_shingle_df_profile" ->
+      """WITH t AS (SELECT doc_id, text, regexp_extract_all(text, '\S+') AS toks FROM documents),
+        |shl AS (SELECT doc_id, list_distinct(
+        |   CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1),
+        |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE [text] END) AS shingles FROM t),
+        |sh AS (SELECT unnest(shingles) AS s FROM shl),
+        |df AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+        |b AS (SELECT CAST(1 << length(bin(df - 1)) AS BIGINT) AS bucket, df FROM df),
+        |g AS (SELECT bucket, count(*) AS n_shingles, sum(df) AS n_postings
+        |  FROM b GROUP BY 1),
+        |tt AS (SELECT sum(n_shingles) AS ts, sum(n_postings) AS tp FROM g)
+        |SELECT bucket, CAST(n_shingles AS BIGINT) AS n_shingles,
+        |  CAST(n_postings AS BIGINT) AS n_postings,
+        |  CAST((2 * n_shingles * 1000000 + ts) // (2 * ts) AS DOUBLE)
+        |    / 1000000.0 AS shingle_share,
+        |  CAST((2 * n_postings * 1000000 + tp) // (2 * tp) AS DOUBLE)
+        |    / 1000000.0 AS posting_share
+        |FROM g CROSS JOIN tt ORDER BY bucket""".stripMargin,
     // one-way weekday ANOVA over order totals (mirrors
     // Relational.qWeekdayAnova; wide single-row fixed-order doubles)
     "q_weekday_anova" -> {

@@ -1661,4 +1661,40 @@ object Relational {
         ((col("d6") - col("s6")).cast("double") / 1e6).as("residual"))
       .orderBy(col("month_index"))
   }
+
+  /** Lorenz curve of customer spend at decile resolution — the curve
+    * [[qGiniSpend]] integrates: customers ranked ascending by exact
+    * lifetime spend (custkey tie-break — a total order), decile =
+    * ntile(10), per decile the customer count, spend, spend share and
+    * CUMULATIVE share — "the bottom 50% hold 18% of revenue" read off
+    * directly. Shares are exact micro-unit rationals with tie-free
+    * rounding; the cumulative sum runs over the 10-row decile table
+    * in exact integers before the one division.
+    *
+    * Shape at scale: one fact agg to customer grain, one dim-grain
+    * ntile window (documented approx-quantile swap at 100 TB), a
+    * 10-row rollup + 10-row running sum. */
+  def qLorenzDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(d2(col("o_totalprice"))).as("spend"))
+    val w = Window.orderBy(col("spend"), col("o_custkey"))
+    val dec = spend
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(expr("CAST(spend * 1000000 AS DECIMAL(38,0))")).as("s6"))
+    val wc = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dec
+      .withColumn("c6", sum(col("s6")).over(wc))
+      .crossJoin(broadcast(dec.agg(sum(col("s6")).as("t6"))))
+      .select(col("decile"), col("n_customers"),
+        round(col("s6").cast("double") / 1e6, 2).as("spend"),
+        expr("""CAST((2 * s6 * 1000000 + t6) div (2 * t6) AS DOUBLE)
+               / 1000000.0""").as("spend_share"),
+        expr("""CAST((2 * c6 * 1000000 + t6) div (2 * t6) AS DOUBLE)
+               / 1000000.0""").as("cum_share"))
+      .orderBy(col("decile"))
+  }
 }

@@ -831,4 +831,36 @@ object Dedup {
         col("n_candidate_pairs"))
     }.reduce(_ unionAll _).orderBy(col("bands"))
   }
+
+  /** Document-frequency profile of the shingle space — the spam meter
+    * for everything shingle-based here: per power-of-two df bucket the
+    * distinct-shingle count and posting mass (Σdf — the join fan-out a
+    * shingle equi-join actually pays), with tie-free shares. A heavy
+    * high-df tail says the prefix filter and LSH banding carry the
+    * load (boilerplate shingles collide everyone); a thin one says
+    * plain equi-joins stay cheap. Same pow2 bucketing as
+    * [[graft.ops.Graph.degreeDist]] — this is the degree distribution
+    * of the doc↔shingle bipartite graph's shingle side.
+    *
+    * Shape at scale: shingle fan-out map-side, ONE (shingle) agg with
+    * map-side partials, a ~32-row bucket rollup; totals broadcast. */
+  def shingleDfProfile(spark: SparkSession, dir: String): DataFrame = {
+    val df_ = withShingles(Tables.documents(spark, dir))
+      .select(explode(col("shingles")).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val buckets = df_
+      .withColumn("bucket",
+        expr("CAST(shiftleft(CAST(1 AS BIGINT), length(bin(df - 1))) AS BIGINT)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_shingles"), sum(col("df")).as("n_postings"))
+    val tot = buckets.agg(sum(col("n_shingles")).as("ts"),
+      sum(col("n_postings")).as("tp"))
+    buckets.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_shingles"), col("n_postings"),
+        expr("""CAST((2 * n_shingles * 1000000 + ts) div (2 * ts) AS DOUBLE)
+               / 1000000.0""").as("shingle_share"),
+        expr("""CAST((2 * n_postings * 1000000 + tp) div (2 * tp) AS DOUBLE)
+               / 1000000.0""").as("posting_share"))
+      .orderBy(col("bucket"))
+  }
 }
