@@ -4074,8 +4074,9 @@ object SparkEntry {
         |shl AS (SELECT doc_id, list_distinct(
         |   CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1),
         |     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE [text] END) AS shingles FROM t),
-        |sh AS (SELECT unnest(shingles) AS s FROM shl),
-        |df AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+        |sh0 AS (SELECT unnest(shingles) AS s FROM shl),
+        |sh AS (SELECT ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh0),
+        |df AS (SELECT h, count(*) AS df FROM sh GROUP BY 1),
         |b AS (SELECT CAST(1 << length(bin(df - 1)) AS BIGINT) AS bucket, df FROM df),
         |g AS (SELECT bucket, count(*) AS n_shingles, sum(df) AS n_postings
         |  FROM b GROUP BY 1),

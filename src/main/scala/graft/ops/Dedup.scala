@@ -549,10 +549,15 @@ object Dedup {
     * chunks first (same LSH shape as minhash). */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
-    val sim = Tables.documents(spark, dir)
+    // materialization boundary: the banding self-join infers
+    // isnotnull(sim) onto BOTH scan branches, and on a computed column
+    // that filter re-runs tokenize+simhash per row per branch (the
+    // shingleDfProfile lesson); cached, each fingerprint computes once
+    val sim = graft.Caches.persistTracked(Tables.documents(spark, dir)
       .select(col("doc_id"),
         expr(raw"array_distinct(regexp_extract_all(text, '\\S+', 0))").as("toks"))
-      .select(col("doc_id"), expr("graft_simhash60(toks)").as("sim"))
+      .select(col("doc_id"), expr("graft_simhash60(toks)").as("sim")))
+    sim.count()
     bandedHammingPairs(sim, 2)
   }
 
@@ -842,17 +847,33 @@ object Dedup {
     * [[graft.ops.Graph.degreeDist]] — this is the degree distribution
     * of the doc↔shingle bipartite graph's shingle side.
     *
-    * Shape at scale: shingle fan-out map-side, ONE (shingle) agg with
-    * map-side partials, a ~32-row bucket rollup; totals broadcast. */
+    * Shape at scale: shingle fan-out map-side, ONE agg keyed on the
+    * 60-bit shingle HASH (the [[withShingleHashes]] discipline), a
+    * ~32-row bucket rollup; totals broadcast. The DuckDB oracle
+    * applies the identical md5-prefix hash, so df identity is exact,
+    * not approximated.
+    *
+    * The persist() before the explode is load-bearing, not a cache
+    * nicety: a bare `explode(hs)` lets InferFiltersFromGenerate push
+    * `size(hs) > 0 AND isnotnull(hs)` BELOW the Generate, and on a
+    * computed column that filter re-derives the whole
+    * tokenize→shingle→hash pipeline per row — with `toks` inlined as
+    * `regexp_extract_all(text)` inside the transform lambda it
+    * re-runs the regexp once per shingle ELEMENT (~75s at sf1; 1.9s
+    * with the boundary). The cache materializes `hs` once, so the
+    * inferred filter costs a cached array length check. */
   def shingleDfProfile(spark: SparkSession, dir: String): DataFrame = {
-    val df_ = withShingles(Tables.documents(spark, dir))
-      .select(explode(col("shingles")).as("s"))
-      .groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val buckets = df_
+    GraftFunctions.register(spark)
+    val hs = graft.Caches.persistTracked(
+      withShingleHashes(Tables.documents(spark, dir)).select(col("hs")))
+    hs.count()
+    val df_ = hs.select(explode(col("hs")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val buckets = graft.Caches.persistTracked(df_
       .withColumn("bucket",
         expr("CAST(shiftleft(CAST(1 AS BIGINT), length(bin(df - 1))) AS BIGINT)"))
       .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n_shingles"), sum(col("df")).as("n_postings"))
+      .agg(count(lit(1)).as("n_shingles"), sum(col("df")).as("n_postings")))
     val tot = buckets.agg(sum(col("n_shingles")).as("ts"),
       sum(col("n_postings")).as("tp"))
     buckets.crossJoin(broadcast(tot))

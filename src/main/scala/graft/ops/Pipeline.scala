@@ -86,6 +86,12 @@ object Pipeline {
   }
 
   def corpusFilter(spark: SparkSession, dir: String): DataFrame = {
+    // NOT cached: the pushed quality predicate does re-evaluate the
+    // score expression in Filter + Project (2× the regexps), but an
+    // A/B at sf1 measured the persistTracked variant at 20s vs 9.5s —
+    // materializing two full doc-grain caches costs more than the
+    // saved double-eval. Contrast shingleDfProfile, where the pushed
+    // filter was PER-ELEMENT (O(shingles) regexp re-runs), not 2×.
     val quality = TextAnalysis.quality(spark, dir)
       .select(col("doc_id"), col("quality_score"))
     val lang = TextAnalysis.langid(spark, dir)

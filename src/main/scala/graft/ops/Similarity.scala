@@ -1310,9 +1310,14 @@ object Similarity {
     * [[embedCentroids]]; everything downstream is arithmetic on that
     * tiny table. */
   def anisotropy(spark: SparkSession, dir: String): DataFrame = {
-    val u = vecs(spark, dir)
+    // materialized: `u` feeds both the component sums and the norm
+    // check, and posexplode infers size(u) > 0 below the Generate —
+    // uncached, that filter re-runs the normalize lambda (with `norm`
+    // = sqrt(graft_dot(v,v)) inlined PER ELEMENT) for every row
+    val u = graft.Caches.persistTracked(vecs(spark, dir)
       .select(col("vec_id"), col("label").cast("long").as("label"),
-        expr("transform(v, x -> round(x / norm, 6))").as("u"))
+        expr("transform(v, x -> round(x / norm, 6))").as("u")))
+    u.count()
     val comps = graft.Caches.persistTracked(
       u.select(col("label"), posexplode(col("u")).as(Seq("pos", "x")))
         .groupBy(col("label"), col("pos")).agg(sum(col("x")).as("sx")))

@@ -46,13 +46,19 @@ class QualityOpsR9fSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
       val docs = Tables.documents(spark, sf0001)
         .select(col("text")).collect().map(_.getString(0))
-      val df = collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      // df keyed on the same 60-bit md5-prefix hash the operator uses
+      def h60(s: String): Long = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.take(15), 16)
+      }
+      val df = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
       docs.foreach { t =>
         val toks = "\\S+".r.findAllIn(t).toSeq
         val sh = if (toks.size >= 3)
           (0 to toks.size - 3).map(i => s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}").distinct
         else Seq(t)
-        sh.foreach(s => df(s) += 1)
+        sh.foreach(s => df(h60(s)) += 1)
       }
       // 1 << bitLength(d−1), with the op's bin("0")-has-length-1 convention
       def bkt(d: Long): Long = 1L << (64 - java.lang.Long.numberOfLeadingZeros(math.max(d - 1, 0)))
