@@ -48,8 +48,13 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // production optimizer mode: graft extensions + the top-k
+      // rewrite ON, same as GraftSession — the gating numbers must
+      // measure the plans the library actually ships
+      .config("spark.graft.topkRewrite.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    GraftExtensions.install(spark)
     spark.sparkContext.setLogLevel("WARN")
 
     // Warm the JVM: touch every table + exercise codegen/agg/join paths
@@ -102,7 +107,10 @@ object Bench {
             false
         }
         val dt = (System.nanoTime() - t0) / 1e9
-        Caches.releaseAll()
+        // blocking release: the next entry must start with the blocks
+        // GONE, not queued for async removal — otherwise its memory
+        // pressure depends on which query ran before it
+        Caches.releaseAll(blocking = true)
         spark.catalog.clearCache()
         System.gc()
         (dt, ok)

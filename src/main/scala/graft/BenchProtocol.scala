@@ -123,6 +123,26 @@ object BenchProtocol {
     }
     val flagged = adjudicated.filter(_.flagged)
     val orderDep = adjudicated.filter(_.orderDep)
+    // Expected-warmth memory: entries that were order-dependent in the
+    // PREVIOUS protocol verdict at this sf are recorded (shared-subtree
+    // page-cache/JIT warmth from an alphabetical sibling — Bench already
+    // clears the CacheManager and block store between entries, so what
+    // remains is environment warmth, stable across rounds). A reverse
+    // flag therefore only demands adjudication when it is NEW.
+    val knownOrderDep: Set[String] = {
+      val p = Paths.get("bench", s"protocol_$sfName.json")
+      if (!Files.exists(p)) Set.empty
+      else {
+        val txt = Files.readString(p)
+        val i = txt.indexOf("\"order_dependent\":[")
+        if (i < 0) Set.empty
+        else {
+          val sub = txt.substring(i + 19, txt.indexOf("]", i))
+          """"([A-Za-z0-9_]+)"""".r.findAllMatchIn(sub).map(_.group(1)).toSet
+        }
+      }
+    }
+    val orderDepNew = orderDep.filterNot(q => knownOrderDep(q.name))
     val ratios = adjudicated.flatMap(q => q.ref.map(q.best / _))
     val medRatio = if (ratios.nonEmpty) median(ratios) else Double.NaN
 
@@ -136,6 +156,7 @@ object BenchProtocol {
       s""""history_runs":${history.size},"median_best_ratio":${if (medRatio.isNaN) "null" else ms(medRatio)},""" +
       s""""flagged":[${flagged.map("\"" + _.name + "\"").mkString(",")}],""" +
       s""""order_dependent":[${orderDep.map("\"" + _.name + "\"").mkString(",")}],""" +
+      s""""order_dependent_new":[${orderDepNew.map("\"" + _.name + "\"").mkString(",")}],""" +
       s""""child_failed":$childFailed,"queries":$qJson}"""
 
     try {
@@ -146,6 +167,9 @@ object BenchProtocol {
     }
     flagged.foreach(q => System.err.println(
       f"[protocol] FLAGGED ${q.name}: best-of-${q.times.size} ${q.best}%.2fs vs history median ${q.ref.get}%.2fs"))
+    orderDep.foreach(q => System.err.println(
+      s"[protocol] order-dependent ${q.name}" +
+        (if (knownOrderDep(q.name)) " (known expected-warmth entry)" else " (NEW — adjudicate)")))
     if (flagged.isEmpty && !childFailed)
       System.err.println(f"[protocol] CLEAN: no query's best-of-${runs.size} is >=1.5x its history median (median ratio $medRatio%.3f over ${ratios.size} queries)")
     println(verdict)

@@ -35,10 +35,16 @@ object Caches {
   /** Remember an already-persisted handle for [[releaseAll]]. */
   def register(ds: Dataset[_]): Unit = synchronized { tracked += ds }
 
-  /** Unpersist every tracked handle (non-blocking) and forget them. */
-  def releaseAll(): Unit = synchronized {
+  /** Unpersist every tracked handle and forget them. Non-blocking by
+    * default (a long-lived session doesn't want to stall on block
+    * removal); benchmark hosts pass `blocking = true` so each timed
+    * entry starts from a deterministic storage state — lingering
+    * async-freed blocks otherwise make an entry's memory pressure
+    * depend on which query ran before it (the order-dependence the
+    * fwd/fwd/rev protocol exists to detect). */
+  def releaseAll(blocking: Boolean = false): Unit = synchronized {
     tracked.foreach { ds =>
-      try ds.unpersist(blocking = false) catch { case _: Throwable => () }
+      try ds.unpersist(blocking) catch { case _: Throwable => () }
     }
     tracked.clear()
   }

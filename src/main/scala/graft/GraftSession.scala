@@ -13,7 +13,15 @@ import org.apache.spark.sql.SparkSession
   *    partitions, demoted broadcasts, and split skew partitions
   *    (skewJoin handles the hot keys that salting targets statically);
   *  - UTC session timezone — every oracle comparison and timestamp
-  *    literal in the library assumes it.
+  *    literal in the library assumes it;
+  *  - graft extensions installed (as-of strategy, native-hash kernel
+  *    swap, the opt-in rewrites) with the top-k rewrite ON: rewriting
+  *    `row_number().over(...) <= k` into the bounded-heap aggregate is
+  *    bit-identical for total window orders (every library query's
+  *    orders are total) and removes the full-candidate-set sort —
+  *    the production mode, not an experiment. Callers who need the
+  *    untouched window plan set spark.graft.topkRewrite.enabled=false
+  *    on the built session.
   */
 object GraftSession {
   def build(master: String = s"local[${Runtime.getRuntime.availableProcessors()}]",
@@ -27,9 +35,10 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.graft.topkRewrite.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    functions.GraftFunctions.register(s)
+    GraftExtensions.install(s)
     s
   }
 }

@@ -98,7 +98,7 @@ object SparkEntry {
     "text_lm_score"       -> TextAnalysis.lmScore _,
     "dedup_exact"         -> Dedup.exact _,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccard _,
-    "dedup_minhash_lsh"   -> ((s: SparkSession, d: String) => Dedup.minhashLsh(s, d)),
+    "dedup_minhash_lsh"   -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash"       -> Dedup.simhash _,
     "dedup_winnow_pairs"  -> Dedup.winnowPairs _,
     "dedup_components"    -> Dedup.components _,
@@ -146,23 +146,23 @@ object SparkEntry {
     "q_lapsed_customers" -> Relational.qLapsedCustomers _,
     "text_boilerplate_ngrams" -> TextAnalysis.boilerplateNgrams _,
     "graph_jaccard_neighbors" -> Graph.neighborJaccard _,
-    "graph_kcore_peel"   -> ((s: SparkSession, d: String) => Graph.kCorePeel(s, d)),
-    "ann_matryoshka_rerank" -> ((s: SparkSession, d: String) => Similarity.annMatryoshkaRerank(s, d)),
-    "pipeline_epoch_shuffle" -> ((s: SparkSession, d: String) => Pipeline.epochShuffle(s, d)),
-    "graph_bfs_levels"    -> ((s: SparkSession, d: String) => Graph.bfsLevels(s, d)),
-    "mm_phash_dedup"      -> ((s: SparkSession, d: String) => Multimodal.phashDedup(s, d)),
-    "ann_graph_search"    -> ((s: SparkSession, d: String) => Similarity.annGraphSearch(s, d)),
-    "ann_graph_beam"      -> ((s: SparkSession, d: String) => Similarity.annGraphBeam(s, d)),
+    "graph_kcore_peel"   -> ((s, d) => Graph.kCorePeel(s, d)),
+    "ann_matryoshka_rerank" -> ((s, d) => Similarity.annMatryoshkaRerank(s, d)),
+    "pipeline_epoch_shuffle" -> ((s, d) => Pipeline.epochShuffle(s, d)),
+    "graph_bfs_levels"    -> ((s, d) => Graph.bfsLevels(s, d)),
+    "mm_phash_dedup"      -> ((s, d) => Multimodal.phashDedup(s, d)),
+    "ann_graph_search"    -> ((s, d) => Similarity.annGraphSearch(s, d)),
+    "ann_graph_beam"      -> ((s, d) => Similarity.annGraphBeam(s, d)),
     "embed_ivf_balance"   -> Similarity.ivfBalance _,
     "text_ngram_novelty"  -> TextAnalysis.ngramNovelty _,
     "etl_lateness_profile" -> EventsEtl.latenessProfile _,
-    "etl_rolling_actives" -> ((s: SparkSession, d: String) => EventsEtl.rollingActives(s, d)),
+    "etl_rolling_actives" -> ((s, d) => EventsEtl.rollingActives(s, d)),
     "etl_cusum_shift"     -> EventsEtl.cusumShift _,
     "text_source_divergence" -> TextAnalysis.sourceDivergence _,
     "pipeline_tokenizer_fertility" -> Pipeline.tokenizerFertility _,
     "pipeline_interleave_sources" -> Pipeline.interleaveSources _,
-    "dedup_lsh_eval"      -> ((s: SparkSession, d: String) => Dedup.lshEval(s, d)),
-    "dedup_lsh_eval_sampled" -> ((s: SparkSession, d: String) => Dedup.lshEval(s, d, sampleMod = 4)),
+    "dedup_lsh_eval"      -> ((s, d) => Dedup.lshEval(s, d)),
+    "dedup_lsh_eval_sampled" -> ((s, d) => Dedup.lshEval(s, d, sampleMod = 4)),
     "pipeline_dsir_weights" -> Pipeline.dsirWeights _,
     "embed_pca_power"     -> ((s, d) => Similarity.pcaPower(s, d)),
     "dedup_semdedup"      -> Similarity.semDedup _,
@@ -266,7 +266,7 @@ object SparkEntry {
     "graph_rich_club"         -> Graph.richClub _,
     "q_hhi_concentration"     -> Relational.qHhiConcentration _,
     "q_bucket_migration"      -> Relational.qBucketMigration _,
-    "text_rake_keywords"      -> ((s: SparkSession, d: String) => TextAnalysis.rakeKeywords(s, d)),
+    "text_rake_keywords"      -> ((s, d) => TextAnalysis.rakeKeywords(s, d)),
     "etl_user_lifecycle"      -> EventsEtl.userLifecycle _,
     "etl_bounce_rate"         -> EventsEtl.bounceRate _,
     "etl_funnel_window_sweep" -> EventsEtl.funnelWindowSweep _,

@@ -14,8 +14,13 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // same optimizer mode as GraftSession/Bench: the correctness
+      // gate must exercise the plans the library ships (the top-k
+      // rewrite included), not a de-optimized variant
+      .config("spark.graft.topkRewrite.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    GraftExtensions.install(spark)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Failures are recorded EXPLICITLY: a query that throws gets an

@@ -13,17 +13,28 @@ import org.apache.spark.sql.types._
   * (score, id, pay) triples seen so far, kept sorted best-first in
   * three parallel primitive arrays. Insertion is a shift into a
   * ≤k-element array — O(k) per row with zero allocation, which beats a
-  * heap for the small k (5–20) these operators use. */
+  * heap for the small k (5–20) these operators use.
+  *
+  * The score order is Spark's TOTAL order on doubles (NaN above every
+  * other value, −0.0 = 0.0 — what sort/row_number use), not the
+  * primitive `>`: a primitive comparison is always-false against NaN,
+  * which would silently DROP NaN scores the window form ranks first
+  * (e.g. a 0/0 cosine from a zero-norm vector). −0.0 is normalized to
+  * 0.0 at insert so Double.compare's bit-level −0.0 < 0.0 can't
+  * diverge from Spark's equal-keys tie (which falls through to id). */
 final class TopKBuf(val k: Int) {
   val scores = new Array[Double](k)
   val ids = new Array[Long](k)
   val pays = new Array[Long](k)
   var n = 0
 
-  @inline private def better(s: Double, i: Long, pos: Int): Boolean =
-    s > scores(pos) || (s == scores(pos) && i < ids(pos))
+  @inline private def better(s: Double, i: Long, pos: Int): Boolean = {
+    val c = java.lang.Double.compare(s, scores(pos)) // NaN > all, total
+    c > 0 || (c == 0 && i < ids(pos))
+  }
 
-  def insert(s: Double, i: Long, p: Long): Unit = {
+  def insert(s0: Double, i: Long, p: Long): Unit = {
+    val s = if (s0 == 0.0d) 0.0d else s0 // −0.0 → 0.0 (Spark sort key)
     if (n == k && !better(s, i, n - 1)) return
     var pos = if (n < k) n else n - 1 // index the new triple lands at
     while (pos > 0 && better(s, i, pos - 1)) {

@@ -1139,7 +1139,11 @@ object Relational {
   def qRfmSegments(spark: SparkSession, dir: String): DataFrame = {
     val rfm = Tables.orders(spark, dir)
       .select(col("o_custkey"),
-        expr("unix_timestamp(o_orderdate) div 86400").as("day"),
+        // epoch DAY via datediff: timezone-independent for the
+        // date-valued order stamp (unix_timestamp localizes NTZ input
+        // through the session zone — only matched the UTC oracle
+        // because every entry point pins UTC)
+        expr("CAST(datediff(o_orderdate, DATE'1970-01-01') AS BIGINT)").as("day"),
         d2(col("o_totalprice")).as("price"))
       .groupBy(col("o_custkey"))
       .agg(max(col("day")).as("last_day"), count(lit(1)).as("freq"),
@@ -1457,7 +1461,8 @@ object Relational {
       .orderBy(col("day"), col("o_orderkey"))
     Tables.orders(spark, dir)
       .select(col("o_custkey"), col("o_orderkey"),
-        expr("unix_timestamp(o_orderdate) div 86400").as("day"))
+        // tz-independent epoch day (see qRfmSegments)
+        expr("CAST(datediff(o_orderdate, DATE'1970-01-01') AS BIGINT)").as("day"))
       .withColumn("prev", lag(col("day"), 1).over(byCust))
       .filter(col("prev").isNotNull)
       .withColumn("gap_days", col("day") - col("prev"))
@@ -1595,7 +1600,9 @@ object Relational {
     * math on a single row. */
   def qWeekdayAnova(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.orders(spark, dir)
-      .select(expr("(unix_timestamp(o_orderdate) div 86400) % 7").as("dow"),
+      .select(
+        // tz-independent epoch weekday (see qRfmSegments)
+        expr("CAST(datediff(o_orderdate, DATE'1970-01-01') % 7 AS BIGINT)").as("dow"),
         d2(col("o_totalprice")).as("x"))
     val accs = (0 until 7).flatMap { d =>
       Seq(

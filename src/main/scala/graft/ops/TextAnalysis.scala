@@ -837,19 +837,6 @@ object TextAnalysis {
       .limit(k)
   }
 
-  /** Compression-ratio proxy (the Gopher "repetitious document" family
-    * of filters without a codec in the loop): per doc the ratio of
-    * DISTINCT character 4-grams to total 4-gram windows — boilerplate
-    * and template spam compress (low ratio), organic prose doesn't.
-    * Per source: doc count, the mean per-doc ratio (per-doc ratios are
-    * exact 6-dp rationals; the mean sums their integer micro-units and
-    * divides ONCE, tie-free — the mm_audio_energy discipline), and the
-    * count of low-diversity docs (ratio < 0.2, compared as the exact
-    * integer d·5 < n — no float boundary).
-    *
-    * Shape at scale: the 4-gram windows never leave the row
-    * (transform + array_distinct inside codegen, O(len) per doc, no
-    * explode); ONE |sources|-group agg, map-side combinable. */
   /** Code-vs-prose screen — the pretraining router that decides
     * whether a doc goes to the code pipeline, the prose pipeline, or
     * the bin: per doc the density of code-marker characters
@@ -877,6 +864,19 @@ object TextAnalysis {
           .as("mean_symbol_density"))
       .orderBy(col("source"))
 
+  /** Compression-ratio proxy (the Gopher "repetitious document" family
+    * of filters without a codec in the loop): per doc the ratio of
+    * DISTINCT character 4-grams to total 4-gram windows — boilerplate
+    * and template spam compress (low ratio), organic prose doesn't.
+    * Per source: doc count, the mean per-doc ratio (per-doc ratios are
+    * exact 6-dp rationals; the mean sums their integer micro-units and
+    * divides ONCE, tie-free — the mm_audio_energy discipline), and the
+    * count of low-diversity docs (ratio < 0.2, compared as the exact
+    * integer d·5 < n — no float boundary).
+    *
+    * Shape at scale: the 4-gram windows never leave the row
+    * (transform + array_distinct inside codegen, O(len) per doc, no
+    * explode); ONE |sources|-group agg, map-side combinable. */
   def compressionProxy(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .filter(length(col("text")) >= 4)

@@ -372,8 +372,20 @@ object Brotli {
     17
   }
 
-  /** Decompress a complete brotli stream. Pure function; thread-safe. */
-  def decompress(input: Array[Byte]): Array[Byte] = {
+  /** Decompress a complete brotli stream. Pure function; thread-safe.
+    * All failures — including the index/size runtime errors a corrupt
+    * or truncated stream can drive the table lookups into — surface as
+    * `IOException("brotli: ...")`, so callers have ONE failure type to
+    * wrap with file context. */
+  def decompress(input: Array[Byte]): Array[Byte] =
+    try decompressImpl(input)
+    catch {
+      case e: IOException => throw e
+      case e: RuntimeException =>
+        throw new IOException(s"brotli: corrupt stream (${e.getClass.getSimpleName}: ${e.getMessage})", e)
+    }
+
+  private def decompressImpl(input: Array[Byte]): Array[Byte] = {
     val br = new BitReader(input)
     val wbits = decodeWindowBits(br)
     val windowSize = (1 << wbits) - 16

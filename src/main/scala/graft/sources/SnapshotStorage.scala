@@ -36,19 +36,30 @@ object SnapshotStorage {
   def readRaw(spark: SparkSession, rootDir: String): DataFrame = {
     val jsonPat = s"$rootDir/*/*/*/*/*.json"
     val brPat = s"$rootDir/*/*/*/*/*.br"
-    val parts = Seq(
+    val jsonPart =
       if (hasGlob(spark, jsonPat))
         Some(spark.read.option("wholetext", "true").text(jsonPat)
           .select(
             regexp_extract(input_file_name(), idFromPath, 1).as("snapshot_id"),
             col("value").as("json")))
-      else None,
+      else None
+    val brPart =
       if (hasGlob(spark, brPat)) Some(readRawBrotli(spark, brPat)) else None
-    ).flatten
-    if (parts.isEmpty) {
-      import spark.implicits._
-      Seq.empty[(String, String)].toDF("snapshot_id", "json")
-    } else parts.reduce(_ unionByName _)
+    (jsonPart, brPart) match {
+      case (None, None) =>
+        import spark.implicits._
+        Seq.empty[(String, String)].toDF("snapshot_id", "json")
+      case (Some(j), None) => j
+      case (None, Some(b)) => b
+      case (Some(j), Some(b)) =>
+        // A minute present in BOTH formats (mixed trees accumulate —
+        // copyRange preserves extensions) must not yield duplicate
+        // snapshot_id rows downstream. Documented precedence: `.json`
+        // wins (it needs no decode, so it is the cheaper and the more
+        // inspectable copy); `.br` fills only the minutes json lacks.
+        j.unionByName(b.join(j.select(col("snapshot_id")),
+          Seq("snapshot_id"), "left_anti"))
+    }
   }
 
   /** Distributed `.br` snapshot read: binaryFile rows decoded per
@@ -62,7 +73,14 @@ object SnapshotStorage {
       .as[(String, Array[Byte])]
       .map { case (p, bytes) =>
         val id = idRe.findFirstMatchIn(p).map(_.group(1)).getOrElse(p)
-        (id, new String(Brotli.decompress(bytes), java.nio.charset.StandardCharsets.UTF_8))
+        // name the offending file: a corrupt landing doc must fail the
+        // task with its path, not an anonymous decoder error
+        val decoded =
+          try Brotli.decompress(bytes)
+          catch { case e: java.io.IOException =>
+            throw new java.io.IOException(s"$p: ${e.getMessage}", e)
+          }
+        (id, new String(decoded, java.nio.charset.StandardCharsets.UTF_8))
       }
       .toDF("snapshot_id", "json")
   }

@@ -108,6 +108,35 @@ class BrotliIngestSpec extends SparkSpec {
     assert(e.columns.toSeq == Seq("snapshot_id", "json") && e.count() == 0)
   }
 
+  test("a minute present as BOTH .json and .br yields ONE row — .json wins") {
+    val root = Files.createTempDirectory("brdup").toString
+    // same minute in both formats, with DIFFERENT payloads so the
+    // precedence (json over br) is observable, plus one br-only minute
+    writeBr(root, "2023/03/10/08/01", SiriFixtures.snapB)
+    writeJson(root, "2023/03/10/08/01", SiriFixtures.snapA)
+    writeBr(root, "2023/03/10/08/02", SiriFixtures.snapB)
+    val byId = SnapshotStorage.readRaw(spark, root)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(byId.keySet == Set("2023/03/10/08/01", "2023/03/10/08/02"))
+    assert(byId("2023/03/10/08/01") == SiriFixtures.snapA) // .json copy
+    assert(byId("2023/03/10/08/02") == SiriFixtures.snapB)
+  }
+
+  test("a corrupt .br landing file fails the read WITH its path in the error") {
+    val root = Files.createTempDirectory("brbad").toString
+    val p = Paths.get(s"$root/2023/03/10/08/07.br")
+    Files.createDirectories(p.getParent)
+    Files.write(p, Array[Byte](0x1b, 0x7f, -1, -1, 0x42, 0x42, 0x42))
+    val e = intercept[org.apache.spark.SparkException] {
+      SnapshotStorage.readRaw(spark, root).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val all = msgs(e).mkString("\n")
+    assert(all.contains("2023/03/10/08/07.br"), s"path missing from: $all")
+    assert(all.contains("brotli"), s"decoder context missing from: $all")
+  }
+
   test("copySnapshots copies .br minutes preserving extension and range") {
     val src = Files.createTempDirectory("brsrc").toString
     val dst = Files.createTempDirectory("brdst").toString

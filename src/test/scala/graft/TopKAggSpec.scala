@@ -55,4 +55,29 @@ class TopKAggSpec extends SparkSpec {
     assert(g2.map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))) ==
       Seq((1.0, 20L, 7L))) // group smaller than k: all rows, still ordered
   }
+
+  test("graft_topk: NaN and signed-zero scores follow Spark's total order") {
+    // Spark (and DuckDB) sort NaN ABOVE every double, and treat −0.0 =
+    // 0.0 — so a NaN candidate must rank FIRST under score DESC (a
+    // primitive > comparison would silently drop it: NaN > x and
+    // NaN == x are both false), and ±0.0 must tie on id. The window
+    // form is the contract; assert both engines' shape directly.
+    val df = spark.createDataFrame(Seq(
+      (1L, Double.NaN, 10L, 0L), (1L, 99.0, 11L, 0L), (1L, 1.0, 12L, 0L),
+      (2L, -0.0, 20L, 0L), (2L, 0.0, 21L, 0L), (2L, -1.0, 22L, 0L)))
+      .toDF("g", "s", "id", "pay").repartition(4)
+    df.createOrReplaceTempView("topk_nan")
+    val agg = spark.sql(
+      """SELECT g, t.id AS id FROM
+        |(SELECT g, graft_topk(s, id, pay, 2) AS top FROM topk_nan GROUP BY g)
+        |LATERAL VIEW explode(top) AS t""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val win = spark.sql(
+      """SELECT g, id FROM (
+        |  SELECT g, id, row_number() OVER (PARTITION BY g ORDER BY s DESC, id) AS rk
+        |  FROM topk_nan) WHERE rk <= 2""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(agg == win)
+    assert(agg == Set((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L)))
+  }
 }
