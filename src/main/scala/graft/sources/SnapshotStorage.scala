@@ -90,6 +90,33 @@ object SnapshotStorage {
   def readRawStream(spark: SparkSession, rootDir: String): DataFrame =
     spark.readStream.schema("snapshot_id STRING, json STRING").json(rootDir)
 
+  /** Streaming read of the reference's ACTUAL landing tree — one
+    * brotli document per minute (`YYYY/MM/DD/HH/MM.br`) — so the
+    * daemon can tail the archive format directly: the binaryFile
+    * source checkpoints file offsets (replacing the reference's
+    * last-loaded-snapshot bookkeeping) and [[Brotli.decompress]] runs
+    * in the mapper, scaling decode with executors exactly like the
+    * batch path. */
+  def readRawBrotliStream(spark: SparkSession, rootDir: String): DataFrame = {
+    import spark.implicits._
+    val idRe = idFromPath.r
+    spark.readStream.format("binaryFile")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .load(s"$rootDir/*/*/*/*/*.br")
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .map { case (p, bytes) =>
+        val id = idRe.findFirstMatchIn(p).map(_.group(1)).getOrElse(p)
+        val decoded =
+          try Brotli.decompress(bytes)
+          catch { case e: java.io.IOException =>
+            throw new java.io.IOException(s"$p: ${e.getMessage}", e)
+          }
+        (id, new String(decoded, java.nio.charset.StandardCharsets.UTF_8))
+      }
+      .toDF("snapshot_id", "json")
+  }
+
   private def pathExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
