@@ -47,11 +47,15 @@ object SiriDrain {
       s""""MonitoredCall":{"StopPointRef":"$stop","Order":"$order","DistanceFromStop":"1200"}}}"""
   }
 
+  /** Roll the synthetic minute index into (day, hour, minute) so trees
+    * of any length stay valid timestamps (day 10 + overflow). */
+  private def dhm(minute: Int): (Int, Int, Int) =
+    (10 + minute / 1440, (minute % 1440) / 60, minute % 60)
+
   /** The minute's full snapshot document. */
   private def snapshotJson(minute: Int, visitsPer: Int): String = {
-    val hh = 8 + minute / 60
-    val mm = minute % 60
-    val recorded = f"2023-03-10T$hh%02d:$mm%02d:15+02:00"
+    val (dd, hh, mm) = dhm(minute)
+    val recorded = f"2023-03-$dd%02dT$hh%02d:$mm%02d:15+02:00"
     val visits = (0 until visitsPer).map(v => visit(minute, v, recorded))
     s"""{"Siri":{"ServiceDelivery":{"ResponseTimestamp":"$recorded","ProducerRef":"drain",""" +
       s""""StopMonitoringDelivery":[{"ResponseTimestamp":"$recorded","Status":"true",""" +
@@ -62,9 +66,8 @@ object SiriDrain {
     * (2023/03/10/HH/MM.br), returning total visit count. */
   def generateTree(root: String, minutes: Int, visitsPer: Int): Long = {
     (0 until minutes).foreach { m =>
-      val hh = 8 + m / 60
-      val mm = m % 60
-      val p = Paths.get(f"$root/2023/03/10/$hh%02d/$mm%02d.br")
+      val (dd, hh, mm) = dhm(m)
+      val p = Paths.get(f"$root/2023/03/$dd%02d/$hh%02d/$mm%02d.br")
       Files.createDirectories(p.getParent)
       Files.write(p, Brotli.compressUncompressed(
         snapshotJson(m, visitsPer).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
