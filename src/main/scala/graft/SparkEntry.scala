@@ -737,7 +737,8 @@ object SparkEntry {
     "dedup_winnow_pairs" ->
       """WITH d AS (
         |  SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents),
+        |  UNION ALL SELECT doc_id + (SELECT (max(doc_id)//100000 + 1)*100000
+        |    FROM documents) AS doc_id, text FROM documents),
         |g AS (SELECT doc_id,
         |  CASE WHEN length(text) < 16 THEN [('0x' || substr(md5(text), 1, 15))::BIGINT]
         |  ELSE list_transform(range(1, length(text) - 16 + 2),
@@ -787,7 +788,8 @@ object SparkEntry {
     "dedup_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT doc_id + 100000, text FROM documents)
+        |  UNION ALL SELECT doc_id + (SELECT (max(doc_id)//100000 + 1)*100000
+        |    FROM documents), text FROM documents)
         |SELECT md5(text) AS content_hash, min(doc_id) AS keep_doc_id, count(*) AS n_copies
         |FROM corpus GROUP BY 1 ORDER BY keep_doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
@@ -2156,12 +2158,15 @@ object SparkEntry {
     // through a real PNG encode/decode, which is lossless, so the
     // hashes agree bit-for-bit.
     "mm_phash_dedup" ->
-      s"""WITH px AS (SELECT d.doc_id, rx.x, ry.y,
-        |   least(((rx.x+1)*((d.doc_id % 23)+3) + (ry.y+1)*(((d.doc_id // 23) % 13)+5)
-        |     + ((rx.x*ry.y) % ((d.doc_id % 23)+2))*7) % 256
+      s"""WITH fp AS (SELECT doc_id,
+        |   ((doc_id // 12) * 2654435761) % 4294967296 AS h,
+        |   (doc_id // 12) % 23 AS m, doc_id % 3 AS dd FROM documents),
+        |px AS (SELECT d.doc_id, rx.x, ry.y,
+        |   least(((rx.x+1)*((d.h % 256)+3) + (ry.y+1)*(((d.h // 256) % 256)+5)
+        |     + ((rx.x*ry.y) % (d.m+2))*7) % 256
         |   + CASE WHEN rx.x BETWEEN 12 AND 13 AND ry.y BETWEEN 12 AND 13
-        |       THEN d.doc_id % 3 ELSE 0 END, 255) AS p
-        |  FROM documents d CROSS JOIN range(32) rx(x) CROSS JOIN range(32) ry(y)),
+        |       THEN d.dd ELSE 0 END, 255) AS p
+        |  FROM fp d CROSS JOIN range(32) rx(x) CROSS JOIN range(32) ry(y)),
         |ct(x, u, c) AS (SELECT * FROM (VALUES ${graft.ops.Multimodal.PHash.ctabSqlValues}) t(x, u, c)),
         |co AS (SELECT px.doc_id, cu.u AS u, cv.u AS v, sum(px.p * cu.c * cv.c) AS coeff
         |  FROM px JOIN ct cu ON cu.x = px.x JOIN ct cv ON cv.x = px.y
@@ -3957,13 +3962,15 @@ object SparkEntry {
     // 16-bin luminance histogram from the SAME pixel formula the PNG
     // payloads encode (mirrors Multimodal.imageHistogram / PHash.pixelGrid)
     "mm_image_histogram" ->
-      """WITH d AS (SELECT doc_id, doc_id % 23 AS g, (doc_id // 23) % 13 AS w,
-        |   doc_id % 3 AS dd FROM documents),
-        |cells AS (SELECT doc_id, g, w, dd, x.i AS x, y.i AS y
+      """WITH d AS (SELECT doc_id,
+        |   (((doc_id // 12) * 2654435761) % 4294967296) % 256 AS g,
+        |   ((((doc_id // 12) * 2654435761) % 4294967296) // 256) % 256 AS w,
+        |   (doc_id // 12) % 23 AS m, doc_id % 3 AS dd FROM documents),
+        |cells AS (SELECT doc_id, g, w, m, dd, x.i AS x, y.i AS y
         |  FROM d CROSS JOIN (SELECT unnest(range(0, 32)) AS i) x
         |  CROSS JOIN (SELECT unnest(range(0, 32)) AS i) y),
         |px AS (SELECT doc_id, least(
-        |   ((x+1) * (g+3) + (y+1) * (w+5) + ((x*y) % (g+2)) * 7) % 256
+        |   ((x+1) * (g+3) + (y+1) * (w+5) + ((x*y) % (m+2)) * 7) % 256
         |   + (CASE WHEN x BETWEEN 12 AND 13 AND y BETWEEN 12 AND 13
         |      THEN dd ELSE 0 END), 255) AS v FROM cells)
         |SELECT doc_id, CAST(v // 16 AS BIGINT) AS bin,

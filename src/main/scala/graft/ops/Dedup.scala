@@ -63,13 +63,22 @@ object Dedup {
     withShingles(df)
       .select(col("doc_id"), expr("graft_h60_array(shingles)").as("hs"))
 
+  /** The doubled-corpus id shift: the next multiple of 100000 above
+    * max(doc_id), so copies NEVER collide with real ids at any corpus
+    * size (a fixed +100000 collides once ids pass 100k — e.g. a
+    * ScaleData ×100 dir), while staying exactly 100000 at every
+    * oracle-checked SF (max id < 100k there). Mirrored in SQL as
+    * `(max(doc_id)//100000 + 1)*100000`. */
+  private def doubleShift(docs: DataFrame): Long =
+    (docs.agg(max(col("doc_id"))).head().getLong(0) / 100000L + 1L) * 100000L
+
   /** Exact dedup via content-hash groupBy. The corpus is doubled
-    * (doc_id+100000) so the dedup actually collapses something: keep the
-    * minimum doc_id per content hash, count copies. */
+    * (doc_id + [[doubleShift]]) so the dedup actually collapses
+    * something: keep the minimum doc_id per content hash, count copies. */
   def exact(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val doubled = docs.unionAll(
-      docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      docs.select((col("doc_id") + doubleShift(docs)).as("doc_id"), col("text")))
     doubled
       .groupBy(md5(col("text")).as("content_hash"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
@@ -191,14 +200,14 @@ object Dedup {
     * fingerprint explode is map-side (native graft_winnow kernel); the
     * self-join shuffles on the fingerprint — fan-in bounded by
     * collision rate, like every LSH-family candidate join. Doubled
-    * corpus (+100000) so the operator provably catches the planted
-    * exact copies. */
+    * corpus (+[[doubleShift]]) so the operator provably catches the
+    * planted exact copies. */
   def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     val tDec = lit(BigDecimal("0.8"))
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val doubled = docs.unionAll(
-      docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      docs.select((col("doc_id") + doubleShift(docs)).as("doc_id"), col("text")))
     // per-doc fingerprint ARRAY (sorted distinct, native kernel) — the
     // unit of verification; exploded only for candidate generation
     val fpArr = graft.Caches.persistTracked(doubled

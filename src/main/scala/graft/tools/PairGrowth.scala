@@ -33,8 +33,9 @@ object PairGrowth {
 
     // ---- winnowPairs bound: doubled corpus, fingerprint stream,
     // prefix size, and the exact candidate fan-in Σ_fp prefix_df·df ----
+    val shift = (docs.agg(max(col("doc_id"))).head().getLong(0) / 100000L + 1L) * 100000L
     val doubled = docs.unionAll(
-      docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      docs.select((col("doc_id") + shift).as("doc_id"), col("text")))
     val fpArr = doubled.select(col("doc_id"), expr("graft_winnow16(text)").as("fa"))
     val sh = fpArr.select(col("doc_id"), size(col("fa")).as("n"), explode(col("fa")).as("fp"))
       .persist()

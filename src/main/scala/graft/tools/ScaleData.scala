@@ -135,17 +135,41 @@ object ScaleData {
       .drop("__r")
       .write.mode("overwrite").parquet(s"$dst/events.parquet")
 
-    // documents: ids offset, every word suffixed with the replica tag
-    // (replica 0 keeps the original text verbatim)
+    // documents: ids offset, text passed through a PER-REPLICA BIJECTIVE
+    // character cipher (affine map on a-z and 0-9; replica 0 identity).
+    // A bijection is a length-preserving isomorphism: within each
+    // replica every token, shingle, k-char gram, and winnow fingerprint
+    // maps 1:1 onto the original corpus's, so the per-replica df
+    // distribution of EVERY text statistic is exactly the source's, and
+    // cross-replica grams are disjoint-by-content (no salt token, no
+    // gram-context shortening). The previous word-suffix salting
+    // ("w~r") was itself the superlinear artifact VERDICT r9 item 4
+    // chased: the [^a-z0-9] tokenizers split the tag into an
+    // every-word token "r" (shingle Σdf² grew ×1650 at 10×), and +2
+    // chars per word shrank a 16-char winnow gram from ~3.2 words of
+    // context to ~2.5 (bigram-frequency grams instead of
+    // trigram-frequency — winnow candidates grew ×1968 at 10×).
+    // Affine maps i→(a·i+b) mod 26 with gcd(a,26)=1 give 312 distinct
+    // letter ciphers (12 valid a × 26 b); digits use a rotation.
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val maxD = docs.agg(max("doc_id")).head().getLong(0) + 1
-    reps(docs)
-      .withColumn("text",
-        when(col("__r") === 0, col("text")).otherwise(
-          array_join(expr("transform(split(text, ' '), w -> concat(w, '~', __r))"), " ")))
-      .withColumn("doc_id", col("doc_id") + col("__r") * maxD)
-      .withColumn("n_chars", length(col("text")).cast("long"))
-      .drop("__r")
+    val alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+    val aCh = Array(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+    def cipher(r: Int): String = {
+      val a = aCh((r / 26) % 12); val b = r % 26
+      val letters = (0 until 26).map(i => ('a' + (a * i + b) % 26).toChar)
+      val digits = (0 until 10).map(i => ('0' + (i + r) % 10).toChar)
+      (letters ++ digits).mkString
+    }
+    require(f <= 312, s"cipher space is 312 distinct replica maps; factor $f exceeds it")
+    val perReplica = (0 until f).map { r =>
+      docs
+        .withColumn("text",
+          if (r == 0) col("text") else translate(col("text"), alpha, cipher(r)))
+        .withColumn("doc_id", col("doc_id") + lit(r.toLong * maxD))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }
+    perReplica.reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")
 
     // embeddings: ids and cell labels offset — f× cells of unchanged size

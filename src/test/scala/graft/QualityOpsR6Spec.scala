@@ -223,10 +223,11 @@ class QualityOpsR6Spec extends SparkSpec {
       val moved = PHash.dctHash60(PHash.decodeGray(PHash.encodePng(perturbed)))
       assert(moved != viaPng, s"doc $id: fingerprint blind to an 8x8 +120 pixel change")
       // ...while the fixture's own tiny 2x2 delta stays hamming-close:
-      // same class, different per-doc delta
-      val sibling = PHash.dctHash60(PHash.pixelGrid(id + 299))
+      // same family (doc_id/12), different per-doc delta
+      val sib = id - (id % 12) + ((id % 12 + 1) % 12)
+      val sibling = PHash.dctHash60(PHash.pixelGrid(sib))
       assert(java.lang.Long.bitCount(viaPng ^ sibling) <= 2,
-        s"doc $id vs ${id + 299}: same-class near-dup drifted beyond hamming 2")
+        s"doc $id vs $sib: same-family near-dup drifted beyond hamming 2")
     }
   }
 
