@@ -20,7 +20,13 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.q5JoinChain(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * Registration style: eta-expansion (`Obj.method _`) for the
+    * exact-arity (SparkSession, String) methods; an explicit lambda
+    * only where the method carries tuning defaults (k, thresholds,
+    * sample mods — eta-expansion would expose the wider arity).
+    * SurveyKeysSpec pins this key set to the SURVEY §2 table. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.1 reference-surface ETL ops (events)
     "etl_parse_props"    -> EventsEtl.parseProps _,
@@ -280,6 +286,12 @@ object SparkEntry {
     "text_code_detection"     -> TextAnalysis.codeDetection _,
     "q_lorenz_deciles"        -> Relational.qLorenzDeciles _,
     "dedup_shingle_df_profile" -> Dedup.shingleDfProfile _,
+    "q_ks_test"               -> Relational.qKsTest _,
+    "q_spearman_corr"         -> Relational.qSpearmanCorr _,
+    "q_theil_index"           -> Relational.qTheilIndex _,
+    "etl_burst_detection"     -> EventsEtl.burstDetection _,
+    "text_jaccard_sources"    -> TextAnalysis.jaccardSourceOverlap _,
+    "embed_hubness"           -> Similarity.embedHubness _,
   )
 
   /** DuckDB-runnable equivalents over the same parquet tables. */
@@ -4325,5 +4337,130 @@ object SparkEntry {
         |  CAST((2 * n_removable * 1000000 + n_docs) // (2 * n_docs) AS DOUBLE)
         |    / 1000000.0 AS removable_share
         |FROM g ORDER BY source""".stripMargin,
+    // two-sample KS on order totals, BUILDING vs MACHINERY (mirrors
+    // Relational.qKsTest; integer CDF-gap numerators, tie-free round)
+    "q_ks_test" ->
+      """WITH seg AS (SELECT c_mktsegment AS seg,
+        |   CAST(o_totalprice AS DECIMAL(18,2)) AS v
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+        |bv AS (SELECT v,
+        |   sum(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END) AS d1,
+        |   sum(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END) AS d2
+        |  FROM seg GROUP BY 1),
+        |cdf AS (SELECT
+        |   sum(d1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c1,
+        |   sum(d2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c2,
+        |   sum(d1) OVER () AS n1, sum(d2) OVER () AS n2
+        |  FROM bv),
+        |a AS (SELECT max(n1) AS n1, max(n2) AS n2,
+        |   max(abs(c1 * n2 - c2 * n1)) AS dnum FROM cdf)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  CAST((2 * dnum * 1000000 + n1 * n2) // (2 * n1 * n2) AS DOUBLE)
+        |    / 1000000.0 AS ks_d,
+        |  round(sqrt(n1 * n2 / CAST(n1 + n2 AS DOUBLE)) *
+        |    (dnum / CAST(n1 * n2 AS DOUBLE)), 6) AS ks_scaled
+        |FROM a""".stripMargin,
+    // Spearman rank correlation, quantity vs extendedprice (mirrors
+    // Relational.qSpearmanCorr; tie-averaged ranks held integer as
+    // 2·avgrank = 2·rank + cnt − 1, exact DECIMAL moments)
+    "q_spearman_corr" ->
+      """WITH r AS (SELECT
+        |   CAST(2 * rank() OVER (ORDER BY l_quantity)
+        |     + count(*) OVER (PARTITION BY l_quantity) - 1 AS DECIMAL(38,0)) AS rq,
+        |   CAST(2 * rank() OVER (ORDER BY l_extendedprice)
+        |     + count(*) OVER (PARTITION BY l_extendedprice) - 1 AS DECIMAL(38,0)) AS rp
+        |  FROM lineitem),
+        |a AS (SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+        |   sum(rq * rp) AS sxy, sum(rq) AS sx, sum(rp) AS sy,
+        |   sum(rq * rq) AS sxx, sum(rp * rp) AS syy FROM r)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+        |         CAST(n * syy - sy * sy AS DOUBLE)), 6) AS spearman_rho
+        |FROM a""".stripMargin,
+    // Theil T inequality of customer spend, nation decomposition
+    // (mirrors Relational.qTheilIndex)
+    "q_theil_index" ->
+      """WITH spend AS (SELECT o_custkey,
+        |   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS x
+        |  FROM orders GROUP BY 1),
+        |sx AS (SELECT n_name, x FROM spend
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey),
+        |tot AS (SELECT CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS s,
+        |   count(*) AS n FROM sx),
+        |g AS (SELECT n_name, count(*) AS n_cust,
+        |   CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sg,
+        |   sum(x * ln(x)) AS sxlx, max(s) AS s, max(n) AS n
+        |  FROM sx CROSS JOIN tot GROUP BY 1),
+        |t AS (SELECT n_cust, sg / s AS share,
+        |   sxlx / sg - ln(sg / n_cust) AS tw,
+        |   ln((sg / n_cust) / (s / n)) AS tb FROM g)
+        |SELECT CAST(sum(n_cust) AS BIGINT) AS n_customers,
+        |  round(sum(share * (tw + tb)), 6) AS theil_total,
+        |  round(sum(share * tb), 6) AS theil_between,
+        |  round(sum(share * tw), 6) AS theil_within
+        |FROM t""".stripMargin,
+    // trailing-day top-20 burst profile over per-hour counts
+    // (mirrors EventsEtl.burstDetection; exact integer z2 ranking)
+    "etl_burst_detection" ->
+      """WITH ph AS (SELECT
+        |   CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 3600 AS h,
+        |   count(*) AS c FROM events GROUP BY 1),
+        |t AS (SELECT h, c,
+        |   count(c) OVER w AS trail_n,
+        |   sum(c) OVER w AS s1,
+        |   sum(c * c) OVER w AS s2
+        |  FROM ph WINDOW w AS (ORDER BY h RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        |f AS (SELECT h, c, trail_n,
+        |   trail_n * c - s1 AS e, trail_n * s2 - s1 * s1 AS vv
+        |  FROM t WHERE trail_n >= 12)
+        |SELECT h AS hour_epoch, CAST(c AS BIGINT) AS cnt,
+        |  CAST(trail_n AS BIGINT) AS trail_n,
+        |  CAST((2 * e * e * 1000000 + vv) // (2 * vv) AS DOUBLE)
+        |    / 1000000.0 AS z2,
+        |  e * e > 9 * vv AS is_burst
+        |FROM f WHERE e > 0 AND vv > 0
+        |ORDER BY z2 DESC, hour_epoch LIMIT 20""".stripMargin,
+    // pairwise bigram-vocabulary Jaccard between sources (mirrors
+    // TextAnalysis.jaccardSourceOverlap; integer set algebra)
+    "text_jaccard_sources" ->
+      """WITH t AS (SELECT source,
+        |   regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+        |sw AS (SELECT DISTINCT source, w FROM
+        |   (SELECT source, unnest(list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i+1])) AS w
+        |    FROM t WHERE len(toks) >= 2) tok),
+        |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS nv FROM sw GROUP BY 1),
+        |i AS (SELECT a.source AS source_a, b.source AS source_b,
+        |   CAST(count(*) AS BIGINT) AS n_inter
+        |  FROM sw a JOIN sw b ON a.w = b.w AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, n_inter, na + nb - n_inter AS n_union,
+        |  CAST((2 * n_inter * 1000000 + (na + nb - n_inter)) //
+        |    (2 * (na + nb - n_inter)) AS DOUBLE) / 1000000.0 AS jaccard
+        |FROM i
+        |JOIN (SELECT source AS source_a, nv AS na FROM sizes) sa USING (source_a)
+        |JOIN (SELECT source AS source_b, nv AS nb FROM sizes) sb USING (source_b)
+        |ORDER BY source_a, source_b""".stripMargin,
+    // k-occurrence histogram of the exact cosine 5-NN digraph
+    // (mirrors Similarity.embedHubness; zero bucket via left join)
+    "embed_hubness" ->
+      """WITH e AS (SELECT vec_id,
+        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |   sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM e),
+        |s AS (SELECT a.vec_id, b.vec_id AS nbr_id,
+        |   round(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1]*z[2]))
+        |     / (a.norm * b.norm), 6) AS cosine
+        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+        |nn AS (SELECT nbr_id FROM (SELECT *,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id) AS rk
+        |  FROM s) WHERE rk <= 5),
+        |occ AS (SELECT e.vec_id, CAST(count(nn.nbr_id) AS BIGINT) AS k_occ
+        |  FROM n e LEFT JOIN nn ON nn.nbr_id = e.vec_id GROUP BY 1)
+        |SELECT k_occ, CAST(count(*) AS BIGINT) AS n_vecs
+        |FROM occ GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -1144,4 +1144,49 @@ object EventsEtl {
                AS DOUBLE) / 1000000.0""").as("event_share"))
       .orderBy(col("pct"))
   }
+
+  /** Traffic-burst profile over per-hour event volume — the
+    * ingest-side spike monitor run beside [[cusumShift]]'s mean-shift
+    * view: the 20 hours most above their own trailing day, each
+    * carrying its z² against the trailing mean/variance and a 3σ
+    * burst flag. Everything that decides is INTEGER arithmetic — with
+    * w observed prior hours of sum s₁ and sum-of-squares s₂, the
+    * excess is e = w·c − s₁ and z² = e²/(w·s₂ − s₁²), emitted as the
+    * tie-free 6-dp rational ((2e²·10⁶+V) div 2V) and ranked on that
+    * exact value (hour tie-break), with is_burst ⟺ e² > 9V — no
+    * float sqrt/mean sits at any decision boundary, so both engines
+    * rank and flag the identical hours. Hours with under 12 observed
+    * trailing hours are not judged (warm-up); the hour grain keeps
+    * the trailing window populated even on sparse small-SF traffic
+    * (minute grain leaves <30 observed minutes per hour there), and
+    * a top-20 report stays non-degenerate below the 3σ tail.
+    *
+    * Shape at scale: the fact stream reduces map-side to hour grain
+    * (one hash-agg); the trailing-range window runs over that
+    * dim-grain series (720 rows/month), and the top-20 is a
+    * TakeOrdered, not a global sort materialization. At 100 TB the
+    * hour table is still tiny; if it ever weren't, the window
+    * partitions by week with a one-day overlap pad — same semantics,
+    * bounded tasks. */
+  def burstDetection(spark: SparkSession, dir: String): DataFrame = {
+    val perHour = Tables.events(spark, dir)
+      .select(expr("unix_timestamp(ts) div 3600").as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("c"))
+    val wTrail = Window.orderBy(col("h")).rangeBetween(-24, -1)
+    perHour
+      .withColumn("trail_n", count(col("c")).over(wTrail))
+      .withColumn("s1", sum(col("c")).over(wTrail))
+      .withColumn("s2", sum(col("c") * col("c")).over(wTrail))
+      .filter(col("trail_n") >= 12)
+      .withColumn("e", col("trail_n") * col("c") - col("s1"))
+      .withColumn("vv", col("trail_n") * col("s2") - col("s1") * col("s1"))
+      .filter(col("e") > 0 && col("vv") > 0)
+      .select(col("h").as("hour_epoch"), col("c").as("cnt"),
+        col("trail_n"),
+        expr("""CAST((2 * e * e * 1000000 + vv) div (2 * vv) AS DOUBLE)
+               / 1000000.0""").as("z2"),
+        (col("e") * col("e") > lit(9L) * col("vv")).as("is_burst"))
+      .orderBy(col("z2").desc, col("hour_epoch"))
+      .limit(20)
+  }
 }

@@ -1704,4 +1704,137 @@ object Relational {
                / 1000000.0""").as("cum_share"))
       .orderBy(col("decile"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov test on order totals between the
+    * BUILDING and MACHINERY market segments — the distribution-shift
+    * detector behind "did this cohort's spend distribution actually
+    * move, or just its mean" (the nonparametric sibling of
+    * [[qWelchTtest]]). D = max |F₁(x) − F₂(x)| is computed entirely
+    * in integers: at each distinct total, the CDF gap is
+    * |c₁·n₂ − c₂·n₁| over the common denominator n₁·n₂, the max is
+    * taken on that integer numerator, and the one division is rounded
+    * tie-free ((2·num·10⁶+den) div (2·den) — non-negative operands,
+    * so the formula is safe without a sign split). The scaled
+    * statistic √(n₁n₂/(n₁+n₂))·D follows as one IEEE sqrt·ratio.
+    *
+    * Shape at scale: the fact scan reduces to distinct-value grain
+    * (one hash-agg), and the CDF walk is a single ordered cumsum over
+    * that grain — the documented 100 TB swap is a per-segment quantile
+    * sketch compared at fixed probe points (the [[qQuantileSketch]]
+    * machinery) at identical output shape. */
+  def qKsTest(spark: SparkSession, dir: String): DataFrame = {
+    val seg = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+          .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+          .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"), d2(col("o_totalprice")).as("v"))
+    val byVal = seg.groupBy(col("v"))
+      .agg(sum(when(col("seg") === "BUILDING", 1L).otherwise(0L)).as("d1"),
+        sum(when(col("seg") === "MACHINERY", 1L).otherwise(0L)).as("d2"))
+    val wCdf = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    byVal
+      .withColumn("c1", sum(col("d1")).over(wCdf))
+      .withColumn("c2", sum(col("d2")).over(wCdf))
+      .withColumn("n1", sum(col("d1")).over(wAll))
+      .withColumn("n2", sum(col("d2")).over(wAll))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        max(abs(col("c1") * col("n2") - col("c2") * col("n1"))).as("dnum"))
+      .select(col("n1"), col("n2"),
+        expr("""CAST((2 * dnum * 1000000 + n1 * n2) div (2 * n1 * n2) AS DOUBLE)
+               / 1000000.0""").as("ks_d"),
+        round(sqrt(col("n1") * col("n2") / (col("n1") + col("n2")).cast("double")) *
+          (col("dnum") / (col("n1") * col("n2")).cast("double")), 6).as("ks_scaled"))
+  }
+
+  /** Spearman rank correlation between line-item quantity and
+    * extended price — the monotone-association check run where
+    * [[qDiscountQtyCorr]]'s Pearson is distorted by the heavy price
+    * tail. Ties get AVERAGE ranks (the statistically standard
+    * treatment), which is also what makes the statistic
+    * engine-deterministic: a row's rank depends only on the VALUE
+    * multiset (never on scan order — lineitem has no unique key to
+    * tie-break a row_number on), held integer as
+    * 2·avgrank = 2·rank + cnt − 1. ρ is then the Pearson correlation
+    * of the rank pairs with every moment (Σxy, Σx², n·Σ − Σ·Σ)
+    * accumulated in DECIMAL(38,0) exact integers (n·Σxy reaches
+    * ~10³⁰ at 100 TB row counts — far past a long), and the single
+    * ratio/sqrt happens in IEEE doubles at the end.
+    *
+    * Shape at scale: two rank windows over the fact grain — the exact
+    * path; the 100 TB swap is bucketed approximate ranks (fixed-width
+    * value histograms) feeding the same moment formula. */
+  def qSpearmanCorr(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_quantity"), col("l_extendedprice"))
+    val wq = Window.orderBy(col("l_quantity"))
+    val wp = Window.orderBy(col("l_extendedprice"))
+    val d38 = DecimalType(38, 0)
+    li
+      .withColumn("rq", (lit(2L) * rank().over(wq) +
+        count(lit(1)).over(Window.partitionBy(col("l_quantity"))) - lit(1L))
+        .cast(d38))
+      .withColumn("rp", (lit(2L) * rank().over(wp) +
+        count(lit(1)).over(Window.partitionBy(col("l_extendedprice"))) - lit(1L))
+        .cast(d38))
+      .agg(count(lit(1)).cast(d38).as("n"),
+        sum(col("rq") * col("rp")).as("sxy"),
+        sum(col("rq")).as("sx"), sum(col("rp")).as("sy"),
+        sum(col("rq") * col("rq")).as("sxx"),
+        sum(col("rp") * col("rp")).as("syy"))
+      .select(col("n").cast("long").as("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+          .as("spearman_rho"))
+  }
+
+  /** Theil T inequality index of customer lifetime spend, decomposed
+    * by nation: T_total = T_between + Σ_g share_g·T_g — the
+    * additively-decomposable alternative to [[qGiniSpend]] that
+    * answers "how much of the spend inequality lives WITHIN nations
+    * vs BETWEEN them". Spend is aggregated in exact DECIMAL; the
+    * ln(x·n/S) terms are the only floats and are summed per group
+    * before one 6-dp rounding (the [[TextAnalysis.sourceDivergence]]
+    * cross-engine discipline).
+    *
+    * Shape at scale: one fact agg to customer grain (shuffle on
+    * custkey), the nation dim broadcast on, then two tiny group-aggs
+    * — linear, no window, no global sort. */
+  def qTheilIndex(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(d2(col("o_totalprice"))).as("x"))
+      .join(broadcast(Tables.customer(spark, dir)
+          .join(broadcast(Tables.nation(spark, dir)
+              .select(col("n_nationkey"), col("n_name"))),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_name"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("n_name"), col("x").cast("double").as("x"))
+    val tot = spend.agg(sum(d2(col("x"))).as("sdec"), count(lit(1)).as("n"))
+      .select(col("sdec").cast("double").as("s"), col("n"))
+    val grp = spend.crossJoin(broadcast(tot))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(d2(col("x"))).as("sgdec"),
+        first(col("s")).as("s"), first(col("n")).as("n"),
+        sum(col("x") * log(col("x"))).as("sxlx"))
+      .withColumn("sg", col("sgdec").cast("double"))
+      // T_g = Σ(x/S_g)ln(x n_g/S_g) = (Σ x ln x)/S_g − ln(S_g/n_g)
+      .withColumn("theil_within",
+        col("sxlx") / col("sg") - log(col("sg") / col("n_cust")))
+      .withColumn("share", col("sg") / col("s"))
+    grp.agg(
+        sum(col("n_cust")).as("n_customers"),
+        round(sum(col("share") * (col("theil_within") +
+          log((col("sg") / col("n_cust")) / (col("s") / col("n"))))), 6)
+          .as("theil_total"),
+        round(sum(col("share") *
+          log((col("sg") / col("n_cust")) / (col("s") / col("n")))), 6)
+          .as("theil_between"),
+        round(sum(col("share") * col("theil_within")), 6).as("theil_within"))
+  }
 }

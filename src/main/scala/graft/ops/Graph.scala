@@ -42,7 +42,7 @@ object Graph {
     * triangles. Count is orientation-invariant, which is what the
     * plain u<v SQL oracle checks. */
   def triangleCounts(spark: SparkSession, dir: String): DataFrame = {
-    import graft.operators.Scale.maybeBroadcast
+    import graft.operators.Scale.{maybeBroadcast, maybeBroadcastElseHash}
     val edges = graft.Caches.persistTracked(coOccurrenceEdges(spark, dir))
     edges.count() // materialize: the broadcast gates below need REAL
     // cache sizes, not pre-materialization plan estimates (with the
@@ -83,8 +83,13 @@ object Graph {
       .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
     // the wedge stream is the big side (Σ outdeg² rows); the closing
     // relation is just the edge list, two ints wide — broadcast it
-    // (size-gated) so wedges are probed map-side and never shuffle
-    val closing = maybeBroadcast(oriented.select(col("src").as("b"), col("dst").as("c")))
+    // (size-gated) so wedges are probed map-side and never shuffle.
+    // Past the gate (sf10: |E| outgrows 256 MB) the fallback must be a
+    // shuffled HASH join: SMJ would sort the wedge stream (~4×10⁹ rows
+    // there — the measured spill-of-spill OOM), SHJ streams it unsorted
+    // and only the thin edge list occupies reducer memory
+    val closing = maybeBroadcastElseHash(
+      oriented.select(col("src").as("b"), col("dst").as("c")))
     val triangles = wedges.join(closing, Seq("b", "c"))
     triangles
       .select(explode(array(col("a"), col("b"), col("c"))).as("part"))

