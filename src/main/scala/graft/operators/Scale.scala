@@ -93,19 +93,6 @@ object Scale {
   def maybeBroadcast(df: DataFrame, maxBytes: Long = 256L << 20): DataFrame =
     if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBytes) broadcast(df) else df
 
-  /** [[maybeBroadcast]] whose over-the-gate fallback is a shuffled HASH
-    * join instead of the planner's default sort-merge. For the joins
-    * this gate guards, the build side just missed the broadcast limit —
-    * it still hashes comfortably within one reducer's memory — while
-    * the probe side is often orders of magnitude larger (a wedge or
-    * candidate-pair stream). SMJ there sorts the giant probe stream
-    * (the graph_triangles sf10 failure: spill-of-spill OOM sorting
-    * ~4×10⁹ wedges); SHJ streams it unsorted and only the thin build
-    * side occupies memory. */
-  def maybeBroadcastElseHash(df: DataFrame, maxBytes: Long = 256L << 20): DataFrame =
-    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBytes) broadcast(df)
-    else df.hint("shuffle_hash")
-
   /** Top-frequency keys of a column — the input to a targeted salting
     * decision (salt only the hot keys, leave the long tail alone). */
   def hotKeys(df: DataFrame, key: String, minCount: Long): DataFrame =

@@ -42,7 +42,7 @@ object Graph {
     * triangles. Count is orientation-invariant, which is what the
     * plain u<v SQL oracle checks. */
   def triangleCounts(spark: SparkSession, dir: String): DataFrame = {
-    import graft.operators.Scale.{maybeBroadcast, maybeBroadcastElseHash}
+    import graft.operators.Scale.maybeBroadcast
     val edges = graft.Caches.persistTracked(coOccurrenceEdges(spark, dir))
     edges.count() // materialize: the broadcast gates below need REAL
     // cache sizes, not pre-materialization plan estimates (with the
@@ -71,7 +71,9 @@ object Graph {
         when(ukey < vkey, col("v")).otherwise(col("u")).as("dst"),
         when(ukey < vkey, col("dv")).otherwise(col("du")).as("dd"),
         when(ukey < vkey, col("v")).otherwise(col("u")).as("dn")))
-    oriented.count() // materialize before the closing-relation gate
+    // materialize before the closing-relation gate; the edge count also
+    // sizes the fallback join's partitioning below
+    val edgeCount = oriented.count()
     // wedges from a common apex, ordered so each pair forms once; the
     // closing edge must also be oriented b -> c (b before c in the
     // total order), which the (dd, dn) comparison guarantees
@@ -87,10 +89,49 @@ object Graph {
     // Past the gate (sf10: |E| outgrows 256 MB) the fallback must be a
     // shuffled HASH join: SMJ would sort the wedge stream (~4×10⁹ rows
     // there — the measured spill-of-spill OOM), SHJ streams it unsorted
-    // and only the thin edge list occupies reducer memory
-    val closing = maybeBroadcastElseHash(
-      oriented.select(col("src").as("b"), col("dst").as("c")))
-    val triangles = wedges.join(closing, Seq("b", "c"))
+    // and only the thin edge list occupies reducer memory. The
+    // partition count is sized from the MEASURED edge count so each
+    // build partition holds ≲250k rows (~40 MB of hash map): a task's
+    // execution-memory share is pool/concurrency (measured ~150 MB at
+    // an 8 GB heap × 32 cores), and a 1M-row UnsafeHashedRelation
+    // already overruns it — both sf10 OOMs (SMJ spill-of-spill, then
+    // SHJ "not enough memory to build hash map" at |E|/120) came from
+    // partition counts sized to cores instead of to the data
+    val closingRaw = oriented.select(col("src").as("b"), col("dst").as("c"))
+    // conf-overridable so a spec can force the fallback path at test
+    // scale — the bloom branch must not wait until sf10 to first run
+    val gateBytes = spark.conf.getOption("spark.graft.triangles.broadcastGateBytes")
+      .map(_.toLong).getOrElse(256L << 20)
+    val gate = closingRaw.queryExecution.optimizedPlan.stats.sizeInBytes <= gateBytes
+    val triangles =
+      if (gate) wedges.join(broadcast(closingRaw), Seq("b", "c"))
+      else {
+        // Bloom semi-join reduction BEFORE the exchange: almost every
+        // wedge does not close (measured closure rate 4.6% — triangles
+        // ≪ Σoutdeg²), so a bloom over xxhash64(b,c) of the closing
+        // edges drops the non-closing majority inside the
+        // wedge-generating stage — the 4×10⁹-row wedge shuffle
+        // (~10² GB, the measured sf10 disk-full failure) shrinks to
+        // the true triangles plus the fp tail. Same hash both sides,
+        // so no false negatives; fp survivors are removed by the exact
+        // join behind it. fpp 0.05 is deliberate: the fp tail (5%)
+        // already sits at the true closure rate (4.6%), so a tighter
+        // filter cannot halve the shuffle again but WOULD grow the
+        // per-wedge probe cost (more hash functions over a larger
+        // DRAM-resident bit array, paid Σoutdeg² times).
+        val bloom = graft.functions.BloomSupport.broadcastBloom(spark,
+          graft.functions.BloomSupport.buildLong(
+            closingRaw.select(xxhash64(col("b"), col("c")).as("k")), "k",
+            Some(edgeCount), 0.05))
+        val p = math.max(spark.sessionState.conf.numShufflePartitions,
+          (edgeCount / 250000L).toInt + 1)
+        wedges
+          .filter(graft.functions.BloomSupport.mightContainBroadcast(
+            bloom, xxhash64(col("b"), col("c"))))
+          .repartition(p, col("b"), col("c"))
+          .join(closingRaw.repartition(p, col("b"), col("c")).hint("shuffle_hash"),
+            Seq("b", "c"))
+      }
     triangles
       .select(explode(array(col("a"), col("b"), col("c"))).as("part"))
       .groupBy(col("part"))

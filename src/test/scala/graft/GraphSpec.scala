@@ -34,6 +34,25 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("triangleCounts bloom fallback path equals the broadcast path") {
+    // force the over-gate branch (bloom prefilter + sized shuffled-hash
+    // closing join) at sf0.001 and check it is value-identical to the
+    // default broadcast branch — this is the only pre-sf10 exercise of
+    // the path that the 100x gate runs
+    val viaBroadcast = Graph.triangleCounts(spark, sf0001).collect().toSeq
+    Caches.releaseAll(); spark.catalog.clearCache()
+    spark.conf.set("spark.graft.triangles.broadcastGateBytes", "0")
+    try {
+      val viaBloom = Graph.triangleCounts(spark, sf0001).collect().toSeq
+      assert(viaBloom == viaBroadcast,
+        "bloom-prefiltered shuffled-hash closing join diverges from broadcast plan")
+    } finally {
+      spark.conf.unset("spark.graft.triangles.broadcastGateBytes")
+      Caches.releaseAll()
+      spark.catalog.clearCache()
+    }
+  }
+
   test("componentsOverCoOccurrence labels are closed under the edge relation") {
     val labels = Graph.componentsOverCoOccurrence(spark, sf0001).cache()
     try {
