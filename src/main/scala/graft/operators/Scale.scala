@@ -89,9 +89,26 @@ object Scale {
     * executor-OOM cliff at 100 TB, and AQE never overrides an explicit
     * hint. Estimates come from file sizes / cached-relation stats, so
     * the gate is meaningful wherever the input is a scan or a
-    * materialized cache. */
-  def maybeBroadcast(df: DataFrame, maxBytes: Long = 256L << 20): DataFrame =
-    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBytes) broadcast(df) else df
+    * materialized cache.
+    *
+    * An UNMATERIALIZED cache is the trap: InMemoryRelation falls back
+    * to its child's estimate until the buffers load, and a per-doc
+    * array column (fingerprint sets, minhash signatures) is many times
+    * its parquet-text footprint — at 100× scale the estimate waved a
+    * ~2 GB cache through the 256 MB gate (measured broadcast-build
+    * OOM, dedup_winnow_pairs sf10). The gate therefore materializes
+    * any cold cache under the plan (one count(); work the query pays
+    * anyway, just earlier) before trusting stats. Plans with no cache
+    * are untouched — no re-execution of uncached expensive trees. */
+  def maybeBroadcast(df: DataFrame, maxBytes: Long = 256L << 20): DataFrame = {
+    val qe = df.queryExecution
+    val coldCache = qe.withCachedData.collectFirst {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation
+          if !r.cacheBuilder.isCachedColumnBuffersLoaded => r
+    }.nonEmpty
+    if (coldCache) df.count() // load the cache so stats below are REAL
+    if (qe.optimizedPlan.stats.sizeInBytes <= maxBytes) broadcast(df) else df
+  }
 
   /** Top-frequency keys of a column — the input to a targeted salting
     * decision (salt only the hot keys, leave the long tail alone). */

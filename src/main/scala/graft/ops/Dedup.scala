@@ -233,6 +233,8 @@ object Dedup {
       .distinct()
     // size-gated: per-doc fingerprint sets normally broadcast, but fall
     // back to a shuffle join rather than OOM on an oversized corpus
+    // (the gate materializes the cold fpArr cache before trusting
+    // stats — the estimate waved a ~2 GB array cache through at 100×)
     import graft.operators.Scale.maybeBroadcast
     candidates
       .join(maybeBroadcast(fpArr.select(col("doc_id").as("doc_a"), col("fa"))), "doc_a")

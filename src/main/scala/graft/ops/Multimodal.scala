@@ -404,6 +404,15 @@ object Multimodal {
     * PNG/BMP encode+decode, and the fixed-point DCT hash. Everything
     * here is integer-exact so the oracle can mirror it in SQL. */
   object PHash {
+    // ImageIO's default stream cache is DISK-backed: every read/write
+    // spills through a temp FILE (FileCacheImageInput/OutputStream).
+    // At 100× scale the decode family churned ~4 M temp-file
+    // create/delete cycles through the local tmpdir — measured as
+    // mm_image_histogram growing ×18 at ×10 data (fs-metadata
+    // contention, not decode). Memory-backed streams restore the
+    // linear decode bound; the N×N payloads are KBs, never spill-worthy.
+    javax.imageio.ImageIO.setUseCache(false)
+
     val N = 32          // decoded grid is N×N grayscale
     val Scale = 8192    // fixed-point scale for the cosine table
 
