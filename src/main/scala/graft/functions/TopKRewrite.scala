@@ -194,9 +194,13 @@ case class TopKRowsAgg(
   * flag is opt-in like [[ApproxDistinctRewrite]].
   *
   * Scope guards (all must hold, else the plan is left untouched):
-  * the Filter sits DIRECTLY on a Window whose only window expression
-  * is a row_number; the condition is a single `rn <= k` / `rn < k` /
-  * `rn = k` comparison against a foldable integer; k ≤
+  * the Filter sits on a Window whose only window expression is a
+  * row_number — either DIRECTLY, or through one Project that renames
+  * or integer-widens the rank (`row_number().over(w).cast("long")`,
+  * the shape the DuckDB-oracle contract forces on every rank column,
+  * which otherwise silently disqualified the whole rank-prefix
+  * family); the condition is a single `rn <= k` / `rn < k` / `rn = k`
+  * comparison against a foldable integer; k ≤
   * spark.graft.topkRewrite.maxK (default 1024 — the buffer is O(k)
   * per group); the window has a non-empty orderSpec. The original
   * Filter is kept on top of the rewritten subtree, so `<` / `=`
@@ -228,6 +232,53 @@ object TopKRewrite extends Rule[LogicalPlan] {
     }
   }
 
+  /** The [[TopKRowsAgg]]+posexplode subtree that replaces a matched
+    * Window node — identical output attributes (ids included), so any
+    * parent composes unchanged. */
+  private def replacement(k: Int,
+      alias: Alias, partSpec: Seq[Expression], orderSpec: Seq[SortOrder],
+      child: LogicalPlan): LogicalPlan = {
+    val payload = CreateStruct(child.output)
+    val arr = Alias(
+      TopKRowsAgg(orderSpec, payload, Literal(k))
+        .toAggregateExpression(), "graft_topk_rows")()
+    // group exprs that aren't plain attributes need names
+    val groupNamed = partSpec.map {
+      case ne: NamedExpression => ne
+      case e => Alias(e, "graft_topk_grp")()
+    }
+    val agg = Aggregate(groupNamed, groupNamed :+ arr, child)
+    val pos = AttributeReference("graft_topk_pos", IntegerType,
+      nullable = false)()
+    val packed = AttributeReference("graft_topk_row",
+      payload.dataType, nullable = false)()
+    val gen = Generate(PosExplode(arr.toAttribute),
+      unrequiredChildIndex = Nil, outer = false, qualifier = None,
+      generatorOutput = Seq(pos, packed), agg)
+    // restore the ORIGINAL attribute ids so parents are unchanged
+    val restored = child.output.zipWithIndex.map { case (a, i) =>
+      Alias(GetStructField(packed, i, Some(a.name)), a.name)(
+        exprId = a.exprId, qualifier = a.qualifier)
+    }
+    val rn = Alias(Add(pos, Literal(1)), alias.name)(
+      exprId = alias.exprId, qualifier = alias.qualifier)
+    Project(restored :+ rn, gen)
+  }
+
+  /** Does `projList` expose the window rank `rnAttr` as attribute —
+    * verbatim, renamed, or widened to a larger integer type (the
+    * `.cast("long")` the oracle contract forces)? Returns the exposed
+    * attribute the Filter condition would reference. */
+  private def exposedRank(projList: Seq[NamedExpression],
+      rnAttr: Attribute): Option[Attribute] =
+    projList.collectFirst {
+      case a: AttributeReference if a.semanticEquals(rnAttr) => a
+      case a @ Alias(ar: Attribute, _) if ar.semanticEquals(rnAttr) =>
+        a.toAttribute
+      case a @ Alias(Cast(ar: Attribute, LongType | IntegerType, _, _), _)
+          if ar.semanticEquals(rnAttr) => a.toAttribute
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!conf.getConfString(FlagKey, "false").toBoolean) plan
     else {
@@ -239,33 +290,24 @@ object TopKRewrite extends Rule[LogicalPlan] {
             if orderSpec.nonEmpty =>
           (cond, alias.toAttribute) match {
             case RankLimit(k) if k > 0 && k <= maxK =>
-              val payload = CreateStruct(child.output)
-              val arr = Alias(
-                TopKRowsAgg(orderSpec, payload, Literal(k))
-                  .toAggregateExpression(), "graft_topk_rows")()
-              // group exprs that aren't plain attributes need names
-              val groupNamed = partSpec.map {
-                case ne: NamedExpression => ne
-                case e => Alias(e, "graft_topk_grp")()
-              }
-              val agg = Aggregate(groupNamed, groupNamed :+ arr, child)
-              val pos = AttributeReference("graft_topk_pos", IntegerType,
-                nullable = false)()
-              val packed = AttributeReference("graft_topk_row",
-                payload.dataType, nullable = false)()
-              val gen = Generate(PosExplode(arr.toAttribute),
-                unrequiredChildIndex = Nil, outer = false, qualifier = None,
-                generatorOutput = Seq(pos, packed), agg)
-              // restore the ORIGINAL attribute ids so parents are unchanged
-              val restored = child.output.zipWithIndex.map { case (a, i) =>
-                Alias(GetStructField(packed, i, Some(a.name)), a.name)(
-                  exprId = a.exprId, qualifier = a.qualifier)
-              }
-              val rn = Alias(Add(pos, Literal(1)), alias.name)(
-                exprId = alias.exprId, qualifier = alias.qualifier)
-              Filter(cond, Project(restored :+ rn, gen))
+              Filter(cond, replacement(k, alias, partSpec, orderSpec, child))
             case _ => f
           }
+        // same idiom with one Project between Filter and Window —
+        // typically `row_number().over(w).cast("long")` (the rank
+        // type the cross-engine oracle requires)
+        case f @ Filter(cond, p @ Project(projList,
+            Window(Seq(alias @ Alias(WindowExpression(RowNumber(), _), _)),
+              partSpec, orderSpec, child, _)))
+            if orderSpec.nonEmpty =>
+          exposedRank(projList, alias.toAttribute).flatMap { rk =>
+            (cond, rk) match {
+              case RankLimit(k) if k > 0 && k <= maxK =>
+                Some(Filter(cond, Project(projList,
+                  replacement(k, alias, partSpec, orderSpec, child))))
+              case _ => None
+            }
+          }.getOrElse(f)
       }
     }
 }

@@ -121,4 +121,31 @@ class TopKRewriteSpec extends SparkSpec {
       assert(r2.count() == 95)
     } finally spark.conf.set(Flag, "false")
   }
+
+  test("flag on: cast-through-Project rank (the oracle's BIGINT shape) rewrites") {
+    GraftExtensions.install(spark)
+    def q() = {
+      val rnd = new scala.util.Random(11)
+      val rows = (0 until 2000).map(i => (i.toLong % 7, rnd.nextDouble(), i.toLong))
+      val df = spark.createDataFrame(rows).toDF("g", "score", "id").repartition(5)
+      val w = Window.partitionBy(col("g")).orderBy(col("score").desc, col("id"))
+      // the cross-engine rank shape: row_number cast to BIGINT before
+      // the filter — previously disqualified the rewrite silently
+      df.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+    }
+    spark.conf.set(Flag, "false")
+    val expected = q().collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3))).toSet
+    spark.conf.set(Flag, "true")
+    try {
+      val opt = q().queryExecution.optimizedPlan
+      assert(opt.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }.isEmpty, "cast-through-Project rank shape was not rewritten")
+      val got = q().collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == expected, "rewritten results diverge from the window form")
+    } finally spark.conf.set(Flag, "false")
+  }
 }
