@@ -202,7 +202,7 @@ class BloomAndMagicSpec extends SparkSpec {
     assert(pruned.count() < facts.count() / 2) // and pruning actually pruned
     // the probe is the codegen'd native expression, not a Scala UDF
     val plan = pruned.queryExecution.executedPlan.toString
-    assert(plan.contains("might_contain"), s"expected native bloom probe:\n$plan")
+    assert(plan.contains("graft_bloom_probe"), s"expected native bloom probe:\n$plan")
     // auto-sized variant (expectedItems from keys.count()) prunes too
     val autoPruned = graft.operators.Scale.bloomPrune(facts, keys, "l_orderkey")
     assert(autoPruned.join(keys, "l_orderkey").count() == exactDirect)
