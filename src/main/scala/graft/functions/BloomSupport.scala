@@ -121,19 +121,41 @@ case class BloomProbe(child: Expression, bloomBc: Broadcast[Array[Byte]])
 
 /** Per-JVM deserialized-bloom cache (small LRU: a handful of live
   * probe-side filters at ~100 MB each is the working set; unbounded
-  * growth across queries would be a leak). */
+  * growth across queries would be a leak).
+  *
+  * Keyed on the Broadcast OBJECT (identity), never on `bc.id`:
+  * broadcast ids restart at 0 per SparkContext, so in a JVM that stops
+  * and rebuilds its session (test suites, notebooks, embedding tools)
+  * an id-keyed cache can hand a NEW broadcast an OLD context's filter
+  * — silent false negatives, i.e. dropped semi-join rows. Identity
+  * keys can't alias across contexts, and the LRU's strong reference
+  * lives only `MaxEntries` deep, so dead broadcasts age out. */
 object BloomProbeRegistry {
   private val MaxEntries = 4
-  private val cache = new java.util.LinkedHashMap[Long, GraftBloom](8, 0.75f, true) {
-    override def removeEldestEntry(e: java.util.Map.Entry[Long, GraftBloom]): Boolean =
-      size() > MaxEntries
+  private val cache =
+    new java.util.LinkedHashMap[IdentityKey, GraftBloom](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[IdentityKey, GraftBloom]): Boolean =
+        size() > MaxEntries
+    }
+  /** Wraps the broadcast with reference-equality semantics (a plain
+    * HashMap key would fall back to Broadcast's default equals, which
+    * IS identity today — the wrapper makes that contract explicit and
+    * survives any future equals override). */
+  private final class IdentityKey(val bc: AnyRef) {
+    override def hashCode(): Int = System.identityHashCode(bc)
+    override def equals(o: Any): Boolean = o match {
+      case k: IdentityKey => k.bc eq bc
+      case _ => false
+    }
   }
   def filterFor(bc: Broadcast[Array[Byte]]): GraftBloom = cache.synchronized {
-    val cached = cache.get(bc.id)
+    val key = new IdentityKey(bc)
+    val cached = cache.get(key)
     if (cached != null) cached
     else {
       val bf = GraftBloom.deserialize(bc.value)
-      cache.put(bc.id, bf)
+      cache.put(key, bf)
       bf
     }
   }

@@ -1735,18 +1735,56 @@ object Relational {
     val wCdf = Window.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy()
+    // every cross-product stages through DECIMAL(38,0): c1·n2 runs up
+    // to n1·n2 (~4.6e12 rows² wraps a long around sf500) and the
+    // rounding numerator 2·dnum·10⁶ wraps even earlier, while the
+    // DuckDB oracle computes the same formula in HUGEINT — long math
+    // here would be a silent cross-engine divergence at scale (the
+    // qLorenzDeciles micro-unit discipline, applied to counts)
     byVal
-      .withColumn("c1", sum(col("d1")).over(wCdf))
-      .withColumn("c2", sum(col("d2")).over(wCdf))
-      .withColumn("n1", sum(col("d1")).over(wAll))
-      .withColumn("n2", sum(col("d2")).over(wAll))
-      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+      .withColumn("c1", sum(col("d1")).over(wCdf).cast(DecimalType(38, 0)))
+      .withColumn("c2", sum(col("d2")).over(wCdf).cast(DecimalType(38, 0)))
+      .withColumn("n1", sum(col("d1")).over(wAll).cast(DecimalType(38, 0)))
+      .withColumn("n2", sum(col("d2")).over(wAll).cast(DecimalType(38, 0)))
+      .agg(max(col("n1")).as("n1d"), max(col("n2")).as("n2d"),
         max(abs(col("c1") * col("n2") - col("c2") * col("n1"))).as("dnum"))
-      .select(col("n1"), col("n2"),
-        expr("""CAST((2 * dnum * 1000000 + n1 * n2) div (2 * n1 * n2) AS DOUBLE)
+      .select(col("n1d").cast("long").as("n1"), col("n2d").cast("long").as("n2"),
+        expr("""CAST((2 * dnum * 1000000 + n1d * n2d) div (2 * n1d * n2d) AS DOUBLE)
                / 1000000.0""").as("ks_d"),
-        round(sqrt(col("n1") * col("n2") / (col("n1") + col("n2")).cast("double")) *
-          (col("dnum") / (col("n1") * col("n2")).cast("double")), 6).as("ks_scaled"))
+        round(sqrt(col("n1d").cast("double") * col("n2d").cast("double") /
+            (col("n1d") + col("n2d")).cast("double")) *
+          (col("dnum").cast("double") /
+            (col("n1d").cast("double") * col("n2d").cast("double"))), 6)
+          .as("ks_scaled"))
+  }
+
+  /** Distributed exact average-rank over a VALUE-GRAIN relation
+    * (v, cnt): 2·avgrank(v) = 2·cntLess(v) + cnt(v) + 1, with the
+    * running cntLess computed WITHOUT a single-partition global sort —
+    * range-partition on v, per-partition running sums (the window
+    * partitions by the physical partition id, so every sort is local),
+    * then each partition's rows shift by the broadcast running total
+    * of the partitions before it. The one global window left runs over
+    * the #partitions-row offset relation. localCheckpoint pins the
+    * partition ids: the offset agg and the final join must read the
+    * SAME materialized partitioning, not re-sample range bounds. */
+  private def rankByValue(byVal: DataFrame): DataFrame = {
+    val local = byVal
+      .repartitionByRange(col("v"))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("csum", sum(col("cnt")).over(
+        Window.partitionBy(col("pid")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint(true)
+    val wOff = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = local.groupBy(col("pid")).agg(sum(col("cnt")).as("tot"))
+      .withColumn("off", coalesce(sum(col("tot")).over(wOff), lit(0L)))
+      .select(col("pid"), col("off"))
+    local.join(broadcast(offs), "pid")
+      // cntLess = off + csum − cnt; r2 = 2·cntLess + cnt + 1
+      .select(col("v"),
+        (lit(2L) * (col("off") + col("csum")) - col("cnt") + lit(1L)).as("r2"))
   }
 
   /** Spearman rank correlation between line-item quantity and
@@ -1757,33 +1795,44 @@ object Relational {
     * engine-deterministic: a row's rank depends only on the VALUE
     * multiset (never on scan order — lineitem has no unique key to
     * tie-break a row_number on), held integer as
-    * 2·avgrank = 2·rank + cnt − 1. ρ is then the Pearson correlation
-    * of the rank pairs with every moment (Σxy, Σx², n·Σ − Σ·Σ)
-    * accumulated in DECIMAL(38,0) exact integers (n·Σxy reaches
-    * ~10³⁰ at 100 TB row counts — far past a long), and the single
-    * ratio/sqrt happens in IEEE doubles at the end.
+    * 2·avgrank = 2·cntLess + cnt + 1. ρ is then the Pearson
+    * correlation of the rank pairs with every moment (Σxy, Σx²,
+    * n·Σ − Σ·Σ) accumulated in DECIMAL(38,0) exact integers, and the
+    * single ratio/sqrt happens in IEEE doubles at the end.
     *
-    * Shape at scale: two rank windows over the fact grain — the exact
-    * path; the 100 TB swap is bucketed approximate ranks (fixed-width
-    * value histograms) feeding the same moment formula. */
+    * Shape at scale: the fact collapses to (quantity, price) PAIR
+    * grain in one map-combinable hash-agg; both rank relations come
+    * from [[rankByValue]]'s range-partitioned running sums (no
+    * single-partition fact sort anywhere — the r10 form ran two
+    * un-partitioned rank windows over the whole fact and serialized
+    * on one task); the quantity side (~50 distinct values) broadcasts
+    * back, the price side joins on the price grain. Honest ceiling:
+    * DECIMAL(38,0) holds 10³⁸ — Σcnt·rq·rp ≈ 4n³ crosses it near
+    * n ≈ 3·10¹² rows (a few PB of lineitem), and the final n·Σxy
+    * cross-term crosses near n ≈ 10¹² i.e. ~100 TB; past that the
+    * exact path needs a two-level (per-range partial moment) split or
+    * the documented swap to bucketed approximate ranks (fixed-width
+    * value histograms) feeding the same formula. */
   def qSpearmanCorr(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_quantity"), col("l_extendedprice"))
-    val wq = Window.orderBy(col("l_quantity"))
-    val wp = Window.orderBy(col("l_extendedprice"))
     val d38 = DecimalType(38, 0)
-    li
-      .withColumn("rq", (lit(2L) * rank().over(wq) +
-        count(lit(1)).over(Window.partitionBy(col("l_quantity"))) - lit(1L))
-        .cast(d38))
-      .withColumn("rp", (lit(2L) * rank().over(wp) +
-        count(lit(1)).over(Window.partitionBy(col("l_extendedprice"))) - lit(1L))
-        .cast(d38))
-      .agg(count(lit(1)).cast(d38).as("n"),
-        sum(col("rq") * col("rp")).as("sxy"),
-        sum(col("rq")).as("sx"), sum(col("rp")).as("sy"),
-        sum(col("rq") * col("rq")).as("sxx"),
-        sum(col("rp") * col("rp")).as("syy"))
+    val pairs = graft.Caches.persistTracked(Tables.lineitem(spark, dir)
+      .groupBy(col("l_quantity").as("q"), col("l_extendedprice").as("p"))
+      .agg(count(lit(1)).as("cnt")))
+    val qRank = rankByValue(
+      pairs.groupBy(col("q").as("v")).agg(sum(col("cnt")).as("cnt")))
+    val pRank = rankByValue(
+      pairs.groupBy(col("p").as("v")).agg(sum(col("cnt")).as("cnt")))
+    pairs
+      .join(broadcast(qRank.select(col("v").as("q"), col("r2").as("rq"))), "q")
+      .join(pRank.select(col("v").as("p"), col("r2").as("rp")), "p")
+      .select(col("cnt").cast(d38).as("cnt"),
+        col("rq").cast(d38).as("rq"), col("rp").cast(d38).as("rp"))
+      .agg(sum(col("cnt")).as("n"),
+        sum(col("cnt") * col("rq") * col("rp")).as("sxy"),
+        sum(col("cnt") * col("rq")).as("sx"),
+        sum(col("cnt") * col("rp")).as("sy"),
+        sum(col("cnt") * col("rq") * col("rq")).as("sxx"),
+        sum(col("cnt") * col("rp") * col("rp")).as("syy"))
       .select(col("n").cast("long").as("n"),
         round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
           sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *

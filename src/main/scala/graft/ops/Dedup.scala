@@ -68,9 +68,20 @@ object Dedup {
     * size (a fixed +100000 collides once ids pass 100k — e.g. a
     * ScaleData ×100 dir), while staying exactly 100000 at every
     * oracle-checked SF (max id < 100k there). Mirrored in SQL as
-    * `(max(doc_id)//100000 + 1)*100000`. */
+    * `(max(doc_id)//100000 + 1)*100000`. An empty corpus yields a null
+    * max — defaulted to the base 100000 instead of an NPE. The probe
+    * is one max-agg Spark job, memoized per docs-plan within the JVM
+    * (the corpus is immutable within a run, and every dedup op that
+    * doubles the corpus re-derives the same shift). */
+  private val shiftMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private def doubleShift(docs: DataFrame): Long =
-    (docs.agg(max(col("doc_id"))).head().getLong(0) / 100000L + 1L) * 100000L
+    shiftMemo.computeIfAbsent(
+      docs.queryExecution.analyzed.canonicalized.toString, { _ =>
+        val row = docs.agg(max(col("doc_id"))).head()
+        val maxId = if (row.isNullAt(0)) 0L else row.getLong(0)
+        (maxId / 100000L + 1L) * 100000L
+      })
 
   /** Exact dedup via content-hash groupBy. The corpus is doubled
     * (doc_id + [[doubleShift]]) so the dedup actually collapses

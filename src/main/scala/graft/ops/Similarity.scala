@@ -434,20 +434,46 @@ object Similarity {
   private def centroidArrays(c: DataFrame): DataFrame = c.groupBy(col("cell"))
     .agg(expr("transform(array_sort(collect_list(struct(pos, centroid))), s -> s.centroid)").as("cv"))
 
-  /** Nearest-centroid assignment: broadcast cross of the tiny centroid
-    * table against the scan, per-vector argmin window. `sq` carries the
+  /** A centroid row shipped into the per-row argmin literal. */
+  private[graft] case class Cent(cell: Long, cv: Seq[Double])
+
+  /** The centroid table as ONE array<struct> literal column, sorted by
+    * cell id. One Literal node (not |cells| struct expressions — that
+    * shape blows codegen's constant pool past a few hundred cells). */
+  private def centLiteral(cent: DataFrame): org.apache.spark.sql.Column =
+    typedLit(cent.select(col("cell").cast("long"), col("cv")).collect()
+      .map(r => Cent(r.getLong(0), r.getSeq[Double](1))).sortBy(_.cell).toSeq)
+
+  /** Nearest-centroid assignment, SCAN-shaped: the centroid table
+    * collapses to one in-plan literal and every vector folds over it
+    * with array_min — per-row argmin by (rounded dist, cell), exactly
+    * the (dist, cell) window order the oracles reproduce, because
+    * struct comparison is field-lexicographic. `sq` carries the
     * unrounded squared distance (the Lloyd objective); `dist` is the
-    * rounded metric the oracles compare. */
-  private def kmeansAssign(e: DataFrame, cent: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("dist"), col("cell"))
-    e.crossJoin(broadcast(cent))
-      .withColumn("sq", expr("graft_l2sq(v, cv)"))
-      .withColumn("dist", round(sqrt(col("sq")), 6))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("v"), col("cell"), col("dist"), col("sq"))
-  }
+    * rounded metric the oracles compare.
+    *
+    * Why not crossJoin + argmin window (the r1–r10 shape): that plan
+    * materializes n·|cells| rows and SHUFFLES them into a per-vector
+    * sort — and since ScaleData grows cells ∝ data (and a real IVF
+    * sizes cells ~√n), the window input grows ~n·f², quadratic in the
+    * scale factor. Measured at sf10 it was the dominant term of every
+    * trainedIndex consumer (ann_graph_beam 419.9s). The fold keeps the
+    * whole assignment map-side: n rows out, ZERO shuffle, |cells|·64
+    * doubles of literal (~0.5 MB at sf10) resolved once per task.
+    * Past ~10⁵ cells the literal should ship as a broadcast instead
+    * (the GraftBloom registry pattern); at that point the routing
+    * itself becomes an ANN problem (centroids-over-centroids) — out of
+    * scope for the trained flat index this models. */
+  private def kmeansAssign(e: DataFrame, cent: DataFrame): DataFrame =
+    e.withColumn("__cents", centLiteral(cent))
+      .withColumn("__best", expr(
+        """array_min(transform(
+             transform(__cents, c -> named_struct(
+               'sq', graft_l2sq(v, c.cv), 'cell', c.cell)),
+             s -> named_struct(
+               'dist', round(sqrt(s.sq), 6), 'cell', s.cell, 'sq', s.sq)))"""))
+      .select(col("vec_id"), col("v"), col("__best.cell").as("cell"),
+        col("__best.dist").as("dist"), col("__best.sq").as("sq"))
 
   /** Per-cell means of the assigned vectors, rounded for portability. */
   private def recomputeCentroids(assigned: DataFrame): DataFrame = centroidArrays(

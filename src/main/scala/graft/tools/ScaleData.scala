@@ -152,6 +152,18 @@ object ScaleData {
     // Affine maps i→(a·i+b) mod 26 with gcd(a,26)=1 give 312 distinct
     // letter ciphers (12 valid a × 26 b); digits use a rotation.
     val docs = spark.read.parquet(s"$src/documents.parquet")
+    // the cipher maps EXACTLY [a-z0-9] — any other character passes
+    // through translate() unchanged and would silently break the
+    // cross-replica gram-disjointness the growth measurements rest on
+    // (uppercase untouched; the digit rotation even repeats every 10
+    // replicas). Assert the fixture alphabet up front so a future
+    // testdata regeneration with richer text fails LOUDLY here instead
+    // of quietly bending every superlinearity measurement.
+    val offAlphabet = docs
+      .filter(not(col("text").rlike("^[a-z0-9 ]*$"))).limit(1).count()
+    require(offAlphabet == 0L,
+      s"$src/documents.parquet has text outside [a-z0-9 ] — the replica " +
+        "cipher only covers that alphabet; extend cipher() before scaling")
     val maxD = docs.agg(max("doc_id")).head().getLong(0) + 1
     val alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
     val aCh = Array(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
