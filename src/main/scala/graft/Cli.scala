@@ -10,9 +10,15 @@ import graft.sources.SnapshotStorage
   * dispatching to the library jobs:
   *
   *   process-snapshots <rawDir> <outDir>           (process_snapshot)
-  *   update-pending-snapshots <from> <to> <statusParquet>
-  *   process-old-missing-snapshots <from> <to> <statusParquet> <rawDir> <outDir>
+  *   update-pending-snapshots [<from> [<to>]] [--num-days N] [<statusParquet>]
+  *   process-old-missing-snapshots [<from> [<to>]] [--num-days N]
+  *     [<statusParquet> <rawDir> <outDir>]
   *   validate-snapshots <rawDir>                   (validate_snapshots)
+  *
+  * <from>/<to> are snapshot ids (yyyy/MM/dd/HH/mm) or dates
+  * (yyyy-MM-dd); both are OPTIONAL on the backfill commands and
+  * default to today / today−num-days (reference cli.py FROM_DATE/
+  * TO_DATE via common.py parse_date_str).
   *
   * Raw snapshots are JSON files named by snapshot id (the reference's
   * storage layout, one document per minute); <rawDir>/YYYY/MM/DD/HH/MM.json.
@@ -32,6 +38,61 @@ object Cli {
 
   private def readRaw(spark: SparkSession, rawDir: String) =
     SnapshotStorage.readRaw(spark, rawDir)
+
+  private val SnapshotIdArg = """\d{4}/\d{2}/\d{2}/\d{2}/\d{2}""".r
+  private val DateArg = """\d{4}-\d{2}-\d{2}""".r
+  private val NumDaysOpt = "--num-days"
+
+  /** Reference date-default ergonomics (cli.py:49-52 FROM_DATE/TO_DATE
+    * `required=False`, resolved by common.py:14 parse_date_str): both
+    * range arguments are optional — an absent FROM defaults to today
+    * (UTC, the session timezone) or today−N under `--num-days N`, an
+    * absent TO defaults to today — so the daily-cron deployment can
+    * invoke the backfill commands with no range at all. Args are
+    * classified by shape: `yyyy/MM/dd/HH/mm` is a minute-exact
+    * snapshot id (passed through), `yyyy-MM-dd` is a date (expanded to
+    * the day's first/last minute), anything else is not a range arg.
+    * Returns the (fromId, toId) minute range. */
+  private[graft] def resolveRange(rangeArgs: List[String],
+      numDays: Option[Int],
+      today: java.time.LocalDate =
+        java.time.LocalDate.now(java.time.ZoneOffset.UTC)): (String, String) = {
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy/MM/dd")
+    def lo(d: java.time.LocalDate) = s"${d.format(fmt)}/00/00"
+    def hi(d: java.time.LocalDate) = s"${d.format(fmt)}/23/59"
+    val from = rangeArgs.headOption match {
+      case Some(id @ SnapshotIdArg()) => id
+      case Some(DateArg()) => lo(java.time.LocalDate.parse(rangeArgs.head))
+      case _ => lo(numDays.fold(today)(n => today.minusDays(n.toLong)))
+    }
+    val to = rangeArgs.drop(1).headOption match {
+      case Some(id @ SnapshotIdArg()) => id
+      case Some(DateArg()) => hi(java.time.LocalDate.parse(rangeArgs(1)))
+      case _ => hi(today)
+    }
+    (from, to)
+  }
+
+  /** Splits an argument list into (range args, --num-days value,
+    * remaining positional args) — range args are the ≤2 leading
+    * snapshot-id/date-shaped tokens, so path arguments after them
+    * keep their positions. */
+  private def splitRangeArgs(
+      args: List[String]): (List[String], Option[Int], List[String]) = {
+    val (ndPairs, rest0) = args.indexOf(NumDaysOpt) match {
+      case -1 => (None, args)
+      case i if i + 1 < args.length =>
+        (Some(args(i + 1).toInt), args.patch(i, Nil, 2))
+      case _ =>
+        System.err.println(s"$NumDaysOpt needs a value"); sys.exit(2)
+    }
+    def isRange(a: String) = a match {
+      case SnapshotIdArg() | DateArg() => true
+      case _ => false
+    }
+    val range = rest0.take(2).takeWhile(isRange)
+    (range, ndPairs, rest0.drop(range.length))
+  }
 
   private def writeResult(r: SiriSnapshotEtl.EtlResult, outDir: String): Unit =
     SnapshotStorage.writeTables(r, outDir)
@@ -124,8 +185,12 @@ object Cli {
         q.awaitTermination()
       // status table defaults to <etlRoot>/siri_snapshots (the star
       // schema's own lifecycle table) when not given explicitly — the
-      // dags.yaml deployment passes only the range
-      case "update-pending-snapshots" :: from :: to :: rest if rest.length <= 1 =>
+      // dags.yaml deployment passes only the range; the range itself is
+      // optional (resolveRange date defaults, reference cli.py:49-52)
+      case "update-pending-snapshots" :: rawArgs
+          if { val (_, _, rest) = splitRangeArgs(rawArgs); rest.length <= 1 } =>
+        val (rangeArgs, numDays, rest) = splitRangeArgs(rawArgs)
+        val (from, to) = resolveRange(rangeArgs, numDays)
         val statusParquet = rest.headOption.getOrElse(s"${Config.etlRoot}/siri_snapshots")
         val status = spark.read.parquet(statusParquet)
         val pending = Backfill.pendingSnapshots(spark, from, to, status)
@@ -141,8 +206,11 @@ object Cli {
               .partitionBy("snapshot_date", "snapshot_minute")
               .parquet(statusParquet)
         }
-      case "process-old-missing-snapshots" :: from :: to :: rest
-          if rest.isEmpty || rest.length == 3 =>
+      case "process-old-missing-snapshots" :: rawArgs
+          if { val (_, _, rest) = splitRangeArgs(rawArgs)
+               rest.isEmpty || rest.length == 3 } =>
+        val (rangeArgs, numDays, rest) = splitRangeArgs(rawArgs)
+        val (from, to) = resolveRange(rangeArgs, numDays)
         val (statusParquet, rawDir, outDir) = rest match {
           case s :: r :: o :: Nil => (s, r, o)
           case _ => (s"${Config.etlRoot}/siri_snapshots", Config.rawRoot, Config.etlRoot)

@@ -327,6 +327,38 @@ object SparkEntry {
       |   sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM s2
       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) = 1)""".stripMargin
 
+  /** NN-Descent CTE chain — mirrors Similarity.nnDescentGraph (md5-
+    * bucketed ring seed, one neighbors-of-neighbors round, exact
+    * cosine, top-3): produces the refined graph `ndg`(src, nbr_id,
+    * cosine, rk) plus the base relation `nd_n`(vec_id, v, norm).
+    * Shared by the graph searchers that consume the descent-built
+    * graph (the production build→query pairing). */
+  private val ndCtes: String =
+    """nd_e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |nd_n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS norm,
+      |   ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS bkt FROM nd_e),
+      |nd_g0 AS (SELECT u, w FROM (
+      |   SELECT vec_id AS u, unnest([
+      |     lead(vec_id, 1) OVER (PARTITION BY bkt ORDER BY vec_id),
+      |     lead(vec_id, 2) OVER (PARTITION BY bkt ORDER BY vec_id),
+      |     lead(vec_id, 3) OVER (PARTITION BY bkt ORDER BY vec_id)]) AS w
+      |   FROM nd_n) WHERE w IS NOT NULL),
+      |nd_adj AS (SELECT DISTINCT m, x FROM (
+      |   SELECT u AS m, w AS x FROM nd_g0 UNION ALL SELECT w, u FROM nd_g0)),
+      |nd_meet AS (SELECT DISTINCT a.x AS u, b.x AS w
+      |  FROM nd_adj a JOIN nd_adj b ON a.m = b.m AND a.x < b.x),
+      |nd_cand AS (SELECT DISTINCT u, w FROM (
+      |   SELECT u, w FROM nd_meet UNION ALL SELECT w, u FROM nd_meet
+      |   UNION ALL SELECT u, w FROM nd_g0)),
+      |nd_sc AS (SELECT nd_cand.u, nd_cand.w,
+      |   round(list_sum(list_transform(list_zip(x.v, y.v), z -> z[1]*z[2]))
+      |     / (x.norm * y.norm), 6) AS cosine
+      |  FROM nd_cand JOIN nd_n x ON x.vec_id = nd_cand.u JOIN nd_n y ON y.vec_id = nd_cand.w),
+      |ndg AS (SELECT u AS src, w AS nbr_id, cosine,
+      |   CAST(row_number() OVER (PARTITION BY u ORDER BY cosine DESC, w) AS BIGINT) AS rk
+      |  FROM nd_sc QUALIFY rk <= 3)""".stripMargin
+
   /** [[bandsCtes]] over the deterministic 1/4 hash sample — the oracle
     * side of the sample-at-scale lshEval path (identical predicate to
     * Dedup.sampleDocs at mod 4, portable md5 hash). */
@@ -2094,34 +2126,18 @@ object SparkEntry {
         |UNION ALL SELECT probe_id, 2, cur, cosine FROM h2
         |UNION ALL SELECT probe_id, 3, cur, cosine FROM h3
         |ORDER BY probe_id, hop""".stripMargin,
-    // Beam search mirrors annGraphBeam: trained-IVF routed entry
-    // (ivfCtes' cent/asg), 3-neighbor graph, beam-4 frontier for 3
-    // hops, top-5 of the visited set vs brute-force truth.
+    // Beam search mirrors annGraphBeam: NN-Descent refined graph
+    // (ndCtes), base-layer entry at the probe's rk=1 refined neighbor,
+    // beam-4 frontier for 3 hops, top-5 of the visited set vs
+    // brute-force truth over the 25-probe sample.
     "ann_graph_beam" ->
-      s"""WITH $ivfCtes,
-        |n AS MATERIALIZED (SELECT vec_id, CAST(label AS BIGINT) AS label, v,
-        |   sqrt(list_sum(list_transform(v, x -> x*x))) AS norm
-        |  FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |        FROM embeddings)),
-        |g0 AS MATERIALIZED (SELECT a.vec_id AS src, b.vec_id AS nbr_id,
-        |   round(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1]*z[2]))
-        |     / (a.norm * b.norm), 6) AS cosine
-        |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id <> b.vec_id),
-        |g AS MATERIALIZED (SELECT src, nbr_id FROM (SELECT src, nbr_id,
-        |   row_number() OVER (PARTITION BY src ORDER BY cosine DESC, nbr_id) AS rk FROM g0) t
-        |  WHERE rk <= 3),
+      s"""WITH $ndCtes,
+        |n AS MATERIALIZED (SELECT vec_id, v, norm FROM nd_n),
+        |g AS MATERIALIZED (SELECT src, nbr_id FROM ndg),
         |p AS MATERIALIZED (SELECT vec_id AS probe_id, v AS pv, norm AS pnorm
         |  FROM n WHERE vec_id < 25),
-        |pr AS MATERIALIZED (SELECT probe_id, cell FROM (SELECT p.probe_id, cent.cell,
-        |   row_number() OVER (PARTITION BY p.probe_id ORDER BY
-        |     round(sqrt(list_sum(list_transform(list_zip(p.pv, cent.cv),
-        |       z -> (z[1]-z[2])*(z[1]-z[2])))), 6), cent.cell) AS rk
-        |  FROM p CROSS JOIN cent) t WHERE rk = 1),
-        |en AS MATERIALIZED (SELECT probe_id, node FROM (SELECT pr.probe_id,
-        |   asg.vec_id AS node,
-        |   row_number() OVER (PARTITION BY pr.probe_id ORDER BY asg.dist, asg.vec_id) AS rk
-        |  FROM pr JOIN asg ON asg.cell = pr.cell AND asg.vec_id <> pr.probe_id) t
-        |  WHERE rk = 1),
+        |en AS MATERIALIZED (SELECT ndg.src AS probe_id, ndg.nbr_id AS node
+        |  FROM ndg JOIN p ON p.probe_id = ndg.src WHERE ndg.rk = 1),
         |f0 AS MATERIALIZED (SELECT en.probe_id, en.node,
         |   round(list_sum(list_transform(list_zip(p.pv, n.v), z -> z[1]*z[2]))
         |     / (p.pnorm * n.norm), 6) AS cosine
@@ -3520,24 +3536,31 @@ object SparkEntry {
         |  round(sum(n_chars) / CAST(count(*) AS DOUBLE), 6) AS mean_chars
         |FROM d GROUP BY GROUPING SETS ((source, lang), (source), ())
         |ORDER BY source, lang""".stripMargin,
-    // whole-space 5-NN label purity per label (mirrors
-    // Similarity.knnPurity; integer hit counting)
+    // trained-IVF-routed 5-NN label purity per label (mirrors
+    // Similarity.knnPurity: every vector probes its nprobe=2 nearest
+    // refined cells, exact cosine top-5 within their members; integer
+    // hit counting)
     "embed_knn_purity" ->
-      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
-        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |n AS (SELECT vec_id, label, v,
-        |   sqrt(list_sum(list_transform(v, x -> x*x))) AS norm FROM e),
-        |s AS (SELECT a.vec_id, a.label, b.vec_id AS nbr_id, b.label AS nbr_label,
-        |   round(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1]*z[2])) /
-        |     (a.norm * b.norm), 6) AS cosine
-        |  FROM n a CROSS JOIN n b WHERE a.vec_id <> b.vec_id),
-        |nn AS (SELECT vec_id, label, nbr_label FROM (SELECT *,
-        |   row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id) AS rk
+      s"""WITH $ivfCtes,
+        |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+        |pr AS (SELECT vec_id, v, cell FROM s2
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) <= 2),
+        |p AS (SELECT pr.vec_id AS probe_id, lab.label AS plabel, pr.v AS pv,
+        |   sqrt(list_sum(list_transform(pr.v, x -> x*x))) AS pnorm, pr.cell
+        |  FROM pr JOIN lab ON lab.vec_id = pr.vec_id),
+        |nb AS (SELECT asg.vec_id, lab.label, asg.v, asg.norm, asg.cell
+        |  FROM asg JOIN lab ON lab.vec_id = asg.vec_id),
+        |s AS (SELECT p.probe_id, p.plabel, nb.vec_id AS nbr_id, nb.label AS nbr_label,
+        |   round(list_sum(list_transform(list_zip(p.pv, nb.v), z -> z[1]*z[2])) /
+        |     (p.pnorm * nb.norm), 6) AS cosine
+        |  FROM p JOIN nb ON nb.cell = p.cell AND nb.vec_id <> p.probe_id),
+        |nn AS (SELECT probe_id, plabel, nbr_label FROM (SELECT *,
+        |   row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, nbr_id) AS rk
         |  FROM s) WHERE rk <= 5),
-        |h AS (SELECT vec_id, label,
-        |   sum(CASE WHEN nbr_label = label THEN 1 ELSE 0 END) AS hits
+        |h AS (SELECT probe_id, plabel,
+        |   sum(CASE WHEN nbr_label = plabel THEN 1 ELSE 0 END) AS hits
         |  FROM nn GROUP BY 1, 2)
-        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |SELECT plabel AS label, CAST(count(*) AS BIGINT) AS n_vecs,
         |  round(sum(hits) / CAST(5 * count(*) AS DOUBLE), 6) AS mean_purity
         |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
     // year-over-year monthly revenue growth (mirrors

@@ -6,13 +6,20 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Multimodal-column plumbing: media as opaque `binary` columns with
-  * typed metadata, batch feature extraction, decode behind a stub.
+  * typed metadata, batch feature extraction, and REAL image decode on
+  * the pHash/histogram paths.
   *
-  * The container has no image/audio codecs, so `decodeStub` is a
-  * deterministic fake — but the Spark-side plumbing is real: binary
-  * columns flow through parquet, features are extracted per partition in
-  * batches (the Scala analogue of `mapInPandas`), and the schema /
-  * partitioning / batch shape is what a real codec would plug into.
+  * Two decode tiers coexist. The pHash/histogram family encodes
+  * deterministic pixel grids to REAL PNG/BMP bytes and decodes them
+  * back through `javax.imageio` ([[PHash]] — with
+  * `ImageIO.setUseCache(false)`, because the JDK's default disk-backed
+  * stream cache costs a temp-file create/delete per decode and made
+  * the family ×12 slower at sf10). Formats the JDK lacks (audio/video
+  * codecs) stay behind `decodeStub`, a deterministic fake — but the
+  * Spark-side plumbing is identical in both tiers: binary columns flow
+  * through parquet, features are extracted per partition in batches
+  * (the Scala analogue of `mapInPandas`), and the schema /
+  * partitioning / batch shape is what any codec plugs into.
   */
 object Multimodal {
 

@@ -284,8 +284,15 @@ object Similarity {
     * neighbor (Σ adj(m)² candidates, adj ≤ 2k — O(k²·n), never n²) →
     * exact cosine → merge with seed edges → top-3. `gained` marks
     * edges the descent discovered; the spec asserts the refined graph
-    * strictly dominates the seed on recall vs brute force. */
-  def annNnDescent(spark: SparkSession, dir: String): DataFrame = {
+    * strictly dominates the seed on recall vs brute force.
+    *
+    * [[nnDescentGraph]] is the unordered relation — the build step
+    * [[annGraphBeam]] consumes as its traversal index (the production
+    * pairing: descent BUILDS the graph, beam search QUERIES it). */
+  def annNnDescent(spark: SparkSession, dir: String): DataFrame =
+    nnDescentGraph(spark, dir).orderBy(col("vec_id"), col("rk"))
+
+  private[graft] def nnDescentGraph(spark: SparkSession, dir: String): DataFrame = {
     val e = graft.Caches.persistTracked(
       vecs(spark, dir).select(col("vec_id"), col("v"), col("norm")))
     val wRing = org.apache.spark.sql.expressions.Window
@@ -325,7 +332,6 @@ object Similarity {
       .select(col("u").as("vec_id"), col("w").as("nbr_id"),
         col("cosine"), col("rk"),
         not(coalesce(col("had"), lit(false))).as("gained"))
-      .orderBy(col("vec_id"), col("rk"))
   }
 
   /** Per-label centroids (rounded to 6 so cross-engine float-sum order
@@ -474,6 +480,23 @@ object Similarity {
                'dist', round(sqrt(s.sq), 6), 'cell', s.cell, 'sq', s.sq)))"""))
       .select(col("vec_id"), col("v"), col("__best.cell").as("cell"),
         col("__best.dist").as("dist"), col("__best.sq").as("sq"))
+
+  /** Top-`nprobe` nearest-centroid routing, scan-shaped like
+    * [[kmeansAssign]]: sort the per-row (rounded dist, cell) struct
+    * array from the centroid literal, keep the first `nprobe`, explode
+    * — one output row per (vector, probed cell), no n·|cells| join
+    * rows, no window. Input columns pass through. */
+  private def kmeansRoute(e: DataFrame, cent: DataFrame,
+      nprobe: Int): DataFrame =
+    e.withColumn("__cents", centLiteral(cent))
+      .withColumn("__probed", expr(
+        s"""slice(array_sort(transform(__cents, c -> named_struct(
+              'dist', round(sqrt(graft_l2sq(v, c.cv)), 6), 'cell', c.cell))),
+            1, $nprobe)"""))
+      .withColumn("__cell", explode(col("__probed")))
+      .drop("__cents", "__probed")
+      .withColumn("cell", col("__cell.cell"))
+      .drop("__cell")
 
   /** Per-cell means of the assigned vectors, rounded for portability. */
   private def recomputeCentroids(assigned: DataFrame): DataFrame = centroidArrays(
@@ -1083,55 +1106,54 @@ object Similarity {
       .orderBy(col("probe_id"), col("hop"))
   }
 
-  /** Beam search over the k-NN graph with an IVF-routed entry — the
-    * production query path of graph-based ANN ([[annGraphSearch]] is
-    * its beam-width-1 trajectory demo). Two upgrades make it an HNSW-
-    * shaped searcher: (1) the COARSE ENTRY LAYER — each probe routes to
-    * its nearest TRAINED centroid ([[trainedIndex]], the same metric
-    * and tie-break the IVF family uses) and enters at that cell's
-    * medoid (min distance-to-centroid member), replacing the fixed far
-    * seed; (2) the BEAM-k FRONTIER — per hop, the union of every
-    * cursor's graph neighbors is scored against the probe and the best
-    * `beam` nodes survive (one TakeOrdered-shaped window per hop), so
-    * one bad neighbor list can't strand the walk the way greedy's
-    * single cursor can. The answer is top-`k` of everything the walk
-    * scored, each row flagged `hit` iff it is in the exact brute-force
-    * top-`k` — recall@k is measured inside the query, and the spec
-    * asserts it dominates the greedy walk's on the same probes.
+  /** Beam search over the NN-DESCENT k-NN graph — the production query
+    * path of graph-based ANN ([[annGraphSearch]] is the beam-width-1
+    * trajectory demo over the label-blocked exact graph). Two choices
+    * make it the HNSW-shaped searcher a real deployment runs:
+    * (1) BASE-LAYER ENTRY — each probe enters at its own top refined
+    * neighbor (rk=1 in [[nnDescentGraph]]): the entry the graph index
+    * already owns, costing zero extra passes. (The r10 form trained a
+    * full IVF index and ASSIGNED THE ENTIRE CORPUS just to route 25
+    * probes to a cell medoid — a per-query index build that was the
+    * query's dominant term at ×10 data, 419.9s at sf10.)
+    * (2) the BEAM-k FRONTIER — per hop, the union of every cursor's
+    * graph neighbors is scored against the probe and the best `beam`
+    * nodes survive, so one bad neighbor list can't strand the walk the
+    * way greedy's single cursor can. The answer is top-`k` of
+    * everything the walk scored, each row flagged `hit` iff it is in
+    * the exact brute-force top-`k` — recall@k is measured inside the
+    * query, and the spec asserts it dominates the greedy walk's.
     *
-    * Shape at scale: the graph (|V|·k edges) is built once and only
-    * PROBED — per hop the ≤|probes|·beam cursor relation broadcasts
-    * against it, the ≤|probes|·beam·k candidate set broadcasts against
-    * the vector scan for scoring, and the beam/visited windows run on
-    * |probes|-bounded rows; frontier and visited are localCheckpoint'd
-    * per hop so plan depth stays flat (the componentsStar loop
-    * discipline). The exact-truth join is the |probes|-row evaluation
-    * harness — at 100 TB it runs over a probe sample, exactly like
-    * [[annRecallReport]]. */
+    * Shape at scale: the traversal graph is the O(k²·n) NN-Descent
+    * build (never Σ cell² — the r10 form rebuilt the exact blocked
+    * k-NN graph in-query), and it is built once and only PROBED — per
+    * hop the ≤|probes|·beam cursor relation broadcasts against it, the
+    * ≤|probes|·beam·k candidate set broadcasts against the vector scan
+    * for scoring, and the beam/visited windows run on |probes|-bounded
+    * rows; frontier and visited are localCheckpoint'd per hop so plan
+    * depth stays flat (the componentsStar loop discipline). The
+    * exact-truth join is the evaluation harness and runs over the
+    * DETERMINISTIC PROBE SAMPLE only (vec_id < 25 — constant, never
+    * ∝ corpus): one linear broadcast-probe scan, the
+    * [[annRecallReport]] / dedup_lsh_eval_sampled discipline. */
   def annGraphBeam(spark: SparkSession, dir: String, beam: Int = 4,
       hops: Int = 3, k: Int = 5): DataFrame = {
     val e = vecs(spark, dir)
-    val graph = graft.Caches.persistTracked(
-      annKnnGraph(spark, dir).select(col("vec_id").as("src"), col("nbr_id")))
-    graph.count()
-    val (cent, assign) = trainedIndex(spark, dir)
+    val nd = graft.Caches.persistTracked(
+      nnDescentGraph(spark, dir)
+        .select(col("vec_id").as("src"), col("nbr_id"), col("rk")))
+    nd.count()
+    val graph = nd.select(col("src"), col("nbr_id"))
     val probes = graft.Caches.persistTracked(
       e.filter(col("vec_id") < 25)
         .select(col("vec_id").as("probe_id"), col("v").as("pv"),
           col("norm").as("pnorm")))
     probes.count()
-    // coarse entry: route each probe through the trained quantizer
-    // (same rounded L2 + (dist, cell) tie-break as kmeansAssign)...
-    val routed = kmeansAssign(
-        probes.select(col("probe_id").as("vec_id"), col("pv").as("v")), cent)
-      .select(col("vec_id").as("probe_id"), col("cell"))
-    // ...and enter at the routed cell's medoid
-    val wMedoid = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("probe_id")).orderBy(col("dist"), col("vec_id"))
-    val entry = assign.join(broadcast(routed), Seq("cell"))
-      .filter(col("vec_id") =!= col("probe_id"))
-      .withColumn("rk", row_number().over(wMedoid)).filter(col("rk") === 1)
-      .select(col("probe_id"), col("vec_id").as("node"))
+    // base-layer entry: the probe's own best refined neighbor
+    val entry = nd.filter(col("rk") === 1)
+      .join(broadcast(probes.select(col("probe_id"))),
+        col("src") === col("probe_id"))
+      .select(col("probe_id"), col("nbr_id").as("node"))
     def score(cand: DataFrame): DataFrame =
       e.join(broadcast(cand), col("vec_id") === col("node"))
         .join(broadcast(probes), Seq("probe_id"))
@@ -1440,34 +1462,71 @@ object Similarity {
   }
 
   /** k-NN label purity — the classifier-free embedding-quality
-    * metric: for every vector, the fraction of its exact cosine 5-NN
-    * (over the WHOLE space — [[annKnnGraph]] is label-blocked by
+    * metric: for every vector, the fraction of its cosine 5-NN over
+    * the whole space ([[annKnnGraph]] is label-blocked by
     * construction, so it can't measure this) sharing the vector's
     * label, rolled up per label. High purity = the space clusters by
     * label = retrieval and semdedup can be trusted; per-label rows
     * expose the class that doesn't.
     *
-    * Shape at scale: the all-pairs self-join is the honest exact
-    * measurement at this SF (n² cosine, partition-parallel, no
-    * shuffle after the broadcast side); the top-k itself is the
-    * [[graft.functions.TopKTriples]] bounded-heap aggregate, NOT a
-    * row_number window — the window form exchanges and sorts all n²
-    * candidate rows, the aggregate folds each candidate into a k-slot
-    * buffer in the map task that produced it, so the one shuffle
-    * carries n buffers of k triples (at sf1 this was the difference
-    * between 539 s and the join's raw compute). Ordering
-    * (cosine DESC, nbr_id ASC) is total, so the result is identical
-    * to the window form and the DuckDB window oracle still matches.
-    * At 100 TB the candidate side routes through the trained IVF
-    * cells exactly as [[annIvfTopk]] and purity becomes an estimate
-    * with the same downstream algebra. */
-  def knnPurity(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    * The neighbor search routes through the TRAINED IVF index
+    * ([[trainedIndex]] — the same quantizer every IVF query uses):
+    * each vector probes its nprobe=2 nearest refined cells and takes
+    * exact cosine top-k within their members, so purity is the
+    * production-index estimate, not an all-pairs census. (The r10
+    * form WAS the exact n² self-join — 435.3s and ×87.8 growth at
+    * sf10, the honest baseline with no scale path; it survives as
+    * [[knnPurityExact]], the spec-only yardstick the routed estimate
+    * is asserted against.)
+    *
+    * Shape at scale: routing is the [[kmeansRoute]] scan (per-row fold
+    * over the centroid literal — no n·|cells| rows anywhere); the
+    * candidate join shuffles both sides on the cell key only, so work
+    * is Σ cell²·nprobe/|cells| — cells are bounded, never the corpus;
+    * the top-k is the [[graft.functions.TopKTriples]] bounded-heap
+    * aggregate, NOT a row_number window — each candidate folds into a
+    * k-slot buffer map-side and the one shuffle carries n buffers of
+    * k triples. Hit counting is integer end to end: mean purity =
+    * Σhits/(k·n) from exact longs, never an average of inexact
+    * 1/k-step doubles. */
+  def knnPurity(spark: SparkSession, dir: String, k: Int = 5,
+      nprobe: Int = 2): DataFrame = {
+    val e = graft.Caches.persistTracked(
+      vecs(spark, dir).select(col("vec_id"), col("label"), col("v"), col("norm")))
+    e.count() // materialize: the cell join's broadcast gate needs real sizes
+    val (cent, _) = trainedIndex(spark, dir)
+    val probes = kmeansRoute(e, cent, nprobe)
+      .select(col("vec_id").as("probe_id"), col("label").as("plabel"),
+        col("v").as("pv"), col("norm").as("pnorm"), col("cell"))
+    val members = kmeansRoute(e, cent, 1)
+    probes.join(members, "cell")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("plabel"))
+      .agg(expr(s"""graft_topk(
+          round(graft_dot(pv, v) / (pnorm * norm), 6),
+          vec_id,
+          CAST(CASE WHEN label = plabel THEN 1 ELSE 0 END AS BIGINT),
+          $k)""").as("top"))
+      .select(col("probe_id"), col("plabel"),
+        expr("aggregate(top, 0L, (acc, t) -> acc + t.pay)").as("hits"))
+      .groupBy(col("plabel"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("hits")).as("sum_hits"))
+      .select(col("plabel").cast("long").as("label"), col("n_vecs"),
+        round(col("sum_hits") / (lit(k) * col("n_vecs")).cast("double"), 6)
+          .as("mean_purity"))
+      .orderBy(col("label"))
+  }
+
+  /** The exact all-pairs purity census [[knnPurity]] estimates —
+    * spec-only (NOT a registered query: n² cosine has no 100 TB path;
+    * the r10 sf10 gate measured it at ×87.8 growth). The spec asserts
+    * the routed estimate tracks this within tolerance at sf0.001. */
+  private[graft] def knnPurityExact(spark: SparkSession, dir: String,
+      k: Int = 5): DataFrame = {
     val e = graft.Caches.persistTracked(
       vecs(spark, dir).select(col("vec_id"), col("label"), col("v"), col("norm")))
     e.count() // materialize: the self-join broadcast gate needs real sizes
     import graft.operators.Scale.maybeBroadcast
-    // integer hit counting end to end: mean purity = Σhits/(k·n) from
-    // exact longs, never an average of inexact 1/k-step doubles
     e.as("a").join(maybeBroadcast(e).as("b"),
         col("a.vec_id") =!= col("b.vec_id"))
       .groupBy(col("a.vec_id").as("vec_id"), col("a.label").as("label"))

@@ -97,11 +97,14 @@ object SnapshotStorage {
     * last-loaded-snapshot bookkeeping) and [[Brotli.decompress]] runs
     * in the mapper, scaling decode with executors exactly like the
     * batch path. */
-  def readRawBrotliStream(spark: SparkSession, rootDir: String): DataFrame = {
+  def readRawBrotliStream(spark: SparkSession, rootDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import spark.implicits._
     val idRe = idFromPath.r
-    spark.readStream.format("binaryFile")
+    val reader = spark.readStream.format("binaryFile")
       .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader
       .load(s"$rootDir/*/*/*/*/*.br")
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
@@ -152,21 +155,31 @@ object SnapshotStorage {
     * partition on a backlog run). Dims append unseen keys only. */
   def writeTables(r: SiriSnapshotEtl.EtlResult, outDir: String): Unit = {
     val spark = r.routes.sparkSession
+    // every output table derives from the SAME parsed-visits relation,
+    // and each write below is its own Spark action — uncached, the ~8
+    // actions would each re-read AND re-decode/re-parse the raw
+    // snapshot source (measured: the .br drain spends most of its wall
+    // re-decoding brotli per table). Pin visits for the duration of
+    // the writes; MEMORY_AND_DISK because a backlog drain's mega-batch
+    // may exceed executor memory — a spilled cache still beats eight
+    // decodes. Unpersisted in finally: the daemon calls this per
+    // micro-batch and must not accumulate cache blocks.
+    r.visits.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-stage timed sections on the batch path (reference logs.py
     // debug_time around each process_snapshot phase) — each section
     // wraps the Spark ACTION that materializes that table
     import graft.Logs.debugTime
-    debugTime("write-dims", "outDir" -> outDir) {
-      appendNewDimKeys(r.routes, s"$outDir/siri_routes", Seq("operator_ref", "line_ref"))
-      appendNewDimKeys(r.stops, s"$outDir/siri_stops", Seq("code"))
-      appendNewDimKeys(r.rides, s"$outDir/siri_rides",
-        Seq("operator_ref", "line_ref", "journey_ref", "vehicle_ref"))
-      appendNewDimKeys(r.rideStops, s"$outDir/siri_ride_stops",
-        Seq("operator_ref", "line_ref", "journey_ref", "vehicle_ref", "stop_point_ref", "order"))
-    }
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
+      debugTime("write-dims", "outDir" -> outDir) {
+        appendNewDimKeys(r.routes, s"$outDir/siri_routes", Seq("operator_ref", "line_ref"))
+        appendNewDimKeys(r.stops, s"$outDir/siri_stops", Seq("code"))
+        appendNewDimKeys(r.rides, s"$outDir/siri_rides",
+          Seq("operator_ref", "line_ref", "journey_ref", "vehicle_ref"))
+        appendNewDimKeys(r.rideStops, s"$outDir/siri_ride_stops",
+          Seq("operator_ref", "line_ref", "journey_ref", "vehicle_ref", "stop_point_ref", "order"))
+      }
       // facts: zstd (scan-bound table, best ratio at similar decode
       // speed), a parquet bloom filter on the surrogate join key
       // (validation joins probe it point-wise), and rows sorted by
@@ -195,6 +208,7 @@ object SnapshotStorage {
         }
       }
     } finally {
+      r.visits.unpersist()
       spark.conf.set("spark.sql.sources.partitionOverwriteMode",
         prev.getOrElse("static"))
     }

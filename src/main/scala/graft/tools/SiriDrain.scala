@@ -17,6 +17,7 @@ import graft.etl.SiriSnapshotEtl
   * foreachBatch star-schema write the daemon runs.
   *
   *   runMain graft.tools.SiriDrain <workDir> <minutes> <visitsPerSnapshot>
+  *     [pt<seconds>:<maxFilesPerTrigger>]
   *
   * Generates the tree (deterministic synthetic SIRI-SM JSON in the
   * standard stop-monitoring shape — vehicles advance along stop
@@ -25,7 +26,13 @@ import graft.etl.SiriSnapshotEtl
   * bounded run) and prints ONE JSON line: snapshots/s, visits/s, wall,
   * batches, output fact rows, and heartbeat staleness from the
   * [[graft.streaming.Heartbeat]] listener.
-  */
+  *
+  * The optional 4th arg switches to the daemon's CONTINUOUS trigger —
+  * e.g. `pt1:60` = ProcessingTime(1s) with 60 files per micro-batch —
+  * measuring the same backlog through the steady-state micro-batch
+  * cadence instead of one AvailableNow mega-batch (the stream is
+  * stopped once every generated snapshot has been consumed; wall is
+  * measured to the final non-empty batch's commit). */
 object SiriDrain {
 
   /** One synthetic MonitoredStopVisit (SIRI-SM shape — field names are
@@ -99,18 +106,39 @@ object SiriDrain {
     spark.streams.addListener(hb)
 
     // the daemon's exact per-batch body over the .br tree source;
-    // AvailableNow bounds the run at the generated backlog
+    // AvailableNow bounds the run at the generated backlog, the
+    // pt<sec>:<files> form runs the daemon's ProcessingTime cadence
+    val ptMode = args.lift(3).filter(_.startsWith("pt")).map { s =>
+      val Array(sec, files) = s.drop(2).split(":")
+      (sec.toInt, files.toInt)
+    }
     val t0 = System.nanoTime()
-    val q = SnapshotStorage.readRawBrotliStream(spark, landing)
+    val q = SnapshotStorage
+      .readRawBrotliStream(spark, landing, ptMode.map(_._2))
       .writeStream
       .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
+      .trigger(ptMode.fold[Trigger](Trigger.AvailableNow()) {
+        case (sec, _) => Trigger.ProcessingTime(s"$sec seconds") })
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         SnapshotStorage.writeTables(SiriSnapshotEtl.run(batch), out)
       }
       .start()
-    q.awaitTermination()
-    val wall = (System.nanoTime() - t0) / 1e9
+    val wall = ptMode match {
+      case None =>
+        q.awaitTermination()
+        (System.nanoTime() - t0) / 1e9
+      case Some(_) =>
+        // a ProcessingTime stream never self-terminates: poll the
+        // heartbeat log (every progress event, unbounded — NOT
+        // recentProgress, which caps at 100 and would undercount a
+        // long drain) until every generated snapshot is consumed,
+        // then let the in-flight trigger finish before clocking
+        while (hb.beats.map(_.numInputRows).sum < minutes) Thread.sleep(200)
+        while (q.status.isTriggerActive) Thread.sleep(100)
+        val wallAtDone = (System.nanoTime() - t0) / 1e9
+        q.stop(); q.awaitTermination()
+        wallAtDone
+    }
 
     val factRows = spark.read.parquet(s"$out/siri_vehicle_locations").count()
     val beats = hb.beats
@@ -118,8 +146,11 @@ object SiriDrain {
       java.time.Instant.parse(b.at).toEpochMilli -
         java.time.Instant.parse(a.at).toEpochMilli
     }.toSeq
+    val triggerDesc = ptMode.fold("available_now") {
+      case (sec, files) => s"processing_time_${sec}s_${files}f" }
     println(
-      s"""{"metric":"siri_drain","minutes":$minutes,"visits_per_snapshot":$visitsPer,""" +
+      s"""{"metric":"siri_drain","trigger":"$triggerDesc",""" +
+      s""""minutes":$minutes,"visits_per_snapshot":$visitsPer,""" +
       s""""visits_in":$nVisits,"fact_rows":$factRows,"wall_sec":${f"$wall%.3f"},""" +
       s""""snapshots_per_sec":${f"${minutes / wall}%.2f"},""" +
       s""""visits_per_sec":${f"${nVisits / wall}%.1f"},""" +

@@ -139,4 +139,36 @@ class CliSpec extends SparkSpec {
     assert(docs.filter(col("doc_id") === 2).count() == 0, "low-quality doc must drop")
     assert(spark.read.parquet(s"$out/_quarantine").count() == 1)
   }
+
+  test("resolveRange: reference date defaults (cli.py FROM_DATE/TO_DATE optionality)") {
+    val today = java.time.LocalDate.of(2023, 3, 10)
+    // zero-arg: today 00:00 .. today 23:59
+    assert(Cli.resolveRange(Nil, None, today) ==
+      ("2023/03/10/00/00", "2023/03/10/23/59"))
+    // --num-days 3: from backs off three days, to stays today
+    assert(Cli.resolveRange(Nil, Some(3), today) ==
+      ("2023/03/07/00/00", "2023/03/10/23/59"))
+    // one date arg: explicit from-date, to defaults to today
+    assert(Cli.resolveRange(List("2023-03-01"), None, today) ==
+      ("2023/03/01/00/00", "2023/03/10/23/59"))
+    // two date args expand to whole days
+    assert(Cli.resolveRange(List("2023-03-01", "2023-03-02"), None, today) ==
+      ("2023/03/01/00/00", "2023/03/02/23/59"))
+    // minute-exact snapshot ids pass through untouched (back-compat)
+    assert(Cli.resolveRange(List("2023/03/01/08/15", "2023/03/01/09/00"), None, today) ==
+      ("2023/03/01/08/15", "2023/03/01/09/00"))
+  }
+
+  test("update-pending-snapshots accepts date args + explicit status path") {
+    val statusDir = Files.createTempDirectory("clistatus").toString + "/status"
+    import spark.implicits._
+    Seq(("2023/03/10/00/00", "loaded"), ("2023/03/10/00/01", "loaded"))
+      .toDF("snapshot_id", "etl_status")
+      .write.parquet(statusDir)
+    Cli.main(Array("update-pending-snapshots", "2023-03-10", "2023-03-10", statusDir))
+    val status = spark.read.parquet(statusDir)
+    // the whole day is 1440 minutes; 2 were already tracked
+    assert(status.filter(col("etl_status") === "pending").count() == 1438)
+    assert(status.count() == 1440)
+  }
 }

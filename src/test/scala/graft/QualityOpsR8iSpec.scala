@@ -109,9 +109,9 @@ class QualityOpsR8iSpec extends SparkSpec {
     } finally { Caches.releaseAll(); spark.catalog.clearCache() }
   }
 
-  test("knnPurity: matches in-memory 5-NN recompute") {
+  test("knnPurityExact: matches in-memory 5-NN recompute") {
     try {
-      val out = graft.ops.Similarity.knnPurity(spark, sf0001).collect()
+      val out = graft.ops.Similarity.knnPurityExact(spark, sf0001).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       assert(out.nonEmpty)
       val vs = Tables.embeddings(spark, sf0001).collect().map { r =>
@@ -139,6 +139,37 @@ class QualityOpsR8iSpec extends SparkSpec {
       // the metric is bounded in [0,1] and the report covers every vector
       assert(out.map(_._2).sum == vs.length)
       out.foreach { case (_, _, p) => assert(p >= 0.0 && p <= 1.0) }
+    } finally { Caches.releaseAll(); spark.catalog.clearCache() }
+  }
+
+  test("knnPurity (IVF-routed) tracks the exact census within tolerance") {
+    try {
+      val routed = graft.ops.Similarity.knnPurity(spark, sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      Caches.releaseAll(); spark.catalog.clearCache()
+      val exact = graft.ops.Similarity.knnPurityExact(spark, sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(routed.nonEmpty && exact.nonEmpty)
+      val nVecs = Tables.embeddings(spark, sf0001).count()
+      // every vector routes somewhere: coverage equals the corpus unless
+      // a probe's two cells hold no other member (impossible while every
+      // label class has >=2 members)
+      assert(routed.map(_._2).sum == nVecs,
+        s"routed coverage ${routed.map(_._2).sum} != corpus $nVecs")
+      routed.foreach { case (_, _, p) => assert(p >= 0.0 && p <= 1.0) }
+      // nprobe=2 over trained cells must reproduce the exact per-label
+      // purity closely — the estimate is useless past ~0.3 drift, and on
+      // this label-clustered fixture the routed 5-NN is near-exact
+      val exactByLabel = exact.map(t => t._1 -> t._3).toMap
+      routed.foreach { case (l, _, p) =>
+        val pe = exactByLabel(l)
+        assert(math.abs(p - pe) <= 0.3,
+          f"label $l: routed purity $p%.3f vs exact $pe%.3f drifts > 0.3")
+      }
+      val meanR = routed.map(t => t._2 * t._3).sum / nVecs
+      val meanE = exact.map(t => t._2 * t._3).sum / nVecs
+      assert(math.abs(meanR - meanE) <= 0.15,
+        f"corpus mean purity: routed $meanR%.3f vs exact $meanE%.3f drifts > 0.15")
     } finally { Caches.releaseAll(); spark.catalog.clearCache() }
   }
 }
