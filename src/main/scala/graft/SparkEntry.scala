@@ -287,7 +287,7 @@ object SparkEntry {
     "q_lorenz_deciles"        -> Relational.qLorenzDeciles _,
     "dedup_shingle_df_profile" -> Dedup.shingleDfProfile _,
     "q_ks_test"               -> Relational.qKsTest _,
-    "q_spearman_corr"         -> Relational.qSpearmanCorr _,
+    "q_spearman_corr"         -> ((s, d) => Relational.qSpearmanCorr(s, d)),
     "q_theil_index"           -> Relational.qTheilIndex _,
     "etl_burst_detection"     -> EventsEtl.burstDetection _,
     "text_jaccard_sources"    -> TextAnalysis.jaccardSourceOverlap _,

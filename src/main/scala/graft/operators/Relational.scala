@@ -1759,32 +1759,50 @@ object Relational {
   }
 
   /** Distributed exact average-rank over a VALUE-GRAIN relation
-    * (v, cnt): 2·avgrank(v) = 2·cntLess(v) + cnt(v) + 1, with the
-    * running cntLess computed WITHOUT a single-partition global sort —
-    * range-partition on v, per-partition running sums (the window
-    * partitions by the physical partition id, so every sort is local),
-    * then each partition's rows shift by the broadcast running total
-    * of the partitions before it. The one global window left runs over
-    * the #partitions-row offset relation. localCheckpoint pins the
-    * partition ids: the offset agg and the final join must read the
-    * SAME materialized partitioning, not re-sample range bounds. */
-  private def rankByValue(byVal: DataFrame): DataFrame = {
-    val local = byVal
-      .repartitionByRange(col("v"))
-      .withColumn("pid", spark_partition_id())
-      .withColumn("csum", sum(col("cnt")).over(
-        Window.partitionBy(col("pid")).orderBy(col("v"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .localCheckpoint(true)
-    val wOff = Window.orderBy(col("pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = local.groupBy(col("pid")).agg(sum(col("cnt")).as("tot"))
-      .withColumn("off", coalesce(sum(col("tot")).over(wOff), lit(0L)))
-      .select(col("pid"), col("off"))
-    local.join(broadcast(offs), "pid")
-      // cntLess = off + csum − cnt; r2 = 2·cntLess + cnt + 1
-      .select(col("v"),
-        (lit(2L) * (col("off") + col("csum")) - col("cnt") + lit(1L)).as("r2"))
+    * (v, cnt): 2·avgrank(v) = 2·cntLess(v) + cnt(v) + 1.
+    *
+    * Size-gated hybrid (the [[graft.ops.Dedup.connectedComponents]]
+    * discipline): under `windowMaxRows` distinct values, one ordered
+    * cumsum window over the grain — a single task sorting ≤4M tiny
+    * (v, cnt) rows, which measures ~100× cheaper than the distributed
+    * machinery's fixed overhead at small SF. Past the gate, the
+    * scale path: range-partition on v, per-partition running sums
+    * (the window partitions by the physical partition id, so every
+    * sort is task-local), then each partition's rows shift by the
+    * broadcast running total of the partitions before it; the one
+    * global window left runs over the #partitions-row offset
+    * relation. localCheckpoint pins the partition ids: the offset agg
+    * and the final join must read the SAME materialized partitioning,
+    * not re-sample range bounds. The caller passes a grain-size upper
+    * bound it already owns (here: the cached pair-table count) so the
+    * gate costs zero extra jobs. */
+  private def rankByValue(byVal: DataFrame, grainBound: Long,
+      windowMaxRows: Long = 1L << 22): DataFrame = {
+    if (grainBound <= windowMaxRows) {
+      val wCum = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byVal
+        .withColumn("csum", sum(col("cnt")).over(wCum))
+        .select(col("v"),
+          (lit(2L) * col("csum") - col("cnt") + lit(1L)).as("r2"))
+    } else {
+      val local = byVal
+        .repartitionByRange(col("v"))
+        .withColumn("pid", spark_partition_id())
+        .withColumn("csum", sum(col("cnt")).over(
+          Window.partitionBy(col("pid")).orderBy(col("v"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .localCheckpoint(true)
+      val wOff = Window.orderBy(col("pid"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = local.groupBy(col("pid")).agg(sum(col("cnt")).as("tot"))
+        .withColumn("off", coalesce(sum(col("tot")).over(wOff), lit(0L)))
+        .select(col("pid"), col("off"))
+      local.join(broadcast(offs), "pid")
+        // cntLess = off + csum − cnt; r2 = 2·cntLess + cnt + 1
+        .select(col("v"),
+          (lit(2L) * (col("off") + col("csum")) - col("cnt") + lit(1L)).as("r2"))
+    }
   }
 
   /** Spearman rank correlation between line-item quantity and
@@ -1800,31 +1818,59 @@ object Relational {
     * n·Σ − Σ·Σ) accumulated in DECIMAL(38,0) exact integers, and the
     * single ratio/sqrt happens in IEEE doubles at the end.
     *
-    * Shape at scale: the fact collapses to (quantity, price) PAIR
-    * grain in one map-combinable hash-agg; both rank relations come
-    * from [[rankByValue]]'s range-partitioned running sums (no
-    * single-partition fact sort anywhere — the r10 form ran two
-    * un-partitioned rank windows over the whole fact and serialized
-    * on one task); the quantity side (~50 distinct values) broadcasts
-    * back, the price side joins on the price grain. Honest ceiling:
+    * Shape at scale: size-gated hybrid. A small fact (≤16M rows —
+    * where the whole query is sub-second) keeps the direct two-window
+    * form; past the gate the fact collapses to (quantity, price) PAIR
+    * grain in one map-combinable hash-agg and both rank relations come
+    * from [[rankByValue]] — itself gated under 4M distinct values to a
+    * single grain-window task, range-partitioned running sums past
+    * that (no single-partition FACT sort at any scale that matters —
+    * the r10 form ran two un-partitioned rank windows over the whole
+    * fact unconditionally and serialized on one task); the quantity
+    * side (~50 distinct values) broadcasts back, the price side joins
+    * on the price grain. A spec proves both paths bit-identical. Honest ceiling:
     * DECIMAL(38,0) holds 10³⁸ — Σcnt·rq·rp ≈ 4n³ crosses it near
     * n ≈ 3·10¹² rows (a few PB of lineitem), and the final n·Σxy
     * cross-term crosses near n ≈ 10¹² i.e. ~100 TB; past that the
     * exact path needs a two-level (per-range partial moment) split or
     * the documented swap to bucketed approximate ranks (fixed-width
     * value histograms) feeding the same formula. */
-  def qSpearmanCorr(spark: SparkSession, dir: String): DataFrame = {
+  def qSpearmanCorr(spark: SparkSession, dir: String,
+      smallFactRows: Long = 1L << 24,
+      rankWindowMaxRows: Long = 1L << 22): DataFrame = {
     val d38 = DecimalType(38, 0)
-    val pairs = graft.Caches.persistTracked(Tables.lineitem(spark, dir)
-      .groupBy(col("l_quantity").as("q"), col("l_extendedprice").as("p"))
-      .agg(count(lit(1)).as("cnt")))
-    val qRank = rankByValue(
-      pairs.groupBy(col("q").as("v")).agg(sum(col("cnt")).as("cnt")))
-    val pRank = rankByValue(
-      pairs.groupBy(col("p").as("v")).agg(sum(col("cnt")).as("cnt")))
-    pairs
-      .join(broadcast(qRank.select(col("v").as("q"), col("r2").as("rq"))), "q")
-      .join(pRank.select(col("v").as("p"), col("r2").as("rp")), "p")
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_quantity").as("q"), col("l_extendedprice").as("p"))
+    // size-gated hybrid, same integer 2·avgrank on both paths: under
+    // the gate the two in-fact windows win outright (the distributed
+    // machinery's ~2s of shuffles/checkpoints is 13× the whole query
+    // at sf0.1); past it the fact NEVER sees a global window. The
+    // probe is a parquet metadata count — no data scan.
+    val ranked =
+      if (li.count() <= smallFactRows)
+        li.withColumn("rq", lit(2L) * rank().over(Window.orderBy(col("q"))) +
+            count(lit(1)).over(Window.partitionBy(col("q"))) - lit(1L))
+          .withColumn("rp", lit(2L) * rank().over(Window.orderBy(col("p"))) +
+            count(lit(1)).over(Window.partitionBy(col("p"))) - lit(1L))
+          .select(lit(1L).as("cnt"), col("rq"), col("rp"))
+      else {
+        val pairs = graft.Caches.persistTracked(
+          li.groupBy(col("q"), col("p")).agg(count(lit(1)).as("cnt")))
+        // one cached count bounds BOTH value grains (each is a rollup
+        // of the pair grain) — the rank hybrid gate costs no extra scan
+        val nPairs = pairs.count()
+        val qRank = rankByValue(
+          pairs.groupBy(col("q").as("v")).agg(sum(col("cnt")).as("cnt")),
+          nPairs, rankWindowMaxRows)
+        val pRank = rankByValue(
+          pairs.groupBy(col("p").as("v")).agg(sum(col("cnt")).as("cnt")),
+          nPairs, rankWindowMaxRows)
+        pairs
+          .join(broadcast(qRank.select(col("v").as("q"), col("r2").as("rq"))), "q")
+          .join(pRank.select(col("v").as("p"), col("r2").as("rp")), "p")
+          .select(col("cnt"), col("rq"), col("rp"))
+      }
+    ranked
       .select(col("cnt").cast(d38).as("cnt"),
         col("rq").cast(d38).as("rq"), col("rp").cast(d38).as("rp"))
       .agg(sum(col("cnt")).as("n"),

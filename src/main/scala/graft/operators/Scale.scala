@@ -97,16 +97,25 @@ object Scale {
     * its parquet-text footprint — at 100× scale the estimate waved a
     * ~2 GB cache through the 256 MB gate (measured broadcast-build
     * OOM, dedup_winnow_pairs sf10). The gate therefore materializes
-    * any cold cache under the plan (one count(); work the query pays
-    * anyway, just earlier) before trusting stats. Plans with no cache
-    * are untouched — no re-execution of uncached expensive trees. */
+    * any cold cache under the plan before trusting stats — by counting
+    * THE CACHED RELATION ITSELF (GraftShim.ofRows over the
+    * InMemoryRelation node), never `df.count()`: df may stack joins
+    * and aggregations ABOVE the cache, and counting the derived tree
+    * re-executes all of it as a second action (measured: the r10
+    * df.count() form cost dedup_apply / pipeline_source_dup_rate /
+    * embed_pq_code_entropy a reproducible ×1.3–1.6 at sf0.1 — the
+    * three unadjudicated BENCH_r10 flags, VARIANCE_r11.md). Plans
+    * with no cache are untouched — no re-execution of uncached
+    * expensive trees. */
   def maybeBroadcast(df: DataFrame, maxBytes: Long = 256L << 20): DataFrame = {
     val qe = df.queryExecution
-    val coldCache = qe.withCachedData.collectFirst {
+    qe.withCachedData.foreach {
       case r: org.apache.spark.sql.execution.columnar.InMemoryRelation
-          if !r.cacheBuilder.isCachedColumnBuffersLoaded => r
-    }.nonEmpty
-    if (coldCache) df.count() // load the cache so stats below are REAL
+          if !r.cacheBuilder.isCachedColumnBuffersLoaded =>
+        // load exactly the cache buffers; nothing above them re-runs
+        org.apache.spark.sql.graft.GraftShim.ofRows(df.sparkSession, r).count()
+      case _ => ()
+    }
     if (qe.optimizedPlan.stats.sizeInBytes <= maxBytes) broadcast(df) else df
   }
 

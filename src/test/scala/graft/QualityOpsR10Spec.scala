@@ -82,6 +82,22 @@ class QualityOpsR10Spec extends SparkSpec {
     } finally { Caches.releaseAll(); spark.catalog.clearCache() }
   }
 
+  test("qSpearmanCorr: the distributed grain path is bit-identical to the window path") {
+    val sf001 = "/root/testdata/sf0.01"
+    try {
+      // default gate → direct two-window form
+      val viaWindow = Relational.qSpearmanCorr(spark, sf001).collect().toSeq
+      Caches.releaseAll(); spark.catalog.clearCache()
+      // gate forced shut → pair-grain + rankByValue scale path, and a
+      // zero window cap inside it forces the range-partitioned branch
+      // too — the whole 100TB plan, checked on oracle-grade data
+      val viaGrain = Relational.qSpearmanCorr(spark, sf001,
+        smallFactRows = 0, rankWindowMaxRows = 0).collect().toSeq
+      assert(viaWindow == viaGrain,
+        s"paths diverge: window=$viaWindow grain=$viaGrain")
+    } finally { Caches.releaseAll(); spark.catalog.clearCache() }
+  }
+
   test("qTheilIndex: total = between + within; matches in-memory decomposition") {
     try {
       val Array(row) = Relational.qTheilIndex(spark, sf0001).collect()
