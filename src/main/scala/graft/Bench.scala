@@ -98,6 +98,11 @@ object Bench {
       // r4 dedup family, r5 corpus_filter after the 22s triangle join —
       // all cache/GC bleed, not plan changes)
       def onePass(): (Double, Boolean) = {
+        // name-first progress line: when a query kills the JVM outright
+        // (executor OOM -> SparkUncaughtExceptionHandler exit), the
+        // error path below never runs and the log otherwise carries no
+        // clue WHICH query died (cost a 28-minute sf10 run in r11)
+        System.err.println(s"[bench] running $name")
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch {
           case e: Throwable =>

@@ -440,61 +440,51 @@ object Similarity {
   private def centroidArrays(c: DataFrame): DataFrame = c.groupBy(col("cell"))
     .agg(expr("transform(array_sort(collect_list(struct(pos, centroid))), s -> s.centroid)").as("cv"))
 
-  /** A centroid row shipped into the per-row argmin literal. */
-  private[graft] case class Cent(cell: Long, cv: Seq[Double])
+  /** The centroid table collected to a [[graft.functions.CellIndex]]
+    * (cell ids ascending) — |cells| is the quantizer training budget,
+    * bounded by design, never ∝ corpus. */
+  private def cellIndexOf(cent: DataFrame): graft.functions.CellIndex = {
+    val rows = cent.select(col("cell").cast("long"), col("cv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    new graft.functions.CellIndex(rows.map(_._1), rows.map(_._2))
+  }
 
-  /** The centroid table as ONE array<struct> literal column, sorted by
-    * cell id. One Literal node (not |cells| struct expressions — that
-    * shape blows codegen's constant pool past a few hundred cells). */
-  private def centLiteral(cent: DataFrame): org.apache.spark.sql.Column =
-    typedLit(cent.select(col("cell").cast("long"), col("cv")).collect()
-      .map(r => Cent(r.getLong(0), r.getSeq[Double](1))).sortBy(_.cell).toSeq)
+  private def routeCol(idx: graft.functions.CellIndex, k: Int) = {
+    import org.apache.spark.sql.graft.GraftShim
+    GraftShim.column(graft.functions.CellRoute(
+      GraftShim.expression(col("v")), idx, k, sqrtDist = true))
+  }
 
   /** Nearest-centroid assignment, SCAN-shaped: the centroid table
-    * collapses to one in-plan literal and every vector folds over it
-    * with array_min — per-row argmin by (rounded dist, cell), exactly
-    * the (dist, cell) window order the oracles reproduce, because
-    * struct comparison is field-lexicographic. `sq` carries the
-    * unrounded squared distance (the Lloyd objective); `dist` is the
-    * rounded metric the oracles compare.
+    * collapses to a driver-built index and every vector runs the
+    * native [[graft.functions.CellRoute]] argmin — per-row, by
+    * (round(√sq, 6), cell), exactly the (dist, cell) window order the
+    * oracles reproduce. `sq` carries the unrounded squared distance
+    * (the Lloyd objective); `dist` is the rounded metric the oracles
+    * compare.
     *
-    * Why not crossJoin + argmin window (the r1–r10 shape): that plan
-    * materializes n·|cells| rows and SHUFFLES them into a per-vector
-    * sort — and since ScaleData grows cells ∝ data (and a real IVF
-    * sizes cells ~√n), the window input grows ~n·f², quadratic in the
-    * scale factor. Measured at sf10 it was the dominant term of every
-    * trainedIndex consumer (ann_graph_beam 419.9s). The fold keeps the
-    * whole assignment map-side: n rows out, ZERO shuffle, |cells|·64
-    * doubles of literal (~0.5 MB at sf10) resolved once per task.
-    * Past ~10⁵ cells the literal should ship as a broadcast instead
-    * (the GraftBloom registry pattern); at that point the routing
-    * itself becomes an ANN problem (centroids-over-centroids) — out of
-    * scope for the trained flat index this models. */
+    * Two rejected shapes, both measured: (1) crossJoin + argmin window
+    * (r1–r10) materializes n·|cells| rows and SHUFFLES them into a
+    * per-vector sort — ScaleData grows cells ∝ data (a real IVF sizes
+    * cells ~√n), so the window input grows ~n·f², quadratic in scale
+    * factor, and it dominated every trainedIndex consumer at sf10
+    * (ann_graph_beam 419.9s). (2) array_min(transform(...)) over a
+    * centroid literal is shuffle-free but INTERPRETED — Spark
+    * higher-order lambdas are CodegenFallback — and its 5.2e8 lambda
+    * dispatches measured ann_ivf at 208s at sf10. The kernel keeps
+    * the same zero-shuffle shape in flat codegen'd double math. */
   private def kmeansAssign(e: DataFrame, cent: DataFrame): DataFrame =
-    e.withColumn("__cents", centLiteral(cent))
-      .withColumn("__best", expr(
-        """array_min(transform(
-             transform(__cents, c -> named_struct(
-               'sq', graft_l2sq(v, c.cv), 'cell', c.cell)),
-             s -> named_struct(
-               'dist', round(sqrt(s.sq), 6), 'cell', s.cell, 'sq', s.sq)))"""))
+    e.withColumn("__best", element_at(routeCol(cellIndexOf(cent), 1), 1))
       .select(col("vec_id"), col("v"), col("__best.cell").as("cell"),
         col("__best.dist").as("dist"), col("__best.sq").as("sq"))
 
   /** Top-`nprobe` nearest-centroid routing, scan-shaped like
-    * [[kmeansAssign]]: sort the per-row (rounded dist, cell) struct
-    * array from the centroid literal, keep the first `nprobe`, explode
-    * — one output row per (vector, probed cell), no n·|cells| join
-    * rows, no window. Input columns pass through. */
+    * [[kmeansAssign]] (same native kernel, k=nprobe), exploded to one
+    * output row per (vector, probed cell) — no n·|cells| join rows,
+    * no window. Input columns pass through. */
   private def kmeansRoute(e: DataFrame, cent: DataFrame,
       nprobe: Int): DataFrame =
-    e.withColumn("__cents", centLiteral(cent))
-      .withColumn("__probed", expr(
-        s"""slice(array_sort(transform(__cents, c -> named_struct(
-              'dist', round(sqrt(graft_l2sq(v, c.cv)), 6), 'cell', c.cell))),
-            1, $nprobe)"""))
-      .withColumn("__cell", explode(col("__probed")))
-      .drop("__cents", "__probed")
+    e.withColumn("__cell", explode(routeCol(cellIndexOf(cent), nprobe)))
       .withColumn("cell", col("__cell.cell"))
       .drop("__cell")
 
@@ -668,6 +658,30 @@ object Similarity {
     * (codebook, per-vector subvectors, per-vector codes, probe ADC
     * distance table). The codebook is per-(subspace, label) mean
     * subvectors — a few hundred rows even for a real index. */
+  /** PQ encoding: nearest codeword per (vector, subspace), per-row via
+    * the native [[graft.functions.CodeRoute]] kernel — argmin by
+    * (round(l2sq, 6), code asc), one [[graft.functions.CellIndex]] per
+    * subspace, collected once on the driver. The r1–r11a shape
+    * (broadcast cross against the codebook + argmin window)
+    * materialized n·8·|codes| rows through a window — with |codes| =
+    * |labels| growing ∝ scale factor that is 4.2e9 window rows at
+    * sf10, and the PQ queries never finished inside the gate.
+    * Identical tie semantics, zero extra rows, zero shuffle. */
+  private def pqEncode(vsub: DataFrame, cbArr: DataFrame): DataFrame = {
+    val rows = cbArr.select(col("s"), col("code"), col("cw")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    val cbIdx = Array.tabulate((rows.map(_._1).max + 1).toInt) { s =>
+      val cs = rows.filter(_._1 == s).sortBy(_._2)
+      new graft.functions.CellIndex(cs.map(_._2), cs.map(_._3))
+    }
+    import org.apache.spark.sql.graft.GraftShim
+    val route = GraftShim.column(graft.functions.CodeRoute(
+      GraftShim.expression(col("sv")), GraftShim.expression(col("s")),
+      cbIdx, k = 1, sqrtDist = false))
+    vsub.withColumn("__best", element_at(route, 1))
+      .select(col("vec_id"), col("s"), col("__best.cell").as("code"))
+  }
+
   private def pqParts(spark: SparkSession, dir: String):
       (DataFrame, DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(spark)
@@ -683,14 +697,9 @@ object Similarity {
       .agg(expr("transform(array_sort(collect_list(struct(j, c))), z -> z.c)").as("cw"))
     val vsub = graft.Caches.persistTracked(sub.groupBy(col("vec_id"), col("s"))
       .agg(expr("transform(array_sort(collect_list(struct(j, x))), z -> z.x)").as("sv")))
-    // encode: nearest codeword per (vector, subspace) — broadcast cross
-    // against the tiny codebook, argmin window
-    val wEnc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id"), col("s")).orderBy(col("d"), col("code"))
-    val enc = vsub.join(broadcast(cbArr), Seq("s"))
-      .withColumn("d", round(expr("graft_l2sq(sv, cw)"), 6))
-      .withColumn("rk", row_number().over(wEnc)).filter(col("rk") === 1)
-      .select(col("vec_id"), col("s"), col("code"))
+    // encode: nearest codeword per (vector, subspace) via the native
+    // CodeRoute kernel (see [[pqEncode]])
+    val enc = pqEncode(vsub, cbArr)
     // ADC distance table: probe subvector → every codeword (5×8×|codes|)
     val dtab = vsub.filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("s"), col("sv").as("psv"))
@@ -839,12 +848,9 @@ object Similarity {
       .agg(expr("transform(array_sort(collect_list(struct(j, c))), z -> z.c)").as("cw"))
     val vsub = graft.Caches.persistTracked(rsub.groupBy(col("vec_id"), col("s"))
       .agg(expr("transform(array_sort(collect_list(struct(j, x))), z -> z.x)").as("sv")))
-    val wEnc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id"), col("s")).orderBy(col("d"), col("code"))
-    val enc = vsub.join(broadcast(cbArr), Seq("s"))
-      .withColumn("d", round(expr("graft_l2sq(sv, cw)"), 6))
-      .withColumn("rk", row_number().over(wEnc)).filter(col("rk") === 1)
-      .select(col("vec_id"), col("s"), col("code"))
+    // native CodeRoute encode — the argmin-window form put n·8·|codes|
+    // rows through a window here too (see [[pqEncode]])
+    val enc = pqEncode(vsub, cbArr)
     // probes route to their nprobe nearest trained cells...
     val probes = assign.filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"))
