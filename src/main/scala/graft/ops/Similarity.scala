@@ -568,7 +568,16 @@ object Similarity {
   }
 
   def semDedup(spark: SparkSession, dir: String): DataFrame = {
-    val assigned = graft.Caches.persistTracked(semDedupAssignments(spark, dir))
+    // the self-join expands each cell ~|cell|×, and AQE coalesces the
+    // pre-join shuffle by its INPUT size — at sf10 the ~400 MB
+    // assignment coalesced to one task that then did all 130M pair
+    // cosines alone (measured: load 1.0 for 30+ minutes). A
+    // user-specified repartition(N, cell) is exempt from AQE
+    // coalescing, keeps all cores on the expansion, and the join
+    // reuses the partitioning (no extra exchange).
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val assigned = graft.Caches.persistTracked(
+      semDedupAssignments(spark, dir).repartition(parts, col("cell")))
     assigned.as("a").join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("cosine", round(
