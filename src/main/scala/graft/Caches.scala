@@ -24,6 +24,14 @@ import org.apache.spark.storage.StorageLevel
   */
 object Caches {
   private val tracked = mutable.ArrayBuffer.empty[Dataset[_]]
+  private val releaseHooks = mutable.ArrayBuffer.empty[() => Unit]
+
+  /** Register a callback to run at every [[releaseAll]] — for operator
+    * objects holding derived per-JVM memos (e.g. Dedup's doubled-corpus
+    * shift) whose validity is tied to the same "results of the previous
+    * operator are materialized" epoch as the tracked caches. Hooks are
+    * permanent (registered once from an object initializer). */
+  def onRelease(hook: () => Unit): Unit = synchronized { releaseHooks += hook }
 
   /** Persist MEMORY_AND_DISK and remember the handle for [[releaseAll]]. */
   def persistTracked[T](ds: Dataset[T]): Dataset[T] = synchronized {
@@ -47,5 +55,8 @@ object Caches {
       try ds.unpersist(blocking) catch { case _: Throwable => () }
     }
     tracked.clear()
+    releaseHooks.foreach { h =>
+      try h() catch { case _: Throwable => () }
+    }
   }
 }

@@ -60,6 +60,11 @@ object Cli {
     val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy/MM/dd")
     def lo(d: java.time.LocalDate) = s"${d.format(fmt)}/00/00"
     def hi(d: java.time.LocalDate) = s"${d.format(fmt)}/23/59"
+    // --num-days only resolves an ABSENT from; combined with an explicit
+    // from it would be dead input — surface that instead of dropping it
+    if (numDays.isDefined && rangeArgs.nonEmpty)
+      System.err.println(
+        s"warning: $NumDaysOpt ignored — explicit range '${rangeArgs.head}' wins")
     val from = rangeArgs.headOption match {
       case Some(id @ SnapshotIdArg()) => id
       case Some(DateArg()) => lo(java.time.LocalDate.parse(rangeArgs.head))
@@ -82,7 +87,13 @@ object Cli {
     val (ndPairs, rest0) = args.indexOf(NumDaysOpt) match {
       case -1 => (None, args)
       case i if i + 1 < args.length =>
-        (Some(args(i + 1).toInt), args.patch(i, Nil, 2))
+        args(i + 1).toIntOption match {
+          case Some(n) => (Some(n), args.patch(i, Nil, 2))
+          case None =>
+            System.err.println(
+              s"$NumDaysOpt needs an integer value, got '${args(i + 1)}'")
+            sys.exit(2)
+        }
       case _ =>
         System.err.println(s"$NumDaysOpt needs a value"); sys.exit(2)
     }

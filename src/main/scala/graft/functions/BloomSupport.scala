@@ -123,40 +123,45 @@ case class BloomProbe(child: Expression, bloomBc: Broadcast[Array[Byte]])
   * probe-side filters at ~100 MB each is the working set; unbounded
   * growth across queries would be a leak).
   *
-  * Keyed on the Broadcast OBJECT (identity), never on `bc.id`:
-  * broadcast ids restart at 0 per SparkContext, so in a JVM that stops
-  * and rebuilds its session (test suites, notebooks, embedding tools)
-  * an id-keyed cache can hand a NEW broadcast an OLD context's filter
-  * — silent false negatives, i.e. dropped semi-join rows. Identity
-  * keys can't alias across contexts, and the LRU's strong reference
-  * lives only `MaxEntries` deep, so dead broadcasts age out. */
+  * Keyed on (application id, broadcast id) — NOT on either alone, and
+  * NOT on the Broadcast object's identity:
+  *   - `bc.id` alone aliases across SparkContexts (ids restart at 0
+  *     per context), so in a JVM that stops and rebuilds its session
+  *     an id-keyed cache could hand a NEW broadcast an OLD context's
+  *     filter — silent false negatives, i.e. dropped semi-join rows.
+  *     The app id (unique per SparkContext, e.g. `local-<startMs>`)
+  *     disambiguates.
+  *   - object identity never aliases, but it also never HITS on
+  *     executors: every task deserializes the task binary and gets a
+  *     fresh Broadcast wrapper object, so an identity key re-reads
+  *     `bc.value` (the ~100 MB deserialize) once per TASK instead of
+  *     once per JVM, and fills the LRU with duplicate copies —
+  *     defeating the cache exactly where it matters (measured shape
+  *     of the round-10 per-task-literal OOM, reintroduced in miniature).
+  * The app id comes from SparkEnv (present on driver and executors);
+  * if the env is somehow gone (teardown races) we fall back to an
+  * uncached deserialize rather than risk a cross-context hit. */
 object BloomProbeRegistry {
   private val MaxEntries = 4
   private val cache =
-    new java.util.LinkedHashMap[IdentityKey, GraftBloom](8, 0.75f, true) {
+    new java.util.LinkedHashMap[(String, Long), GraftBloom](8, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[IdentityKey, GraftBloom]): Boolean =
+          e: java.util.Map.Entry[(String, Long), GraftBloom]): Boolean =
         size() > MaxEntries
     }
-  /** Wraps the broadcast with reference-equality semantics (a plain
-    * HashMap key would fall back to Broadcast's default equals, which
-    * IS identity today — the wrapper makes that contract explicit and
-    * survives any future equals override). */
-  private final class IdentityKey(val bc: AnyRef) {
-    override def hashCode(): Int = System.identityHashCode(bc)
-    override def equals(o: Any): Boolean = o match {
-      case k: IdentityKey => k.bc eq bc
-      case _ => false
-    }
-  }
-  def filterFor(bc: Broadcast[Array[Byte]]): GraftBloom = cache.synchronized {
-    val key = new IdentityKey(bc)
-    val cached = cache.get(key)
-    if (cached != null) cached
-    else {
-      val bf = GraftBloom.deserialize(bc.value)
-      cache.put(key, bf)
-      bf
+  def filterFor(bc: Broadcast[Array[Byte]]): GraftBloom = {
+    val env = org.apache.spark.SparkEnv.get
+    val appId = if (env == null) "" else env.conf.get("spark.app.id", "")
+    if (appId.isEmpty) GraftBloom.deserialize(bc.value)
+    else cache.synchronized {
+      val key = (appId, bc.id)
+      val cached = cache.get(key)
+      if (cached != null) cached
+      else {
+        val bf = GraftBloom.deserialize(bc.value)
+        cache.put(key, bf)
+        bf
+      }
     }
   }
 }

@@ -132,9 +132,27 @@ object SiriDrain {
         // heartbeat log (every progress event, unbounded — NOT
         // recentProgress, which caps at 100 and would undercount a
         // long drain) until every generated snapshot is consumed,
-        // then let the in-flight trigger finish before clocking
-        while (hb.beats.map(_.numInputRows).sum < minutes) Thread.sleep(200)
-        while (q.status.isTriggerActive) Thread.sleep(100)
+        // then let the in-flight trigger finish before clocking.
+        // Two poll exits besides completion: a DEAD query (break and
+        // awaitTermination() so its exception surfaces instead of
+        // spinning forever on a count that will never advance) and a
+        // wall-clock ceiling (SIRI_DRAIN_TIMEOUT_SEC, default 2h) for
+        // the hang-without-exception case.
+        val deadline = t0 + sys.env.get("SIRI_DRAIN_TIMEOUT_SEC")
+          .flatMap(_.toLongOption).getOrElse(7200L) * 1000000000L
+        def overdue(): Boolean =
+          if (System.nanoTime() <= deadline) false
+          else {
+            q.stop()
+            sys.error(s"siri_drain pt-mode timed out: " +
+              s"${hb.beats.map(_.numInputRows).sum}/$minutes snapshots " +
+              s"consumed at the deadline")
+          }
+        while (q.isActive && !overdue() &&
+            hb.beats.map(_.numInputRows).sum < minutes) Thread.sleep(200)
+        if (!q.isActive) q.awaitTermination() // rethrows the stream's failure
+        while (q.isActive && !overdue() &&
+            q.status.isTriggerActive) Thread.sleep(100)
         val wallAtDone = (System.nanoTime() - t0) / 1e9
         q.stop(); q.awaitTermination()
         wallAtDone

@@ -66,6 +66,28 @@ class DedupSpec extends SparkSpec {
     assert(r.filter($"keep_doc_id" >= 100000).count() == 0)
   }
 
+  test("doubled-corpus shift re-derives when the same path grows (stale memo = id collisions)") {
+    // the r12 shiftMemo hazard: one JVM, one path, corpus overwritten
+    // with larger ids — a memoized smaller shift would collide copy
+    // ids with real ids downstream. The memo key includes the input
+    // file listing, so the overwrite must produce a fresh shift.
+    val dir = java.nio.file.Files.createTempDirectory("shiftmemo").toString
+    try {
+      Seq((0L, "alpha"), (50L, "beta")).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val small = Dedup.doubleShift(
+        Tables.documents(spark, dir).select($"doc_id", $"text"))
+      assert(small == 100000L)
+      Seq((0L, "alpha"), (150000L, "gamma")).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val grown = Dedup.doubleShift(
+        Tables.documents(spark, dir).select($"doc_id", $"text"))
+      assert(grown == 200000L, "stale memoized shift survived an overwrite")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("minhash LSH candidates are a superset of high-jaccard pairs") {
     val jac = Dedup.ngramJaccard(spark, sf0001)
       .filter($"jaccard" >= 0.95)
