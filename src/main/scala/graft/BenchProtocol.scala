@@ -10,7 +10,12 @@ import java.nio.file.{Files, Paths}
   * adjudicated against the median of the runs recorded in
   * bench/history.jsonl at the same scale factor:
   *
-  *   - a query is FLAGGED only if its best-of-three protocol time is
+  *   - each child's times are first divided by a per-child calibration
+  *     factor (median ratio of its >= 0.5s queries vs their history
+  *     medians, floored at 1.0) — child JVMs measured ~35% slower than
+  *     the in-process gate runs that feed history (VARIANCE_r11 §3),
+  *     which made uncalibrated flags meaningless on 1-3s queries;
+  *   - a query is FLAGGED only if its calibrated best-of-three is
   *     >= 1.5x its history median AND >= 0.5s absolute above it — i.e.
   *     the slowdown survives three fresh measurements, so it is code or
   *     data, not a one-off environment spike;
@@ -103,20 +108,45 @@ object BenchProtocol {
       keys.map(k => k -> median(history.flatMap(_.get(k)))).toMap
     }
 
+    // Per-child calibration (VARIANCE_r11 §3): protocol child JVMs run
+    // uniformly ~35% slower than the in-process gate runs that feed the
+    // history reference, so UNCALIBRATED best-of-N flags nearly every
+    // 1-3s query — a harness that cries wolf on most of its surface.
+    // Each child's inflation factor is the median of its per-query
+    // ratios vs the history median, estimated over STABLE probes only
+    // (reference >= 0.5s, so sub-second jitter doesn't drive the
+    // estimate), floored at 1.0 (a fast child is never penalized
+    // upward), and divided out of that child's times before any
+    // adjudication — including the fwd-vs-rev order comparison, so a
+    // slow reverse child doesn't fake order dependence. A TRULY uniform
+    // regression would be normalized away here by construction; that is
+    // the gate total's job to catch — the protocol adjudicates
+    // per-query shape, not fleet-wide level.
+    val calibration: Seq[Double] = runs.map { case (_, qs, _) =>
+      val probes = qs.toSeq.flatMap { case (n, t) =>
+        histMedian.get(n).filter(_ >= 0.5).map(r => t / r) }
+      if (probes.size < 3) 1.0 else math.max(1.0, median(probes))
+    }
+    val calibrated: Seq[Map[String, Double]] =
+      runs.zip(calibration).map { case ((_, qs, _), c) =>
+        qs.map { case (n, t) => n -> t / c } }
+
     val names = runs.flatMap(_._2.keys).distinct.sorted
-    val fwd = runs.filter(_._1.startsWith("fwd")).map(_._2)
-    val rev = runs.find(_._1 == "rev").map(_._2)
+    val fwdIdx = runs.zipWithIndex.collect {
+      case ((l, _, _), i) if l.startsWith("fwd") => i }
+    val revIdx = runs.zipWithIndex.collectFirst {
+      case ((l, _, _), i) if l == "rev" => i }
     case class Q(name: String, times: Seq[Double], best: Double, med: Double,
                  ref: Option[Double], flagged: Boolean, orderDep: Boolean)
     val adjudicated = names.map { n =>
-      val ts = runs.flatMap(_._2.get(n))
+      val ts = calibrated.flatMap(_.get(n))
       val best = ts.min
       val med = median(ts)
       val ref = histMedian.get(n)
       val flagged = ref.exists(r => best >= r * 1.5 && best - r >= 0.5)
       val orderDep = (for {
-        r <- rev.flatMap(_.get(n))
-        slowFwd = fwd.flatMap(_.get(n))
+        r <- revIdx.flatMap(calibrated(_).get(n))
+        slowFwd = fwdIdx.flatMap(calibrated(_).get(n))
         if slowFwd.nonEmpty
       } yield r > slowFwd.max * 1.5 && r - slowFwd.max > 0.5).getOrElse(false)
       Q(n, ts, best, med, ref, flagged, orderDep)
@@ -153,6 +183,7 @@ object BenchProtocol {
     }.mkString("{", ",", "}")
     val verdict =
       s"""{"protocol":"fwd/fwd/rev","sf":"$sfDir","runs":${runs.size},""" +
+      s""""calibration":[${calibration.map(ms).mkString(",")}],""" +
       s""""history_runs":${history.size},"median_best_ratio":${if (medRatio.isNaN) "null" else ms(medRatio)},""" +
       s""""flagged":[${flagged.map("\"" + _.name + "\"").mkString(",")}],""" +
       s""""order_dependent":[${orderDep.map("\"" + _.name + "\"").mkString(",")}],""" +

@@ -1074,7 +1074,15 @@ object Relational {
     *
     * Shape at scale: the part dim broadcasts (it always does here),
     * corr is a map-side-combinable moment aggregate — one scan, one
-    * ≤|brands|-group shuffle. */
+    * ≤|brands|-group shuffle.
+    *
+    * Precision ceiling: Spark's corr is a Welford-style central
+    * co-moment (shift-invariant, no catastrophic cancellation); its
+    * merge order varies run to run, so the 6-dp output is only
+    * reproducible while the accumulated double error ~√n·2⁻⁵³·κ stays
+    * below 5·10⁻⁷ — safe past 10¹² rows/brand unless |r| → 1 (κ blows
+    * up); at that scale the exact-decimal moment form (qSpearmanCorr's
+    * staging) is the swap. */
   def qDiscountQuantityCorr(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .select(col("l_partkey"), col("l_discount"), col("l_quantity"))
@@ -1095,7 +1103,16 @@ object Relational {
     * variance() two-pass.
     *
     * Shape at scale: single scan → 2-group agg → 1-row pivot; the
-    * arithmetic after the agg touches two rows. */
+    * arithmetic after the agg touches two rows.
+    *
+    * Precision ceiling: Σx (DECIMAL(28,2)) and Σx² (DECIMAL(38,4))
+    * stay exact past 10²⁰ rows; every double after the agg is a
+    * FIXED-ORDER scalar expression over those exact inputs, so the
+    * result is bit-deterministic cross-engine at any n — the only
+    * large-n cost is statistical: the one-pass variance
+    * (Σx² − (Σx)²/n) loses ~log₁₀(n·mean²/σ²) − 15.9 digits to
+    * cancellation, which erodes the 6-dp var columns once
+    * n·mean²/σ² ≳ 10¹⁰ (≈10⁹ rows at this data's mean/σ ≈ 3). */
   def qWelchTtest(spark: SparkSession, dir: String): DataFrame = {
     val arms = Tables.events(spark, dir)
       .filter(col("event_type") === "purchase")
@@ -1213,14 +1230,23 @@ object Relational {
     * actually used when spend distributions are heavy-tailed. Average
     * ranks come from avg(row_number) per distinct value, which is
     * deterministic under ties AND exactly representable (half-integer
-    * doubles), so the rank sums are bit-identical across engines; the
-    * tie correction Σ(t³−t) is pure integer arithmetic.
+    * doubles); the rank SUMS and the tie correction Σ(t³−t) are staged
+    * through DECIMAL(38,0) (r12), so both are exact integers/
+    * half-integers at any corpus this engine will see, and every
+    * double downstream is a fixed-order scalar expression —
+    * bit-identical across engines.
     *
     * Shape at scale: one fact scan (customer dim broadcast), a global
     * rank over the filtered two-arm subset (the test's definition —
     * at 100 TB the rank assignment would shard by value range with
     * offset reconstruction, same downstream algebra), then two tiny
-    * aggs and a 1-row combine. */
+    * aggs and a 1-row combine.
+    *
+    * Precision ceiling: DECIMAL(38,0) holds Σ(2·ar) ≈ n² to n ≈ 10¹⁹
+    * rows and Σt³ to max-tie ≈ 4·10¹² copies; the remaining double
+    * terms (n_a·(n_a+1)/2 in u_a) pass 2^53 at n_a ≈ 10⁸ but stay
+    * fixed-order-deterministic — only the test's own normal
+    * approximation quality degrades, never the cross-engine match. */
   def qMannWhitney(spark: SparkSession, dir: String): DataFrame = {
     val pooled = Tables.orders(spark, dir)
       .join(broadcast(Tables.customer(spark, dir)
@@ -1235,10 +1261,20 @@ object Relational {
       .withColumn("rn", row_number().over(wAll))
       .withColumn("ar", avg(col("rn")).over(byX))
     val arms = ranked.groupBy(col("arm"))
-      .agg(count(lit(1)).cast("double").as("n"), sum(col("ar")).as("r"))
+      // rank sums staged exact: ar is a half-integer, so 2·ar is an
+      // exact integer — summed in DECIMAL(38,0) (a double Σar loses
+      // exactness once Σ ≈ n²/2 crosses 2^53, n ≈ 1.3·10⁸ rows, and a
+      // distributed double sum is merge-order-nondeterministic past
+      // that); halved and cast once at the end (deterministic)
+      .agg(count(lit(1)).cast("double").as("n"),
+        (sum(expr("CAST(2 * ar AS DECIMAL(38,0))")) / 2).cast("double").as("r"))
     val ties = pooled.groupBy(col("x"))
       .agg(count(lit(1)).as("t"))
-      .agg(sum(col("t") * col("t") * col("t") - col("t")).cast("double").as("tie_term"))
+      // t³ staged through DECIMAL(38,0): long t*t*t wraps silently at
+      // t > 2²¹ ≈ 2.1M copies of one value, and Σ(t³−t) wraps long at
+      // 9.2·10¹⁸ — both reachable under value skew at sf1000
+      .agg(sum(expr("CAST(t AS DECIMAL(38,0)) * t * t - t"))
+        .cast("double").as("tie_term"))
     val a = arms.filter(col("arm") === 0)
       .select(col("n").as("n_a"), col("r").as("r_a"))
     val b = arms.filter(col("arm") === 1).select(col("n").as("n_b"))
@@ -1265,7 +1301,13 @@ object Relational {
     *
     * Shape at scale: ONE fact-scan agg into the ≤|segments|·|priorities|
     * contingency table; margins, expecteds, and the statistic all live
-    * on that tiny relation (windows over ≤35 rows). */
+    * on that tiny relation (windows over ≤35 rows).
+    *
+    * Precision ceiling: the margin product rt·ct is staged through
+    * DECIMAL(38,0) (r12 — as a long product it wrapped silently past
+    * n ≈ 1.8·10¹⁰ rows for this table's 5×7 margins); the DECIMAL(28,9)
+    * contribution sum holds χ² to 10¹⁹, so the statistic is exact-input
+    * deterministic at any reachable n. */
   def qChi2Independence(spark: SparkSession, dir: String): DataFrame = {
     val obs = Tables.orders(spark, dir)
       .join(broadcast(Tables.customer(spark, dir)
@@ -1280,7 +1322,11 @@ object Relational {
       .withColumn("rt", sum(col("o")).over(wRow))
       .withColumn("ct", sum(col("o")).over(wCol))
       .withColumn("n", sum(col("o")).over(wAll))
-      .withColumn("e", col("rt") * col("ct") / col("n").cast("double"))
+      // rt·ct staged through DECIMAL(38,0): the long product wraps
+      // silently past rt·ct ≈ 9.2·10¹⁸, i.e. n ≈ 1.8·10¹⁰ orders for
+      // this table's ~5×7 margins — inside a 100-TB deploy's range
+      .withColumn("e", (col("rt").cast(DecimalType(38, 0)) * col("ct"))
+        .cast("double") / col("n").cast("double"))
       .withColumn("contrib",
         round((col("o") - col("e")) * (col("o") - col("e")) / col("e"), 9)
           .cast(DecimalType(18, 9)))
@@ -1597,7 +1643,14 @@ object Relational {
     *
     * Shape at scale: one conditional-aggregation pass over the fact
     * (map-side partials, 21 exact-decimal accumulators), then scalar
-    * math on a single row. */
+    * math on a single row.
+    *
+    * Precision ceiling: the 21 decimal accumulators stay exact past
+    * 10²⁰ rows, and the F/SS doubles are one fixed-order scalar
+    * expression over them — bit-deterministic cross-engine at any n;
+    * statistically, SS_between = Σ(sx_d²/n_d) − (Σsx)²/n cancels like
+    * qWelchTtest's variance (~log₁₀(n·mean²/σ²) − 15.9 digits lost),
+    * meaningful for the 6-dp SS columns past n ≈ 10⁹ rows. */
   def qWeekdayAnova(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.orders(spark, dir)
       .select(

@@ -107,7 +107,8 @@ object Scale {
     * three unadjudicated BENCH_r10 flags, VARIANCE_r11.md). Plans
     * with no cache are untouched — no re-execution of uncached
     * expensive trees. */
-  def maybeBroadcast(df: DataFrame, maxBytes: Long = 256L << 20): DataFrame = {
+  def maybeBroadcast(df: DataFrame, maxBytes: Long = 256L << 20,
+      fallbackHint: Option[String] = None): DataFrame = {
     val qe = df.queryExecution
     qe.withCachedData.foreach {
       case r: org.apache.spark.sql.execution.columnar.InMemoryRelation
@@ -116,7 +117,12 @@ object Scale {
         org.apache.spark.sql.graft.GraftShim.ofRows(df.sparkSession, r).count()
       case _ => ()
     }
-    if (qe.optimizedPlan.stats.sizeInBytes <= maxBytes) broadcast(df) else df
+    if (qe.optimizedPlan.stats.sizeInBytes <= maxBytes) broadcast(df)
+    // opt-in per call site: a hash-equi join that fell past the gate
+    // pays two avoidable n·log n sorts under the SMJ default; callers
+    // whose per-partition build side is bounded (e.g. a blocked
+    // self-join) pass Some("SHUFFLE_HASH") to keep the hash plan
+    else fallbackHint.fold(df)(df.hint(_))
   }
 
   /** Top-frequency keys of a column — the input to a targeted salting

@@ -1752,7 +1752,12 @@ object Similarity {
       vecs(spark, dir).select(col("vec_id"), col("label"), col("v"), col("norm")))
     e.count() // materialize: the self-join broadcast gate needs real sizes
     import graft.operators.Scale.maybeBroadcast
-    val nbrs = e.as("a").join(maybeBroadcast(e).as("b"),
+    // past the broadcast gate (sf10+) the self-join must not fall to
+    // SMJ: the label blocks are constant-size, so a shuffled hash join
+    // is the Σn_b²-linear plan — SMJ adds two n·log n sorts that made
+    // hubness ~23% super-linear at the 10× decade (EXPLAINS r12)
+    val nbrs = e.as("a")
+      .join(maybeBroadcast(e, fallbackHint = Some("SHUFFLE_HASH")).as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
       .groupBy(col("a.vec_id").as("vec_id"))
       .agg(expr("""graft_topk(

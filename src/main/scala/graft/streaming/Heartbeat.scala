@@ -13,7 +13,10 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   * survives across queries on the session. */
 class Heartbeat extends StreamingQueryListener {
 
-  case class Beat(queryId: String, batchId: Long, numInputRows: Long, at: String)
+  /** One progress event; `durationMs` is the batch's wall time
+    * (triggerExecution) — the number the trigger-overrun check reads. */
+  case class Beat(queryId: String, batchId: Long, numInputRows: Long,
+      at: String, durationMs: Long = 0L)
 
   private val queue = new ConcurrentLinkedQueue[Beat]()
 
@@ -21,7 +24,7 @@ class Heartbeat extends StreamingQueryListener {
 
   override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
     queue.add(Beat(e.progress.id.toString, e.progress.batchId,
-      e.progress.numInputRows, e.progress.timestamp))
+      e.progress.numInputRows, e.progress.timestamp, e.progress.batchDuration))
 
   override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
 

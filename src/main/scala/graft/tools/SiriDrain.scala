@@ -166,13 +166,29 @@ object SiriDrain {
     }.toSeq
     val triggerDesc = ptMode.fold("available_now") {
       case (sec, files) => s"processing_time_${sec}s_${files}f" }
+    // per-micro-batch latency profile (pt mode): percentiles of batch
+    // wall time over the NON-EMPTY batches (empty ticks are scheduler
+    // no-ops) + how many overran the trigger interval — the daemon-
+    // cadence health number: overruns mean the 1-minute cadence is
+    // falling behind its input rate
+    val latencyJson = ptMode.fold("") { case (sec, _) =>
+      val ds = beats.filter(_.numInputRows > 0).map(_.durationMs).sorted
+      if (ds.isEmpty) ""
+      else {
+        def pct(p: Double) = ds(math.min(ds.size - 1, (p * ds.size).toInt))
+        val over = ds.count(_ > sec * 1000L)
+        s""""batch_ms_p50":${pct(0.50)},"batch_ms_p95":${pct(0.95)},""" +
+        s""""batch_ms_max":${ds.last},"trigger_overruns":$over,""" +
+        s""""nonempty_batches":${ds.size},"""
+      }
+    }
     println(
       s"""{"metric":"siri_drain","trigger":"$triggerDesc",""" +
       s""""minutes":$minutes,"visits_per_snapshot":$visitsPer,""" +
       s""""visits_in":$nVisits,"fact_rows":$factRows,"wall_sec":${f"$wall%.3f"},""" +
       s""""snapshots_per_sec":${f"${minutes / wall}%.2f"},""" +
       s""""visits_per_sec":${f"${nVisits / wall}%.1f"},""" +
-      s""""batches":${beats.size},""" +
+      s""""batches":${beats.size},""" + latencyJson +
       s""""max_beat_gap_ms":${if (staleMs.isEmpty) 0 else staleMs.max},""" +
       s""""alive":${hb.alive(System.currentTimeMillis(), 120000)}}""")
     spark.stop()
