@@ -1516,12 +1516,20 @@ object Similarity {
     val members = kmeansRoute(e, cent, 1)
     probes.join(members, "cell")
       .filter(col("vec_id") =!= col("probe_id"))
+      // narrow the aggregate input to scalars BEFORE the bounded-heap
+      // agg: ObjectHashAggregate falls back to SORT-based aggregation
+      // past 128 groups, and the sorted (spilled) rows are the agg
+      // child's FULL output — with the vectors left in, that is two
+      // 64-dim arrays per candidate row (~40× the bytes of the three
+      // scalars the heap actually consumes). Same fix as embedHubness:
+      // sf10 495→43s there; the projection survives CollapseProject.
+      .select(col("probe_id"), col("plabel"),
+        expr("round(graft_dot(pv, v) / (pnorm * norm), 6)").as("score"),
+        col("vec_id").as("cand_id"),
+        expr("CAST(CASE WHEN label = plabel THEN 1 ELSE 0 END AS BIGINT)")
+          .as("hit"))
       .groupBy(col("probe_id"), col("plabel"))
-      .agg(expr(s"""graft_topk(
-          round(graft_dot(pv, v) / (pnorm * norm), 6),
-          vec_id,
-          CAST(CASE WHEN label = plabel THEN 1 ELSE 0 END AS BIGINT),
-          $k)""").as("top"))
+      .agg(expr(s"graft_topk(score, cand_id, hit, $k)").as("top"))
       .select(col("probe_id"), col("plabel"),
         expr("aggregate(top, 0L, (acc, t) -> acc + t.pay)").as("hits"))
       .groupBy(col("plabel"))
@@ -1544,12 +1552,15 @@ object Similarity {
     import graft.operators.Scale.maybeBroadcast
     e.as("a").join(maybeBroadcast(e).as("b"),
         col("a.vec_id") =!= col("b.vec_id"))
-      .groupBy(col("a.vec_id").as("vec_id"), col("a.label").as("label"))
-      .agg(expr(s"""graft_topk(
-          round(graft_dot(a.v, b.v) / (a.norm * b.norm), 6),
-          b.vec_id,
-          CAST(CASE WHEN b.label = a.label THEN 1 ELSE 0 END AS BIGINT),
-          $k)""").as("top"))
+      // same narrow-before-agg discipline as knnPurity (sort-fallback
+      // rows carry scalars, not vector pairs)
+      .select(col("a.vec_id").as("vec_id"), col("a.label").as("label"),
+        expr("round(graft_dot(a.v, b.v) / (a.norm * b.norm), 6)").as("score"),
+        col("b.vec_id").as("cand_id"),
+        expr("CAST(CASE WHEN b.label = a.label THEN 1 ELSE 0 END AS BIGINT)")
+          .as("hit"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(expr(s"graft_topk(score, cand_id, hit, $k)").as("top"))
       .select(col("vec_id"), col("label"),
         expr("aggregate(top, 0L, (acc, t) -> acc + t.pay)").as("hits"))
       .groupBy(col("label"))
@@ -1752,17 +1763,22 @@ object Similarity {
       vecs(spark, dir).select(col("vec_id"), col("label"), col("v"), col("norm")))
     e.count() // materialize: the self-join broadcast gate needs real sizes
     import graft.operators.Scale.maybeBroadcast
-    // past the broadcast gate (sf10+) the self-join must not fall to
-    // SMJ: the label blocks are constant-size, so a shuffled hash join
-    // is the Σn_b²-linear plan — SMJ adds two n·log n sorts that made
-    // hubness ~23% super-linear at the 10× decade (EXPLAINS r12)
+    // two scale defenses (EXPLAINS r12): (1) if the corpus ever falls
+    // past the broadcast gate, a shuffled hash join keeps the blocked
+    // self-join Σn_b²-linear (SMJ would add two avoidable sorts);
+    // (2) the score projection BEFORE the top-k agg is load-bearing —
+    // ObjectHashAggregate sort-falls-back past 128 groups and sorts
+    // the agg child's full rows: with the vector pairs left in, the
+    // sf10 fan-out spilled ~44 GB and ran 495 s; narrowed to three
+    // scalars it runs 43 s (×11.5)
     val nbrs = e.as("a")
       .join(maybeBroadcast(e, fallbackHint = Some("SHUFFLE_HASH")).as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
-      .groupBy(col("a.vec_id").as("vec_id"))
-      .agg(expr("""graft_topk(
-          round(graft_dot(a.v, b.v) / (a.norm * b.norm), 6),
-          b.vec_id, b.vec_id, 5)""").as("top"))
+      .select(col("a.vec_id").as("vec_id"),
+        expr("round(graft_dot(a.v, b.v) / (a.norm * b.norm), 6)").as("score"),
+        col("b.vec_id").as("nbr_id"))
+      .groupBy(col("vec_id"))
+      .agg(expr("graft_topk(score, nbr_id, nbr_id, 5)").as("top"))
       .select(explode(expr("transform(top, t -> t.pay)")).as("nbr_id"))
     val occ = e.select(col("vec_id")).as("v")
       .join(nbrs.groupBy(col("nbr_id")).agg(count(lit(1)).as("o")),
