@@ -278,7 +278,7 @@ object SparkEntry {
     "etl_funnel_window_sweep" -> EventsEtl.funnelWindowSweep _,
     "etl_power_users"         -> EventsEtl.powerUsers _,
     "text_compression_proxy"  -> TextAnalysis.compressionProxy _,
-    "embed_cosine_calibration" -> Similarity.cosineCalibration _,
+    "embed_cosine_calibration" -> ((s, d) => Similarity.cosineCalibration(s, d)),
     "q_part_growth_topk"      -> Relational.qPartGrowthTopk _,
     "pipeline_source_dup_rate" -> Pipeline.sourceDupRate _,
     "q_weekday_anova"         -> Relational.qWeekdayAnova _,
@@ -4302,11 +4302,12 @@ object SparkEntry {
         |  CAST(n_low AS BIGINT) AS n_low_diversity
         |FROM g ORDER BY source""".stripMargin,
     // sampled pairwise-cosine histogram (mirrors
-    // Similarity.cosineCalibration; integer micro-unit binning)
+    // Similarity.cosineCalibration; constant-size md5-rank top-300
+    // sample, integer micro-unit binning)
     "embed_cosine_calibration" ->
       """WITH e AS (SELECT vec_id,
         |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
-        |  WHERE vec_id % 17 = 0),
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 300),
         |n AS (SELECT vec_id, v,
         |   sqrt(list_sum(list_transform(v, x -> x * x))) AS norm FROM e),
         |p AS (SELECT round(list_sum(list_transform(list_zip(a.v, b.v),

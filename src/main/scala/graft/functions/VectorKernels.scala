@@ -19,6 +19,13 @@ import org.apache.spark.sql.types._
   * swapping them in changes nothing the DuckDB oracle can observe.
   */
 object VectorKernels {
+  /** Routing metrics for [[cellRoute]]. The KEY is what the argmin/
+    * argmax orders by (always the 6-dp-rounded value, matching the
+    * oracle SQL's round(·, 6)); `sq`/raw rides along unrounded. */
+  val MetricL2Sq = 0   // key = round6(Σ(aᵢ-bᵢ)²), minimize (PQ codewords)
+  val MetricL2 = 1     // key = round6(√Σ(aᵢ-bᵢ)²), minimize (coarse cells)
+  val MetricDot = 2    // key = round6(Σaᵢbᵢ), MAXIMIZE (spherical k-means)
+
   /** both children must be array<double> — getDouble on any other
     * element encoding (e.g. decimal) reads garbage bits. containsNull
     * schemas are accepted (parquet list elements are near-always
@@ -77,53 +84,161 @@ object VectorKernels {
     java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
-  /** Top-`k` nearest centroids of `v` out of `idx`, ordered by
-    * (rounded distance asc, cell id asc) — the quantizer-routing
-    * kernel behind kmeansAssign/kmeansRoute and the PQ encoder.
-    * `sqrtDist` picks the reported/ordering metric: round6(√sq) (the
-    * coarse-cell convention) or round6(sq) (the PQ-codeword
-    * convention). Output: array<struct<dist, cell, sq>>.
+  /** |round6(x) − x| ≤ 5·10⁻⁷ (decimal half-step) plus the double
+    * representation error of the rounded decimal (≤ ulp). 6·10⁻⁷
+    * over-covers both for every |x| ≤ 10⁸, so `x ≥ bound + ROUND_SLACK
+    * ⇒ round6(x) > bound` whenever `bound` is itself a 6-dp value —
+    * the test that lets the hot loop skip the BigDecimal round for
+    * every candidate that cannot enter the heap. The r12 profile put
+    * the per-(row, cell) BigDecimal at ~half the routing wall (2·10⁸
+    * allocations per assignment pass at 10× scale). */
+  private final val RoundSlack = 6e-7
+
+  /** Top-`k` nearest (or, for [[MetricDot]], most-similar) centroids of
+    * `v` out of `idx`, ordered by (rounded key asc — desc for dot —,
+    * cell id asc) — the quantizer-routing kernel behind kmeansAssign /
+    * kmeansRoute, the PQ encoder, and spherical k-means. Output:
+    * array<struct<dist, cell, sq>> where `dist` is the rounded ordering
+    * key and `sq` the raw (unrounded) L2² — for dot, the raw dot.
     *
     * Why a kernel and not `array_min(transform(...))` over a centroid
     * literal (the first r11 attempt): Spark's higher-order lambdas are
-    * interpreted (CodegenFallback) and allocate per element — at sf10
-    * the 500k-vector × 1040-cell fold is 5.2e8 lambda dispatches plus
-    * a 1040-struct array allocation PER ROW; ann_ivf measured 208s and
-    * the PQ encoder (×8 subspaces) never finished. This loop is flat
-    * JIT'd double math inside whole-stage codegen: the same 33 GFLOP
-    * assignment is CPU-bound at memory speed. Ties keep the earlier
-    * cell because iteration is in ascending cell order and both the
-    * acceptance test and the insertion shift are strict. */
+    * interpreted (CodegenFallback) and allocate per element — at 10×
+    * scale the 200k-vector × 1000-cell fold is 2·10⁸ lambda dispatches
+    * plus a 1000-struct array allocation PER ROW; ann_ivf measured 208s
+    * and the PQ encoder (×8 subspaces) never finished. This loop is
+    * flat JIT'd double math inside whole-stage codegen.
+    *
+    * Exactness is independent of scan order: insertion compares
+    * (key, cell) LEXICOGRAPHICALLY (not "first arrival wins ties"), so
+    * the hierarchical group-ordered scan below returns bit-identical
+    * results to the flat ascending-cell scan. Two scan paths:
+    *
+    *  - flat: every cell, with the lazy-round fast path (a candidate
+    *    whose RAW metric is ≥ heap-worst + [[RoundSlack]] cannot round
+    *    under the worst and is skipped without touching BigDecimal);
+    *  - hierarchical (built by [[CellIndex]] when |cells| ≥ 64): the
+    *    row's distance to each of ~√|cells| group super-centroids gives
+    *    a triangle-inequality lower bound per group (upper bound via
+    *    Cauchy–Schwarz for dot); groups are visited best-bound-first
+    *    and the scan STOPS at the first group whose bound proves every
+    *    remaining candidate rounds strictly past the heap worst. The
+    *    bound carries explicit fp-safety margins (see [[CellIndex]]),
+    *    so pruning can only skip candidates that provably lose — the
+    *    result is EXACT for any grouping, and the grouping quality
+    *    affects speed only. Per-row work drops from O(|cells|·dim) to
+    *    O(√|cells|·dim) typical — the flat form is ~n·|cells| and was
+    *    the r12-measured quadratic term of the trained-IVF family
+    *    (cells grow ∝ corpus under the scaled workload). */
   def cellRoute(v: ArrayData, idx: CellIndex, k: Int,
-      sqrtDist: Boolean): ArrayData = {
+      metric: Int): ArrayData = {
     val x = v.toDoubleArray()
     val cents = idx.cents
     val cellIds = idx.cells
     val m = cellIds.length
+    if (m > 0 && cents(0).length != x.length) throw new IllegalArgumentException(
+      s"graft_cell_route: vector dim ${x.length} != centroid dim ${cents(0).length}")
     val kk = if (k < m) k else m
-    val bd = new Array[Double](kk)
-    val bc = new Array[Long](kk)
-    val bs = new Array[Double](kk)
+    val maximize = metric == MetricDot
+    val bd = new Array[Double](kk)   // rounded ordering key
+    val bc = new Array[Long](kk)     // cell id
+    val bs = new Array[Double](kk)   // raw metric (sq / dot)
     var filled = 0
-    var c = 0
-    while (c < m) {
+
+    // score one centroid index; shared by both scan paths
+    def consider(c: Int): Unit = {
       val cv = cents(c)
-      if (cv.length != x.length) throw new IllegalArgumentException(
-        s"graft_cell_route: vector dim ${x.length} != centroid dim ${cv.length}")
-      var sq = 0.0
+      var raw = 0.0
       var i = 0
-      while (i < x.length) { val d = x(i) - cv(i); sq += d * d; i += 1 }
-      val dist = round6(if (sqrtDist) math.sqrt(sq) else sq)
-      if (filled < kk || dist < bd(kk - 1)) {
+      if (maximize) {
+        while (i < x.length) { raw += x(i) * cv(i); i += 1 }
+      } else {
+        while (i < x.length) { val d = x(i) - cv(i); raw += d * d; i += 1 }
+      }
+      val keyRaw = if (metric == MetricL2) math.sqrt(raw) else raw
+      // lazy round: candidates that cannot round past the heap worst
+      // never pay the BigDecimal (ties are settled on ROUNDED keys, so
+      // the slack must cover the worst-case round distance)
+      if (filled == kk) {
+        if (maximize) { if (keyRaw <= bd(kk - 1) - RoundSlack) return }
+        else { if (keyRaw >= bd(kk - 1) + RoundSlack) return }
+      }
+      val key = round6(keyRaw)
+      val cell = cellIds(c)
+      def beats(kA: Double, cA: Long, kB: Double, cB: Long): Boolean =
+        if (maximize) kA > kB || (kA == kB && cA < cB)
+        else kA < kB || (kA == kB && cA < cB)
+      if (filled < kk || beats(key, cell, bd(kk - 1), bc(kk - 1))) {
         var pos = if (filled < kk) filled else kk - 1
-        while (pos > 0 && bd(pos - 1) > dist) {
+        while (pos > 0 && beats(key, cell, bd(pos - 1), bc(pos - 1))) {
           bd(pos) = bd(pos - 1); bc(pos) = bc(pos - 1); bs(pos) = bs(pos - 1)
           pos -= 1
         }
-        bd(pos) = dist; bc(pos) = cellIds(c); bs(pos) = sq
+        bd(pos) = key; bc(pos) = cell; bs(pos) = raw
         if (filled < kk) filled += 1
       }
-      c += 1
+    }
+
+    val grp = idx.hierarchy
+    if (grp == null) {
+      var c = 0
+      while (c < m) { consider(c); c += 1 }
+    } else {
+      val g = grp.superCents.length
+      // per-group bound in KEY space (lower for L2/L2², upper for dot)
+      val bound = new Array[Double](g)
+      val order = new Array[Int](g)
+      var xnorm = 0.0
+      if (maximize) {
+        var i = 0
+        while (i < x.length) { xnorm += x(i) * x(i); i += 1 }
+        xnorm = math.sqrt(xnorm)
+      }
+      var gi = 0
+      while (gi < g) {
+        val s = grp.superCents(gi)
+        if (maximize) {
+          var d = 0.0
+          var i = 0
+          while (i < x.length) { d += x(i) * s(i); i += 1 }
+          // dot(x, c) ≤ dot(x, s) + ‖x‖·‖c − s‖ ≤ dot(x, s) + ‖x‖·r
+          // (+ fp margin: the radius is already inflated at build time;
+          //  inflate the bound once more against this row's fp error)
+          val ub = d + xnorm * grp.radii(gi)
+          bound(gi) = ub + 1e-9 * (math.abs(ub) + 1.0)
+        } else {
+          var sq = 0.0
+          var i = 0
+          while (i < x.length) { val dd = x(i) - s(i); sq += dd * dd; i += 1 }
+          val ds = math.sqrt(sq)
+          // d(x, c) ≥ d(x, s) − r  (triangle inequality; radius inflated
+          // at build, deflate once more against this row's fp error)
+          var lb = ds - grp.radii(gi) - 1e-9 * (ds + 1.0)
+          if (lb < 0) lb = 0
+          bound(gi) = if (metric == MetricL2Sq) lb * lb else lb
+        }
+        order(gi) = gi
+        gi += 1
+      }
+      // visit groups best-bound-first; stop at the first group whose
+      // bound proves every remaining candidate rounds strictly past the
+      // heap worst (bounds are sorted, so later groups prune too)
+      val ord = order.sortBy(i => if (maximize) -bound(i) else bound(i))
+      var oi = 0
+      var done = false
+      while (oi < g && !done) {
+        val gi2 = ord(oi)
+        if (filled == kk &&
+            (if (maximize) bound(gi2) <= bd(kk - 1) - RoundSlack
+             else bound(gi2) >= bd(kk - 1) + RoundSlack)) {
+          done = true
+        } else {
+          val members = grp.members(gi2)
+          var j = 0
+          while (j < members.length) { consider(members(j)); j += 1 }
+        }
+        oi += 1
+      }
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       Array.tabulate[Any](filled) { j =>
@@ -132,24 +247,128 @@ object VectorKernels {
   }
 }
 
+/** The 2-level routing structure inside a [[CellIndex]]: cells grouped
+  * by a driver-side k-means over the CENTROIDS, each group carrying its
+  * super-centroid and a (fp-inflated) covering radius. Grouping quality
+  * affects only pruning power — [[VectorKernels.cellRoute]] is exact
+  * for ANY grouping, so the build needs no determinism guarantees
+  * beyond being deterministic (it is: stride seeding, fixed rounds). */
+final class CellHierarchy(val members: Array[Array[Int]],
+    val superCents: Array[Array[Double]],
+    val radii: Array[Double]) extends Serializable
+
 /** A centroid table pinned for the routing kernel: cell ids ascending,
-  * one dense double[] per cell. Built once on the driver (|cells| is
-  * the quantizer's training budget, thousands at most — past ~10⁵
-  * cells routing itself becomes an ANN problem and this flat index is
-  * the wrong structure), shipped to tasks once per stage via
-  * addReferenceObj, never per row. */
+  * one dense double[] per cell, plus (for ≥64 cells) the 2-level
+  * pruning hierarchy. Built once on the driver and shipped to tasks
+  * once per stage via addReferenceObj, never per row.
+  *
+  * Size honesty: under the scaled benchmark workload |cells| grows ∝
+  * corpus (each replica brings its own label set), so neither this
+  * driver-side collect (|cells|·dim doubles — ~50 MB at 10⁵ cells of
+  * 64 dims) nor any flat per-row scan is bounded by design. The
+  * hierarchy keeps PER-ROW routing at O(√|cells|·dim) for any cells
+  * policy; past ~10⁵ cells the centroid table itself becomes a
+  * distributed ANN problem and the right structure is another level of
+  * the same recursion (route super-cells through a super-super index),
+  * which this 2-level build is the first step of. */
 final class CellIndex(val cells: Array[Long],
     val cents: Array[Array[Double]]) extends Serializable {
   require(cells.length == cents.length, "cells/cents length mismatch")
+  require(cents.isEmpty || cents.forall(_.length == cents(0).length),
+    "CellIndex requires uniform centroid dims")
+
+  /** null when the index is small enough that a flat scan wins. */
+  val hierarchy: CellHierarchy = CellIndex.build(cents)
+}
+
+object CellIndex {
+  /** Driver-side 2-level build: G = ⌈√m⌉ groups, stride-seeded, 4 Lloyd
+    * rounds over the m centroids (O(m^1.5·dim) once — ~4·10⁶ flops at
+    * the 10× gate's 1000 cells, milliseconds). Radii are inflated by a
+    * relative fp margin so the kernel's triangle-inequality prune can
+    * never cut a true winner. */
+  private[functions] def build(cents: Array[Array[Double]]): CellHierarchy = {
+    val m = cents.length
+    if (m < 64) return null
+    val dim = cents(0).length
+    val g = math.ceil(math.sqrt(m.toDouble)).toInt
+    // stride seeding (deterministic; cell order is arbitrary, which is
+    // all a k-means seed needs)
+    var seeds = Array.tabulate(g)(i => cents(((i.toLong * m) / g).toInt).clone())
+    var assign = new Array[Int](m)
+    var round = 0
+    while (round < 4) {
+      var c = 0
+      while (c < m) {
+        var best = 0
+        var bestSq = Double.MaxValue
+        var gi = 0
+        while (gi < g) {
+          val s = seeds(gi)
+          var sq = 0.0
+          var i = 0
+          while (i < dim && sq < bestSq) {
+            val d = cents(c)(i) - s(i); sq += d * d; i += 1
+          }
+          if (sq < bestSq) { bestSq = sq; best = gi }
+          gi += 1
+        }
+        assign(c) = best
+        c += 1
+      }
+      // recompute means (empty groups keep their seed)
+      val sums = Array.fill(g)(new Array[Double](dim))
+      val counts = new Array[Int](g)
+      var c2 = 0
+      while (c2 < m) {
+        val gi = assign(c2)
+        counts(gi) += 1
+        var i = 0
+        while (i < dim) { sums(gi)(i) += cents(c2)(i); i += 1 }
+        c2 += 1
+      }
+      seeds = Array.tabulate(g) { gi =>
+        if (counts(gi) == 0) seeds(gi)
+        else { val s = sums(gi); var i = 0
+          while (i < dim) { s(i) /= counts(gi); i += 1 }; s }
+      }
+      round += 1
+    }
+    val members = Array.tabulate(g)(gi =>
+      (0 until m).filter(assign(_) == gi).toArray).filter(_.nonEmpty)
+    val superCents = members.map { ms =>
+      val s = new Array[Double](dim)
+      ms.foreach { c => var i = 0; while (i < dim) { s(i) += cents(c)(i); i += 1 } }
+      var i = 0
+      while (i < dim) { s(i) /= ms.length; i += 1 }
+      s
+    }
+    val radii = members.indices.map { gi =>
+      val s = superCents(gi)
+      var r = 0.0
+      members(gi).foreach { c =>
+        var sq = 0.0
+        var i = 0
+        while (i < dim) { val d = cents(c)(i) - s(i); sq += d * d; i += 1 }
+        val dd = math.sqrt(sq)
+        if (dd > r) r = dd
+      }
+      // inflate: covers the fp error of BOTH this build-side distance
+      // and the kernel-side distance it will be subtracted from
+      r + 1e-9 * (r + 1.0)
+    }.toArray
+    new CellHierarchy(members, superCents, radii)
+  }
 }
 
 /** graft_cell_route(array<double>) → array<struct<dist,cell,sq>>:
   * top-k quantizer routing against a driver-built [[CellIndex]].
   * Constructed directly (GraftShim.column), not via the function
   * registry — the index is an object argument, like [[BloomProbe]]'s
-  * broadcast. */
+  * broadcast. `metric` is one of [[VectorKernels.MetricL2Sq]] /
+  * [[VectorKernels.MetricL2]] / [[VectorKernels.MetricDot]]. */
 case class CellRoute(child: Expression, index: CellIndex, k: Int,
-    sqrtDist: Boolean) extends
+    metric: Int) extends
     org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     VectorKernels.checkDoubleArrays("graft_cell_route", Seq(child))
@@ -158,12 +377,12 @@ case class CellRoute(child: Expression, index: CellIndex, k: Int,
     StructField("cell", LongType, nullable = false),
     StructField("sq", DoubleType, nullable = false))), containsNull = false)
   override protected def nullSafeEval(v: Any): Any =
-    VectorKernels.cellRoute(v.asInstanceOf[ArrayData], index, k, sqrtDist)
+    VectorKernels.cellRoute(v.asInstanceOf[ArrayData], index, k, metric)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val idxRef = ctx.addReferenceObj("graftCellIndex", index,
       classOf[CellIndex].getName)
     defineCodeGen(ctx, ev, v =>
-      s"graft.functions.VectorKernels.cellRoute($v, $idxRef, $k, $sqrtDist)")
+      s"graft.functions.VectorKernels.cellRoute($v, $idxRef, $k, $metric)")
   }
   override def prettyName: String = "graft_cell_route"
   override protected def withNewChildInternal(newChild: Expression): CellRoute =
@@ -174,7 +393,7 @@ case class CellRoute(child: Expression, index: CellIndex, k: Int,
   * per-subspace codeword routing — the PQ encoder's argmin, one
   * [[CellIndex]] per subspace, selected by the row's subspace id. */
 case class CodeRoute(left: Expression, right: Expression,
-    bySubspace: Array[CellIndex], k: Int, sqrtDist: Boolean)
+    bySubspace: Array[CellIndex], k: Int, metric: Int)
     extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -189,12 +408,12 @@ case class CodeRoute(left: Expression, right: Expression,
     StructField("sq", DoubleType, nullable = false))), containsNull = false)
   override protected def nullSafeEval(v: Any, s: Any): Any =
     VectorKernels.cellRoute(v.asInstanceOf[ArrayData],
-      bySubspace(s.asInstanceOf[Long].toInt), k, sqrtDist)
+      bySubspace(s.asInstanceOf[Long].toInt), k, metric)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cbRef = ctx.addReferenceObj("graftCodebook", bySubspace,
       classOf[Array[CellIndex]].getName)
     defineCodeGen(ctx, ev, (v, s) =>
-      s"graft.functions.VectorKernels.cellRoute($v, $cbRef[(int) $s], $k, $sqrtDist)")
+      s"graft.functions.VectorKernels.cellRoute($v, $cbRef[(int) $s], $k, $metric)")
   }
   override def prettyName: String = "graft_code_route"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CodeRoute =

@@ -1950,7 +1950,16 @@ object Relational {
     *
     * Shape at scale: one fact agg to customer grain (shuffle on
     * custkey), the nation dim broadcast on, then two tiny group-aggs
-    * — linear, no window, no global sort. */
+    * — linear, no window, no global sort.
+    *
+    * Precision ceiling: the spend sums are DECIMAL (exact past 10²⁰
+    * rows); the one inexact accumulator is Σ x·ln x — same-sign
+    * addends (ln x > 0 for every spend ≥ 2.72), so error grows as
+    * ~√n·2⁻⁵³ RELATIVE with no cancellation: the 6-dp theil terms
+    * (magnitude ~ln n) stay reproducible to n ≈ 10¹⁴ customers; the
+    * within/between SPLIT additionally cancels like qWelchTtest's
+    * variance when T → 0 (homogeneous spend), which degrades the
+    * statistic's own meaning, not the cross-engine match. */
   def qTheilIndex(spark: SparkSession, dir: String): DataFrame = {
     val spend = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))

@@ -162,8 +162,15 @@ object Graph {
     * Shape at scale: per round, one broadcast of the |V|-row label
     * table onto the edge list (size-gated — at huge |V| it degrades to
     * a shuffle join on v, still one exchange), a (u, lbl) partial-agg
-    * count, and a per-node argmax window partitioned by u. Per-round
-    * persist+count keeps plan depth flat, the pageRank discipline. */
+    * count, and a per-node argmax as `min(struct(-cnt, lbl))` — a
+    * map-side-combinable hash agg: (-cnt, lbl) lexicographic-min IS
+    * (cnt desc, lbl asc) first-row, the exact window order the oracle
+    * unrolls, with no per-task candidate buffering anywhere. (The
+    * r1–r12 form was a rank()=1 window; its partial WindowGroupLimit
+    * buffers each task's whole (u, lbl) stream through an in-codegen
+    * sort and was the measured sf10 8g-heap OOM site — VARIANCE_r12
+    * §4.) Per-round persist+count keeps plan depth flat, the pageRank
+    * discipline. */
   def labelPropagation(spark: SparkSession, dir: String, iters: Int = 2): DataFrame = {
     import graft.operators.Scale.maybeBroadcast
     val p = graft.Caches.persistTracked(coOccurrenceEdges(spark, dir))
@@ -176,11 +183,10 @@ object Graph {
       val counts = edges
         .join(maybeBroadcast(labels.select(col("nd").as("v"), col("lbl"))), Seq("v"))
         .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("cnt"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("u")).orderBy(col("cnt").desc, col("lbl"))
       labels = graft.Caches.persistTracked(
-        counts.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-          .select(col("u").as("nd"), col("lbl")))
+        counts.groupBy(col("u"))
+          .agg(min(struct((-col("cnt")).as("neg"), col("lbl"))).as("m"))
+          .select(col("u").as("nd"), col("m.lbl").as("lbl")))
       labels.count() // keep stats real for the next round's gate
     }
     labels.select(col("nd").as("node"), col("lbl").as("community"))
@@ -549,18 +555,20 @@ object Graph {
     *
     * Shape at scale: per hop ONE join of the |starts|-row frontier
     * against the symmetrized edge list (hash-partitioned on the
-    * cursor) + an argmin window keyed by walk — the edge list is
-    * probed, never rewritten; the frontier never exceeds |starts|
-    * rows. Dead-ends (none here — the graph is symmetrized) would
-    * simply drop out of the frontier. */
+    * cursor) + a per-walk argmin as `min(struct(h, v))` — a map-side-
+    * combinable hash agg ((h, v) lexicographic-min IS the (h asc, v
+    * asc) window's first row, the exact order the oracle unrolls;
+    * the r1–r12 rank()=1 window buffered each task's whole candidate
+    * stream through a partial WindowGroupLimit sort, the lpa OOM
+    * shape). The edge list is probed, never rewritten; the frontier
+    * never exceeds |starts| rows. Dead-ends (none here — the graph is
+    * symmetrized) would simply drop out of the frontier. */
   def walkCorpus(spark: SparkSession, dir: String, hops: Int = 3): DataFrame = {
     val p = graft.Caches.persistTracked(sparseCoOccurrenceEdges(spark, dir))
     p.count()
     val sym = p.unionAll(p.select(col("v").as("u"), col("u").as("v")))
     val starts = sym.select(col("u")).distinct()
       .select(col("u").as("walk_id"), lit(0L).as("step"), col("u").as("node"))
-    val byWalk = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("walk_id")).orderBy(col("h"), col("v"))
     val adj = sym.select(col("u").as("cur"), col("v"))
     var frontier = starts
     var corpus = starts
@@ -570,9 +578,9 @@ object Graph {
         .join(adj, Seq("cur"))
         .withColumn("h",
           expr(s"CAST(conv(substr(md5(concat(CAST(walk_id AS STRING), '-$step-', CAST(v AS STRING))), 1, 15), 16, 10) AS BIGINT)"))
-        .withColumn("rk", row_number().over(byWalk))
-        .filter(col("rk") === 1)
-        .select(col("walk_id"), lit(step.toLong).as("step"), col("v").as("node"))
+        .groupBy(col("walk_id"))
+        .agg(min(struct(col("h"), col("v"))).as("m"))
+        .select(col("walk_id"), lit(step.toLong).as("step"), col("m.v").as("node"))
       corpus = corpus.unionAll(frontier)
     }
     corpus.orderBy(col("walk_id"), col("step"))

@@ -26,7 +26,12 @@ import org.apache.spark.sql.functions._
   * predicted growth of every heavy family is LINEAR:
   *  - triangles: wedges ∝ Σ out-deg² — per-copy identical, `factor`×
   *  - LSH pairs: per-bucket collisions identical per copy, `factor`×
-  *  - IVF/PQ: Σ cell² with constant cell size, `factor`× cells
+  *  - IVF/PQ: Σ cell² with constant cell size, `factor`× cells —
+  *    REQUIRES the per-replica dimension permutation below: offset
+  *    labels alone keep all replicas isometric in the same space, so
+  *    COMPUTED cells (k-means, semdedup) collapse across replicas and
+  *    Σ cell² degenerates to ∝ n² (found r13; the r12 sf10 semdedup
+  *    number was measuring that collapse)
   * Observed super-linear growth in BENCH_sf1 therefore indicts the
   * operator, not the data.
   *
@@ -50,6 +55,19 @@ object ScaleData {
 
     def reps(df: DataFrame): DataFrame =
       df.crossJoin(spark.range(f).toDF("__r"))
+
+    // Shard every scaled fact table into 32 files. The source sf0.1
+    // parquet is ONE file with ONE row group, and reps() preserves
+    // that partitioning — unsharded, the scaled corpus came out as a
+    // single unsplittable row group per table, so every scan-heavy
+    // kernel (IVF routing, PQ encode, cosine pair joins) ran on ONE
+    // core of the 32-core gate box and the "growth" numbers measured
+    // file layout, not the engine (r12: ann_ivf 82s at sf10, ~85% of
+    // it a single-task scan stage). A real 100 TB corpus is tens of
+    // thousands of splittable files; 32 shards is that shape at gate
+    // scale.
+    val shards = 32
+    def sharded(df: DataFrame): DataFrame = df.repartition(shards)
 
     // Key offsets are computed as max over BOTH sides of each FK pair
     // (orders may hold orderkeys lineitem never references, customer
@@ -83,37 +101,37 @@ object ScaleData {
     def tag(c: String) =
       when(col("__r") === 0, col(c)).otherwise(concat(col(c), lit("~"), col("__r")))
 
-    reps(spark.read.parquet(s"$src/customer.parquet"))
+    sharded(reps(spark.read.parquet(s"$src/customer.parquet"))
       .withColumn("c_custkey", col("c_custkey") + col("__r") * maxC)
       .withColumn("c_name", tag("c_name"))
-      .drop("__r")
+      .drop("__r"))
       .write.mode("overwrite").parquet(s"$dst/customer.parquet")
 
-    reps(spark.read.parquet(s"$src/supplier.parquet"))
+    sharded(reps(spark.read.parquet(s"$src/supplier.parquet"))
       .withColumn("s_suppkey", col("s_suppkey") + col("__r") * maxS)
       .withColumn("s_name", tag("s_name"))
-      .drop("__r")
+      .drop("__r"))
       .write.mode("overwrite").parquet(s"$dst/supplier.parquet")
 
-    reps(spark.read.parquet(s"$src/part.parquet"))
+    sharded(reps(spark.read.parquet(s"$src/part.parquet"))
       .withColumn("p_partkey", col("p_partkey") + col("__r") * maxP)
       .withColumn("p_name", tag("p_name"))
-      .drop("__r")
+      .drop("__r"))
       .write.mode("overwrite").parquet(s"$dst/part.parquet")
 
-    reps(orders)
+    sharded(reps(orders)
       .withColumn("o_orderkey", col("o_orderkey") + col("__r") * maxO)
       .withColumn("o_custkey", col("o_custkey") + col("__r") * maxC)
-      .drop("__r")
+      .drop("__r"))
       .write.mode("overwrite").parquet(s"$dst/orders.parquet")
 
     // lineitem: orders, parts, suppliers all offset — f disjoint market
     // copies (degree distribution of the co-occurrence graph preserved)
-    reps(li)
+    sharded(reps(li)
       .withColumn("l_orderkey", col("l_orderkey") + col("__r") * maxO)
       .withColumn("l_partkey", col("l_partkey") + col("__r") * maxP)
       .withColumn("l_suppkey", col("l_suppkey") + col("__r") * maxS)
-      .drop("__r")
+      .drop("__r"))
       .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
 
     // events: ids and users offset per replica, timestamps unchanged —
@@ -129,10 +147,10 @@ object ScaleData {
       val r = ev.agg(max("event_id"), max("user_id")).head()
       (r.getLong(0) + 1, r.getLong(1) + 1)
     }
-    reps(ev)
+    sharded(reps(ev)
       .withColumn("event_id", col("event_id") + col("__r") * maxE)
       .withColumn("user_id", col("user_id") + col("__r") * maxU)
-      .drop("__r")
+      .drop("__r"))
       .write.mode("overwrite").parquet(s"$dst/events.parquet")
 
     // documents: ids offset, text passed through a PER-REPLICA BIJECTIVE
@@ -181,20 +199,58 @@ object ScaleData {
         .withColumn("doc_id", col("doc_id") + lit(r.toLong * maxD))
         .withColumn("n_chars", length(col("text")).cast("long"))
     }
-    perReplica.reduce(_ unionAll _)
+    sharded(perReplica.reduce(_ unionAll _))
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")
 
-    // embeddings: ids and cell labels offset — f× cells of unchanged size
+    // embeddings: ids and cell labels offset, and each replica's vectors
+    // passed through a PER-REPLICA DIMENSION PERMUTATION (replica 0
+    // identity) — the text cipher's discipline applied to vector space.
+    // A permutation is an orthogonal transform: every within-replica
+    // dot product, norm, distance, and therefore every within-replica
+    // cosine/centroid/cell statistic is EXACTLY the source's. Without
+    // it the f replicas are isometric copies in the SAME space: the
+    // label-seeded centroids of replica r are bit-identical to replica
+    // 0's, so any operator that blocks on COMPUTED cells (semdedup,
+    // the trained IVF family) collapses all f copies of a class into
+    // one cell — Σ cell² then grows ∝ n² and the scaled run measures
+    // that degeneracy, not the engine (r13: dedup_semdedup's sf10 pair
+    // stage was 10 cells of 20k vectors = 2·10⁹ cosines; with the
+    // permutation it is the intended 1000 cells of ~200). Permuted
+    // replicas sit in generic position, so computed cells stay
+    // replica-local and Σ cell² grows ∝ f — the same linearity the
+    // cipher buys the text family.
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val (maxV, maxL) = {
       val r = emb.agg(max("vec_id"), max(col("label").cast("long"))).head()
       (r.getLong(0) + 1, r.getLong(1) + 1)
     }
-    reps(emb)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val perms = (0 until f).map { r =>
+      val idx = (0 until dim).toArray
+      if (r > 0) {
+        // java.util.Random's algorithm is specified (LCG) — the same
+        // permutation on every JVM; seed salted per replica
+        val rnd = new java.util.Random(0x9E3779B97F4A7C15L * (r + 1))
+        var i = idx.length - 1
+        while (i > 0) {
+          val j = rnd.nextInt(i + 1)
+          val t = idx(i); idx(i) = idx(j); idx(j) = t
+          i -= 1
+        }
+      }
+      (r.toLong, idx.toSeq)
+    }
+    require(perms.map(_._2).distinct.length == f,
+      "replica dimension permutations must be pairwise distinct")
+    val permDf = spark.createDataFrame(perms).toDF("__r", "__perm")
+    sharded(reps(emb)
+      .join(broadcast(permDf), Seq("__r"))
+      .withColumn("embedding",
+        expr("transform(__perm, p -> element_at(embedding, p + 1))"))
       .withColumn("vec_id", col("vec_id") + col("__r") * maxV)
       .withColumn("label",
         (col("label").cast("long") + col("__r") * maxL).cast("int"))
-      .drop("__r")
+      .drop("__r", "__perm"))
       .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
 
     println(s"""{"scaled":"$dst","factor":$f}""")

@@ -69,10 +69,17 @@ class QualityOpsR9cSpec extends SparkSpec {
     try {
       val out = Similarity.cosineCalibration(spark, sf0001).collect()
         .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      // the constant-size sample: 300 smallest md5(vec_id) — recompute
+      // the rank in memory so the spec pins the SAMPLE, not just the math
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def h(id: Long): String = {
+        md.reset()
+        md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }
       val vs = Tables.embeddings(spark, sf0001)
-        .filter(col("vec_id") % 17 === 0)
         .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(t => h(t._1)).take(300).sortBy(_._1)
       def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
       val bins = collection.mutable.Map[Long, Long]().withDefaultValue(0L)
       for (i <- vs.indices; j <- i + 1 until vs.length) {
