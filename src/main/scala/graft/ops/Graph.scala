@@ -169,13 +169,21 @@ object Graph {
     * r1–r12 form was a rank()=1 window; its partial WindowGroupLimit
     * buffers each task's whole (u, lbl) stream through an in-codegen
     * sort and was the measured sf10 8g-heap OOM site — VARIANCE_r12
-    * §4.) Per-round persist+count keeps plan depth flat, the pageRank
+    * §4.) The edge list is hash-partitioned on u ONCE before the
+    * loop: the broadcast label join preserves that partitioning, and
+    * HashPartitioning(u) satisfies ClusteredDistribution for BOTH
+    * per-round aggs ((u, lbl) and (u) — u is a subset of each key
+    * set), so every round after the first exchange is shuffle-FREE
+    * (was 2 agg exchanges × 2 rounds over an |E|-sized stream).
+    * Per-round persist+count keeps plan depth flat, the pageRank
     * discipline. */
   def labelPropagation(spark: SparkSession, dir: String, iters: Int = 2): DataFrame = {
     import graft.operators.Scale.maybeBroadcast
     val p = graft.Caches.persistTracked(coOccurrenceEdges(spark, dir))
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val edges = graft.Caches.persistTracked(
-      p.unionAll(p.select(col("v").as("u"), col("u").as("v"))))
+      p.unionAll(p.select(col("v").as("u"), col("u").as("v")))
+        .repartition(parts, col("u")))
     edges.count() // materialize: broadcast gates need real sizes
     var labels = edges.select(col("u").as("nd")).distinct()
       .withColumn("lbl", col("nd"))
