@@ -112,6 +112,7 @@ object SparkEntry {
     "dedup_components_minlabel" -> Dedup.componentsMinLabel _,
     "ann_bruteforce"      -> Similarity.annBruteforce _,
     "ann_ivf"             -> Similarity.annIvf _,
+    "ann_hier_route"      -> Similarity.annHierRoute _,
     "embed_centroids"     -> Similarity.centroids _,
     "mm_binary_features"  -> Multimodal.binaryFeatures _,
     "mm_frame_sample"     -> Multimodal.frameSample _,
@@ -1135,6 +1136,23 @@ object SparkEntry {
         |SELECT asg.vec_id AS vec_id, asg.cell AS cell, asg.dist AS dist_to_cell,
         |  asg.cell = CAST(emb.label AS BIGINT) AS matches_label
         |FROM asg JOIN embeddings emb USING (vec_id) ORDER BY vec_id""".stripMargin,
+    // 128 mod-seeded cells (≥ 64): the one oracle row that adjudicates
+    // the HIERARCHICAL CellIndex scan path (every label-seeded IVF
+    // oracle rides the fixtures' 10 labels = flat scan)
+    "ann_hier_route" ->
+      """WITH pe AS (SELECT vec_id, vec_id % 128 AS cell, i AS pos,
+        |   CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
+        |cp AS (SELECT cell, CAST(pos - 1 AS BIGINT) AS pos,
+        |   round(avg(x), 6) AS centroid FROM pe GROUP BY 1, 2),
+        |c AS (SELECT cell, list(centroid ORDER BY pos) AS cv FROM cp GROUP BY 1),
+        |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |s AS (SELECT e.vec_id, c.cell,
+        |   round(sqrt(list_sum(list_transform(list_zip(e.v, c.cv), z -> (z[1]-z[2])*(z[1]-z[2])))), 6) AS dist_to_cell
+        |  FROM e CROSS JOIN c)
+        |SELECT vec_id, cell, dist_to_cell FROM s
+        |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist_to_cell, cell) = 1
+        |ORDER BY vec_id""".stripMargin,
     "embed_ivf_balance" ->
       s"""WITH $ivfCtes,
         |c AS (SELECT cell, count(*) AS sz FROM asg GROUP BY 1)

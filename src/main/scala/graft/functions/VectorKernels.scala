@@ -94,6 +94,15 @@ object VectorKernels {
     * allocations per assignment pass at 10× scale). */
   private final val RoundSlack = 6e-7
 
+  /** The 6·10⁻⁷ slack only covers the double representation error of a
+    * 6-dp value while ulp(key) ≲ 10⁻⁷, i.e. |key| below ~10⁸. Keys from
+    * large-magnitude vectors (an L2² over O(10⁴)-scale components)
+    * exceed that, so every slack-based skip/stop is gated on BOTH
+    * operands being in range — out of range, the kernel just pays the
+    * exact BigDecimal path / keeps scanning (correct, merely slower). */
+  @inline private def slackValid(a: Double, b: Double): Boolean =
+    math.abs(a) <= 1e8 && math.abs(b) <= 1e8
+
   /** Top-`k` nearest (or, for [[MetricDot]], most-similar) centroids of
     * `v` out of `idx`, ordered by (rounded key asc — desc for dot —,
     * cell id asc) — the quantizer-routing kernel behind kmeansAssign /
@@ -159,7 +168,7 @@ object VectorKernels {
       // lazy round: candidates that cannot round past the heap worst
       // never pay the BigDecimal (ties are settled on ROUNDED keys, so
       // the slack must cover the worst-case round distance)
-      if (filled == kk) {
+      if (filled == kk && slackValid(keyRaw, bd(kk - 1))) {
         if (maximize) { if (keyRaw <= bd(kk - 1) - RoundSlack) return }
         else { if (keyRaw >= bd(kk - 1) + RoundSlack) return }
       }
@@ -228,7 +237,7 @@ object VectorKernels {
       var done = false
       while (oi < g && !done) {
         val gi2 = ord(oi)
-        if (filled == kk &&
+        if (filled == kk && slackValid(bound(gi2), bd(kk - 1)) &&
             (if (maximize) bound(gi2) <= bd(kk - 1) - RoundSlack
              else bound(gi2) >= bd(kk - 1) + RoundSlack)) {
           done = true
@@ -410,8 +419,13 @@ case class CodeRoute(left: Expression, right: Expression,
     VectorKernels.cellRoute(v.asInstanceOf[ArrayData],
       bySubspace(s.asInstanceOf[Long].toInt), k, metric)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // Java SOURCE form of the array type: classOf[Array[_]].getName is
+    // the JVM binary name ("[Lgraft.functions.CellIndex;"), which
+    // janino cannot parse inside the generated cast — the whole
+    // fragment then silently falls back to interpreted eval (686
+    // warnings per test run, r13 verdict item 2).
     val cbRef = ctx.addReferenceObj("graftCodebook", bySubspace,
-      classOf[Array[CellIndex]].getName)
+      s"${classOf[CellIndex].getName}[]")
     defineCodeGen(ctx, ev, (v, s) =>
       s"graft.functions.VectorKernels.cellRoute($v, $cbRef[(int) $s], $k, $metric)")
   }

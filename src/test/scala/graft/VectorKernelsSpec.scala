@@ -70,8 +70,10 @@ class VectorKernelsSpec extends SparkSpec {
       val (cells, cents) = mkIndex(m, dim, seed = m)
       val idx = new CellIndex(cells, cents)
       if (m >= 64) assert(idx.hierarchy != null) else assert(idx.hierarchy == null)
-      val probes = Iterator.range(0, 40).map(i =>
-        Array.fill(dim)(prng(1000L + i).next() * 2)).toSeq
+      val probes = Iterator.range(0, 40).map { i =>
+        val it = prng(1000L + i) // one stream per probe, fresh value per
+        Array.fill(dim)(it.next() * 2) // component (not a constant vector)
+      }.toSeq
       for {
         metric <- Seq(VectorKernels.MetricL2Sq, VectorKernels.MetricL2,
           VectorKernels.MetricDot)
@@ -103,7 +105,8 @@ class VectorKernelsSpec extends SparkSpec {
     val idx = new CellIndex(cells, cents)
     assert(idx.hierarchy != null)
     for (p <- 0 until 30) {
-      val x = Array.fill(dim)(prng(99L + p).next())
+      val pit = prng(99L + p)
+      val x = Array.fill(dim)(pit.next())
       for (metric <- Seq(VectorKernels.MetricL2Sq, VectorKernels.MetricL2,
           VectorKernels.MetricDot); k <- Seq(1, 3)) {
         assert(kernelRoute(x, idx, k, metric) ==
@@ -122,7 +125,8 @@ class VectorKernelsSpec extends SparkSpec {
     val idx = new CellIndex(cells, cents)
     for (p <- 0 until 10; metric <- Seq(VectorKernels.MetricL2,
         VectorKernels.MetricDot)) {
-      val x = Array.fill(dim)(prng(555L + p).next())
+      val pit = prng(555L + p)
+      val x = Array.fill(dim)(pit.next())
       assert(kernelRoute(x, idx, 4, metric) ==
         flatRoute(x, cells, cents, 4, metric))
     }
