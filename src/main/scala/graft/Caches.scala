@@ -59,4 +59,18 @@ object Caches {
       try h() catch { case _: Throwable => () }
     }
   }
+
+  /** Unpersist tracked handles WITHOUT firing release hooks — i.e.
+    * derived per-JVM memos (Dedup's doubled-corpus shift) survive.
+    * MEASUREMENT-ONLY (tools/MemoAB's A/B isolating the memo-rebuild
+    * tax from a flagged query's wall time); every production host
+    * keeps calling [[releaseAll]], whose hook firing is the
+    * correctness-of-caching epoch discipline. */
+  private[graft] def releaseTrackedOnly(blocking: Boolean = false): Unit =
+    synchronized {
+      tracked.foreach { ds =>
+        try ds.unpersist(blocking) catch { case _: Throwable => () }
+      }
+      tracked.clear()
+    }
 }

@@ -193,60 +193,88 @@ object VectorKernels {
       var c = 0
       while (c < m) { consider(c); c += 1 }
     } else {
-      val g = grp.superCents.length
-      // per-group bound in KEY space (lower for L2/L2², upper for dot)
-      val bound = new Array[Double](g)
-      val order = new Array[Int](g)
       var xnorm = 0.0
       if (maximize) {
         var i = 0
         while (i < x.length) { xnorm += x(i) * x(i); i += 1 }
         xnorm = math.sqrt(xnorm)
       }
-      var gi = 0
-      while (gi < g) {
-        val s = grp.superCents(gi)
+      // bound in KEY space over a ball (centroid s, covering radius r):
+      // lower bound for L2/L2², upper bound (Cauchy–Schwarz) for dot —
+      // the radius is fp-inflated at build time, and the bound is
+      // margined once more against this row's fp error, so pruning can
+      // only skip candidates that provably lose
+      def boundFor(s: Array[Double], r: Double): Double =
         if (maximize) {
           var d = 0.0
           var i = 0
           while (i < x.length) { d += x(i) * s(i); i += 1 }
           // dot(x, c) ≤ dot(x, s) + ‖x‖·‖c − s‖ ≤ dot(x, s) + ‖x‖·r
-          // (+ fp margin: the radius is already inflated at build time;
-          //  inflate the bound once more against this row's fp error)
-          val ub = d + xnorm * grp.radii(gi)
-          bound(gi) = ub + 1e-9 * (math.abs(ub) + 1.0)
+          val ub = d + xnorm * r
+          ub + 1e-9 * (math.abs(ub) + 1.0)
         } else {
           var sq = 0.0
           var i = 0
           while (i < x.length) { val dd = x(i) - s(i); sq += dd * dd; i += 1 }
           val ds = math.sqrt(sq)
-          // d(x, c) ≥ d(x, s) − r  (triangle inequality; radius inflated
-          // at build, deflate once more against this row's fp error)
-          var lb = ds - grp.radii(gi) - 1e-9 * (ds + 1.0)
+          // d(x, c) ≥ d(x, s) − r  (triangle inequality)
+          var lb = ds - r - 1e-9 * (ds + 1.0)
           if (lb < 0) lb = 0
-          bound(gi) = if (metric == MetricL2Sq) lb * lb else lb
+          if (metric == MetricL2Sq) lb * lb else lb
         }
-        order(gi) = gi
-        gi += 1
+      // a ball whose bound proves every candidate inside rounds
+      // strictly past the heap worst can be skipped wholesale
+      def prune(b: Double): Boolean =
+        filled == kk && slackValid(b, bd(kk - 1)) &&
+          (if (maximize) b <= bd(kk - 1) - RoundSlack
+           else b >= bd(kk - 1) + RoundSlack)
+      // visit the given groups best-bound-first; stop at the first
+      // group whose bound prunes (bounds are sorted, so later groups
+      // prune too)
+      def scanGroups(gids: Array[Int]): Unit = {
+        val n = gids.length
+        val bound = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          bound(i) = boundFor(grp.superCents(gids(i)), grp.radii(gids(i)))
+          i += 1
+        }
+        val ord = Array.range(0, n).sortBy(i => if (maximize) -bound(i) else bound(i))
+        var oi = 0
+        var done = false
+        while (oi < n && !done) {
+          val i2 = ord(oi)
+          if (prune(bound(i2))) done = true
+          else {
+            val ms = grp.members(gids(i2))
+            var j = 0
+            while (j < ms.length) { consider(ms(j)); j += 1 }
+          }
+          oi += 1
+        }
       }
-      // visit groups best-bound-first; stop at the first group whose
-      // bound proves every remaining candidate rounds strictly past the
-      // heap worst (bounds are sorted, so later groups prune too)
-      val ord = order.sortBy(i => if (maximize) -bound(i) else bound(i))
-      var oi = 0
-      var done = false
-      while (oi < g && !done) {
-        val gi2 = ord(oi)
-        if (filled == kk && slackValid(bound(gi2), bd(kk - 1)) &&
-            (if (maximize) bound(gi2) <= bd(kk - 1) - RoundSlack
-             else bound(gi2) >= bd(kk - 1) + RoundSlack)) {
-          done = true
-        } else {
-          val members = grp.members(gi2)
-          var j = 0
-          while (j < members.length) { consider(members(j)); j += 1 }
+      if (grp.parentCents == null) {
+        scanGroups(Array.range(0, grp.superCents.length))
+      } else {
+        // third level (≥ ~4096 cells): same best-first + stop rule one
+        // level up; a visited parent descends into scanGroups over its
+        // member groups — exact for any grouping, identical argument
+        val p = grp.parentCents.length
+        val pb = new Array[Double](p)
+        var i = 0
+        while (i < p) {
+          pb(i) = boundFor(grp.parentCents(i), grp.parentRadii(i))
+          i += 1
         }
-        oi += 1
+        val ord = Array.range(0, p).sortBy(i => if (maximize) -pb(i) else pb(i))
+        var oi = 0
+        var done = false
+        while (oi < p && !done) {
+          val pj = ord(oi)
+          if (prune(pb(pj))) done = true
+          else scanGroups(grp.parentMembers(pj))
+          oi += 1
+        }
       }
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
@@ -256,15 +284,25 @@ object VectorKernels {
   }
 }
 
-/** The 2-level routing structure inside a [[CellIndex]]: cells grouped
-  * by a driver-side k-means over the CENTROIDS, each group carrying its
-  * super-centroid and a (fp-inflated) covering radius. Grouping quality
-  * affects only pruning power — [[VectorKernels.cellRoute]] is exact
-  * for ANY grouping, so the build needs no determinism guarantees
-  * beyond being deterministic (it is: stride seeding, fixed rounds). */
+/** The multi-level routing structure inside a [[CellIndex]]: cells
+  * grouped by a driver-side k-means over the CENTROIDS, each group
+  * carrying its super-centroid and a (fp-inflated) covering radius.
+  * When the GROUP count itself reaches 64 (i.e. ≥ ~4096 cells) a
+  * third level is built by the same recursion: `parentMembers(pj)`
+  * lists the GROUP indices under super-super-centroid
+  * `parentCents(pj)`, whose radius covers every CELL beneath it
+  * (max over member groups of d(parent, super) + group radius — the
+  * triangle chain d(x,c) ≥ d(x,p) − d(p,s) − d(s,c)). Grouping
+  * quality affects only pruning power — [[VectorKernels.cellRoute]]
+  * is exact for ANY grouping, so the build needs no determinism
+  * guarantees beyond being deterministic (it is: stride seeding,
+  * fixed rounds). `parentCents` is null when only 2 levels exist. */
 final class CellHierarchy(val members: Array[Array[Int]],
     val superCents: Array[Array[Double]],
-    val radii: Array[Double]) extends Serializable
+    val radii: Array[Double],
+    val parentMembers: Array[Array[Int]],
+    val parentCents: Array[Array[Double]],
+    val parentRadii: Array[Double]) extends Serializable
 
 /** A centroid table pinned for the routing kernel: cell ids ascending,
   * one dense double[] per cell, plus (for ≥64 cells) the 2-level
@@ -275,11 +313,13 @@ final class CellHierarchy(val members: Array[Array[Int]],
   * corpus (each replica brings its own label set), so neither this
   * driver-side collect (|cells|·dim doubles — ~50 MB at 10⁵ cells of
   * 64 dims) nor any flat per-row scan is bounded by design. The
-  * hierarchy keeps PER-ROW routing at O(√|cells|·dim) for any cells
-  * policy; past ~10⁵ cells the centroid table itself becomes a
-  * distributed ANN problem and the right structure is another level of
-  * the same recursion (route super-cells through a super-super index),
-  * which this 2-level build is the first step of. */
+  * hierarchy keeps PER-ROW routing sublinear for any cells policy:
+  * 2 levels (O(√cells·dim) bound work) from 64 cells, a THIRD level
+  * by the same recursion from ~4096 cells (≥64 groups — the stop rule
+  * then applies over ⌈m^¼⌉ super-super-balls first). Past ~10⁵ cells
+  * the centroid TABLE itself outgrows a driver collect and becomes a
+  * distributed ANN problem; the recursion extends, but the build must
+  * move off the driver — that boundary is the honest limit here. */
 final class CellIndex(val cells: Array[Long],
     val cents: Array[Array[Double]]) extends Serializable {
   require(cells.length == cents.length, "cells/cents length mismatch")
@@ -296,15 +336,18 @@ object CellIndex {
     * the 10× gate's 1000 cells, milliseconds). Radii are inflated by a
     * relative fp margin so the kernel's triangle-inequality prune can
     * never cut a true winner. */
-  private[functions] def build(cents: Array[Array[Double]]): CellHierarchy = {
-    val m = cents.length
-    if (m < 64) return null
-    val dim = cents(0).length
+  /** ⌈√n⌉-group k-means over `points` (stride seeding, 4 Lloyd
+    * rounds, empty groups dropped) → (member indices per group, group
+    * mean per group). The shared grouping step of every level. */
+  private def kmeansGroups(points: Array[Array[Double]])
+      : (Array[Array[Int]], Array[Array[Double]]) = {
+    val m = points.length
+    val dim = points(0).length
     val g = math.ceil(math.sqrt(m.toDouble)).toInt
-    // stride seeding (deterministic; cell order is arbitrary, which is
-    // all a k-means seed needs)
-    var seeds = Array.tabulate(g)(i => cents(((i.toLong * m) / g).toInt).clone())
-    var assign = new Array[Int](m)
+    // stride seeding (deterministic; point order is arbitrary, which
+    // is all a k-means seed needs)
+    var seeds = Array.tabulate(g)(i => points(((i.toLong * m) / g).toInt).clone())
+    val assign = new Array[Int](m)
     var round = 0
     while (round < 4) {
       var c = 0
@@ -317,7 +360,7 @@ object CellIndex {
           var sq = 0.0
           var i = 0
           while (i < dim && sq < bestSq) {
-            val d = cents(c)(i) - s(i); sq += d * d; i += 1
+            val d = points(c)(i) - s(i); sq += d * d; i += 1
           }
           if (sq < bestSq) { bestSq = sq; best = gi }
           gi += 1
@@ -333,7 +376,7 @@ object CellIndex {
         val gi = assign(c2)
         counts(gi) += 1
         var i = 0
-        while (i < dim) { sums(gi)(i) += cents(c2)(i); i += 1 }
+        while (i < dim) { sums(gi)(i) += points(c2)(i); i += 1 }
         c2 += 1
       }
       seeds = Array.tabulate(g) { gi =>
@@ -345,28 +388,54 @@ object CellIndex {
     }
     val members = Array.tabulate(g)(gi =>
       (0 until m).filter(assign(_) == gi).toArray).filter(_.nonEmpty)
-    val superCents = members.map { ms =>
+    val cents = members.map { ms =>
       val s = new Array[Double](dim)
-      ms.foreach { c => var i = 0; while (i < dim) { s(i) += cents(c)(i); i += 1 } }
+      ms.foreach { c => var i = 0; while (i < dim) { s(i) += points(c)(i); i += 1 } }
       var i = 0
       while (i < dim) { s(i) /= ms.length; i += 1 }
       s
     }
+    (members, cents)
+  }
+
+  private def l2(a: Array[Double], b: Array[Double]): Double = {
+    var sq = 0.0
+    var i = 0
+    while (i < a.length) { val d = a(i) - b(i); sq += d * d; i += 1 }
+    math.sqrt(sq)
+  }
+
+  private[functions] def build(cents: Array[Array[Double]]): CellHierarchy = {
+    val m = cents.length
+    if (m < 64) return null
+    val (members, superCents) = kmeansGroups(cents)
     val radii = members.indices.map { gi =>
-      val s = superCents(gi)
       var r = 0.0
       members(gi).foreach { c =>
-        var sq = 0.0
-        var i = 0
-        while (i < dim) { val d = cents(c)(i) - s(i); sq += d * d; i += 1 }
-        val dd = math.sqrt(sq)
+        val dd = l2(cents(c), superCents(gi))
         if (dd > r) r = dd
       }
       // inflate: covers the fp error of BOTH this build-side distance
       // and the kernel-side distance it will be subtracted from
       r + 1e-9 * (r + 1.0)
     }.toArray
-    new CellHierarchy(members, superCents, radii)
+    if (superCents.length < 64)
+      return new CellHierarchy(members, superCents, radii, null, null, null)
+    // third level: the same recursion over the GROUPS (≥ ~4096 cells).
+    // A parent's radius must cover every CELL beneath it: by the
+    // triangle chain d(parent, c) ≤ d(parent, super) + d(super, c)
+    // ≤ d(parent, super) + groupRadius — take the max over members and
+    // inflate once more for the build-side distance's own fp error.
+    val (pMembers, pCents) = kmeansGroups(superCents)
+    val pRadii = pMembers.indices.map { pj =>
+      var r = 0.0
+      pMembers(pj).foreach { gi =>
+        val reach = l2(superCents(gi), pCents(pj)) + radii(gi)
+        if (reach > r) r = reach
+      }
+      r + 1e-9 * (r + 1.0)
+    }.toArray
+    new CellHierarchy(members, superCents, radii, pMembers, pCents, pRadii)
   }
 }
 

@@ -176,8 +176,20 @@ object Graph {
     * set), so every round after the first exchange is shuffle-FREE
     * (was 2 agg exchanges × 2 rounds over an |E|-sized stream).
     * Per-round persist+count keeps plan depth flat, the pageRank
-    * discipline. */
-  def labelPropagation(spark: SparkSession, dir: String, iters: Int = 2): DataFrame = {
+    * discipline.
+    *
+    * Round-1 algebraic shortcut (exact): synchronous LPA starts from
+    * IDENTITY labels, so in round 1 every neighbor of u carries a
+    * label no other neighbor can carry (its own id — edges are
+    * distinct pairs), every (u, lbl) count is exactly 1, and the
+    * argmax by (cnt desc, lbl asc) collapses to min(neighbor id). The
+    * whole round is ONE primitive-long agg over the edge list — no
+    * label broadcast, no (u, lbl) pair hash table (the r13-named
+    * remaining term, paid |E|-sized twice per round). Rounds ≥ 2 run
+    * the general join+count path; `fastFirstRound = false` forces the
+    * general path in round 1 too (spec-equated against the shortcut). */
+  def labelPropagation(spark: SparkSession, dir: String, iters: Int = 2,
+      fastFirstRound: Boolean = true): DataFrame = {
     import graft.operators.Scale.maybeBroadcast
     val p = graft.Caches.persistTracked(coOccurrenceEdges(spark, dir))
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
@@ -187,14 +199,21 @@ object Graph {
     edges.count() // materialize: broadcast gates need real sizes
     var labels = edges.select(col("u").as("nd")).distinct()
       .withColumn("lbl", col("nd"))
-    for (_ <- 1 to iters) {
-      val counts = edges
-        .join(maybeBroadcast(labels.select(col("nd").as("v"), col("lbl"))), Seq("v"))
-        .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("cnt"))
+    for (round <- 1 to iters) {
       labels = graft.Caches.persistTracked(
-        counts.groupBy(col("u"))
-          .agg(min(struct((-col("cnt")).as("neg"), col("lbl"))).as("m"))
-          .select(col("u").as("nd"), col("m.lbl").as("lbl")))
+        if (round == 1 && fastFirstRound) {
+          // identity labels ⇒ all (u, lbl) counts are 1 ⇒ argmax by
+          // (cnt desc, lbl asc) ≡ min neighbor id (scaladoc above)
+          edges.groupBy(col("u")).agg(min(col("v")).as("lbl"))
+            .select(col("u").as("nd"), col("lbl"))
+        } else {
+          val counts = edges
+            .join(maybeBroadcast(labels.select(col("nd").as("v"), col("lbl"))), Seq("v"))
+            .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("cnt"))
+          counts.groupBy(col("u"))
+            .agg(min(struct((-col("cnt")).as("neg"), col("lbl"))).as("m"))
+            .select(col("u").as("nd"), col("m.lbl").as("lbl"))
+        })
       labels.count() // keep stats real for the next round's gate
     }
     labels.select(col("nd").as("node"), col("lbl").as("community"))

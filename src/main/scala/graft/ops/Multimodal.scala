@@ -261,18 +261,40 @@ object Multimodal {
     * Shape at scale: decode + bucket is one map-side pass (the
     * [[PHash]] discipline); the only shuffle is the (doc, bin)-grain
     * agg, map-side combinable, output ≤16 rows per doc. */
-  def imageHistogram(spark: SparkSession, dir: String): DataFrame = {
+  def imageHistogram(spark: SparkSession, dir: String): DataFrame =
+    imageHistogramFrom(spark, decodedPlanes(spark, dir))
+
+  private[graft] def imageHistogramFrom(spark: SparkSession,
+      planes: DataFrame): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
-      .mapPartitions { it =>
-        it.flatMap { id =>
-          val px = PHash.decodeGray(PHash.encodePng(PHash.pixelGrid(id)))
-          px.iterator.map(v => (id, (v / 16).toLong))
-        }
-      }.toDF("doc_id", "bin")
+    planes.as[(Long, Array[Int])]
+      .flatMap { case (id, px) => px.iterator.map(v => (id, (v / 16).toLong)) }
+      .toDF("doc_id", "bin")
       .groupBy(col("doc_id"), col("bin"))
       .agg(count(lit(1)).as("n_px"))
       .orderBy(col("doc_id"), col("bin"))
+  }
+
+  /** The shared decode stage of the image family: every doc's payload
+    * round-tripped through the REAL codec to its 32×32 grayscale plane
+    * — the single input [[imageHistogram]], [[phashDedup]] and any
+    * future caption/embed stage derive from. The decode is the mm
+    * family's dominant sf10 cost (17.0s + 19.4s at r13, one decode
+    * pass EACH); a production pipeline persists THIS relation once and
+    * runs every consumer from it (SharedDecodeSpec proves the cached
+    * path bit-identical and measures the win). The per-query gates
+    * intentionally do NOT share it: Bench releases all caches between
+    * entries so each timed query carries its own cost — cross-query
+    * decode sharing would misattribute the first query's decode to
+    * whichever entry happened to run first. */
+  def decodedPlanes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          (id, PHash.decodeGray(PHash.encodePng(PHash.pixelGrid(id))))
+        }
+      }.toDF("doc_id", "px")
   }
 
   case class ResizedMedia(doc_id: Long, media_type: String, orig_bytes: Long,
@@ -395,16 +417,20 @@ object Multimodal {
     * (chunk, value); `maxBucket` caps degenerate buckets exactly as
     * documented at [[Dedup.bandedHammingPairs]]. */
   def phashDedup(spark: SparkSession, dir: String,
-      maxBucket: Long = Long.MaxValue): DataFrame = {
+      maxBucket: Long = Long.MaxValue): DataFrame =
+    Dedup.bandedHammingPairs(
+      phashSimsFrom(spark, decodedPlanes(spark, dir)), 2, maxBucket)
+
+  private[graft] def phashDedupFrom(spark: SparkSession, planes: DataFrame,
+      maxBucket: Long = Long.MaxValue): DataFrame =
+    Dedup.bandedHammingPairs(phashSimsFrom(spark, planes), 2, maxBucket)
+
+  private[graft] def phashSimsFrom(spark: SparkSession,
+      planes: DataFrame): DataFrame = {
     import spark.implicits._
-    val sims = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
-      .mapPartitions { it =>
-        it.map { id =>
-          val png = PHash.encodePng(PHash.pixelGrid(id))
-          (id, PHash.dctHash60(PHash.decodeGray(png)))
-        }
-      }.toDF("doc_id", "sim")
-    Dedup.bandedHammingPairs(sims, 2, maxBucket)
+    planes.as[(Long, Array[Int])]
+      .map { case (id, px) => (id, PHash.dctHash60(px)) }
+      .toDF("doc_id", "sim")
   }
 
   /** The pHash kernel: deterministic test-fixture pixels, real JDK

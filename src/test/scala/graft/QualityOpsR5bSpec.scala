@@ -321,6 +321,18 @@ class QualityOpsR5bSpec extends SparkSpec {
       Seq("community"), "left_anti").count() === 0)
   }
 
+  test("labelPropagation round-1 min-neighbor shortcut equals the general path") {
+    // the algebraic claim behind the shortcut: identity initialization
+    // makes every round-1 (u, lbl) count 1, so argmax by (cnt desc,
+    // lbl asc) IS min(neighbor id) — the two paths must be row-equal
+    val fast = Graph.labelPropagation(spark, sf0001).collect().toSeq
+    Caches.releaseAll(); spark.catalog.clearCache()
+    val general = Graph.labelPropagation(spark, sf0001, fastFirstRound = false)
+      .collect().toSeq
+    assert(fast == general)
+    Caches.releaseAll(); spark.catalog.clearCache()
+  }
+
   test("qHllRollup: day-merged registers equal registers computed directly") {
     // the in-query merge law: max-merging (type, day, bucket) registers
     // over days must give exactly the registers computed at (type,

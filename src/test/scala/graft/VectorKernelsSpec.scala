@@ -66,10 +66,15 @@ class VectorKernelsSpec extends SparkSpec {
 
   test("hierarchical route is bit-identical to the flat scan (all metrics, ks)") {
     val dim = 16
-    for (m <- Seq(5, 63, 64, 200, 500)) {
+    // 4500 cells ⇒ ⌈√4500⌉ = 68 ≥ 64 groups ⇒ the THIRD level builds;
+    // the equivalence below therefore covers 1-, 2- AND 3-level scans
+    for (m <- Seq(5, 63, 64, 200, 500, 4500)) {
       val (cells, cents) = mkIndex(m, dim, seed = m)
       val idx = new CellIndex(cells, cents)
       if (m >= 64) assert(idx.hierarchy != null) else assert(idx.hierarchy == null)
+      if (m >= 4096) assert(idx.hierarchy.parentCents != null,
+        s"m=$m must build the 3rd level")
+      else if (m >= 64) assert(idx.hierarchy.parentCents == null)
       val probes = Iterator.range(0, 40).map { i =>
         val it = prng(1000L + i) // one stream per probe, fresh value per
         Array.fill(dim)(it.next() * 2) // component (not a constant vector)
