@@ -15,11 +15,55 @@ object Graph {
 
   /** Undirected co-occurrence edges: two parts are connected iff they
     * appear in the same order. Canonicalized u < v, deduplicated.
-    * Shape at scale: one distinct over (order, part) — map-side
-    * combinable — then a self-equi-join on the order key, whose
-    * fan-out is Σ(items-per-order²): bounded by basket size, not by
-    * corpus size. */
-  def coOccurrenceEdges(spark: SparkSession, dir: String): DataFrame = {
+    *
+    * Shape at scale — basket-expansion form, not a self-join: ONE
+    * shuffle on the order key builds each order's sorted distinct
+    * part set (collect_set dedups (order, part) inside the same agg),
+    * and the C(k, 2) pairs expand MAP-SIDE from the array (posexplode
+    * for u, slice past u's position for v — the sort makes u < v
+    * structural). The r1–r13 form was distinct(order, part) → self
+    * equi-join on the order key → distinct: one more |items|-sized
+    * exchange plus a hash-join probe per item, all to produce the
+    * same per-order pair fan-out the array expansion gets for free.
+    * This relation feeds all 18 graph queries (each fresh-JVM gate
+    * entry rebuilds it), so the build term multiplies. Pair fan-out
+    * is Σ C(items-per-order, 2) either way — bounded by basket size,
+    * not corpus size; the final distinct over pairs (map-side
+    * combinable) is the one unavoidable |E|-sized shuffle. */
+  def coOccurrenceEdges(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy(col("ok")).agg(sort_array(collect_set(col("pk"))).as("ps"))
+      .select(col("ps"), posexplode(col("ps")).as(Seq("i", "u")))
+      .select(col("u"),
+        explode(expr("slice(ps, i + 2, size(ps))")).as("v"))
+      .distinct()
+
+  private val edgesMemo =
+    scala.collection.mutable.HashMap.empty[(Int, String), DataFrame]
+  graft.Caches.onRelease(() => edgesMemo.synchronized(edgesMemo.clear()))
+
+  /** The co-occurrence edge relation persisted + materialized ONCE per
+    * (session, dir, release epoch) — the shared input of all 18 graph
+    * queries, whose per-query rebuild (~25s at sf10) was the family's
+    * single largest repeated term (r13 verdict). Memoized like Dedup's
+    * shiftMemo: the hook clears it at every [[graft.Caches.releaseAll]],
+    * so Bench/Verify entries still pay (and get attributed) their own
+    * build — the reuse accrues to real long-lived sessions (CLI,
+    * notebooks) running several graph queries back to back. */
+  private[graft] def sharedEdges(spark: SparkSession, dir: String): DataFrame =
+    edgesMemo.synchronized {
+      edgesMemo.getOrElseUpdate((System.identityHashCode(spark), dir), {
+        val e = graft.Caches.persistTracked(coOccurrenceEdges(spark, dir))
+        e.count() // materialize: downstream broadcast gates need real sizes
+        e
+      })
+    }
+
+  /** The retired self-join form, kept for the equivalence spec and
+    * the tools/EdgesAB measurement. */
+  private[graft] def coOccurrenceEdgesJoinForm(spark: SparkSession,
+      dir: String): DataFrame = {
     val items = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
@@ -43,7 +87,7 @@ object Graph {
     * plain u<v SQL oracle checks. */
   def triangleCounts(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Scale.maybeBroadcast
-    val edges = graft.Caches.persistTracked(coOccurrenceEdges(spark, dir))
+    val edges = sharedEdges(spark, dir)
     edges.count() // materialize: the broadcast gates below need REAL
     // cache sizes, not pre-materialization plan estimates (with the
     // estimate, the closing join planned as a sort-merge that sorted
@@ -191,7 +235,7 @@ object Graph {
   def labelPropagation(spark: SparkSession, dir: String, iters: Int = 2,
       fastFirstRound: Boolean = true): DataFrame = {
     import graft.operators.Scale.maybeBroadcast
-    val p = graft.Caches.persistTracked(coOccurrenceEdges(spark, dir))
+    val p = sharedEdges(spark, dir)
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val edges = graft.Caches.persistTracked(
       p.unionAll(p.select(col("v").as("u"), col("u").as("v")))
@@ -222,7 +266,7 @@ object Graph {
 
   def pageRank(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
     import graft.operators.Scale.maybeBroadcast
-    val p = graft.Caches.persistTracked(coOccurrenceEdges(spark, dir))
+    val p = sharedEdges(spark, dir)
     val edges = graft.Caches.persistTracked(
       p.unionAll(p.select(col("v").as("u"), col("u").as("v"))))
     edges.count() // materialize: broadcast gates below need real sizes
@@ -376,7 +420,7 @@ object Graph {
     def stats(e: DataFrame): (Long, Long) =
       (e.select(explode(array(col("u"), col("v"))).as("n")).distinct().count(),
         e.count())
-    var edges = graft.Caches.persistTracked(coOccurrenceEdges(spark, dir))
+    var edges = sharedEdges(spark, dir)
     edges.count()
     val k = math.floor(degrees(edges)
       .agg(expr("percentile(d, 0.5)")).head().getDouble(0)).toLong
@@ -417,7 +461,7 @@ object Graph {
     * Only the final contribution expression is float, rounded 6. */
   def modularity(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Scale.maybeBroadcast
-    val p = graft.Caches.persistTracked(coOccurrenceEdges(spark, dir))
+    val p = sharedEdges(spark, dir)
     val m = p.count() // materialize + the modularity denominator
     // eager localCheckpoint: labels joins the edge list TWICE below
     // (both endpoints), and without truncation each side re-embeds the
@@ -525,7 +569,7 @@ object Graph {
     * agg. Nothing materializes beyond |E| + |V|. */
   def assortativity(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Scale.maybeBroadcast
-    val p = graft.Caches.persistTracked(coOccurrenceEdges(spark, dir))
+    val p = sharedEdges(spark, dir)
     p.count() // materialize: broadcast gates below need real sizes
     val sym = p.unionAll(p.select(col("v").as("u"), col("u").as("v")))
     val deg = graft.Caches.persistTracked(
@@ -745,7 +789,7 @@ object Graph {
     * localCheckpoint'd; frontier and visited stay ≤ seeds·|V|. */
   def harmonicSample(spark: SparkSession, dir: String,
       seeds: Int = 5, maxHops: Int = 3): DataFrame = {
-    val edges = graft.Caches.persistTracked(coOccurrenceEdges(spark, dir))
+    val edges = sharedEdges(spark, dir)
     edges.count()
     val sym = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
     val seedRel = edges.select(col("u").as("node"))
@@ -882,7 +926,7 @@ object Graph {
     * agg. Node counts come off the degree table alone. */
   def richClub(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val p = graft.Caches.persistTracked(coOccurrenceEdges(spark, dir))
+    val p = sharedEdges(spark, dir)
     p.count()
     val deg = graft.Caches.persistTracked(
       p.select(explode(array(col("u"), col("v"))).as("n"))

@@ -10,6 +10,30 @@ import graft.ops.Graph
   * relation. */
 class GraphSpec extends SparkSpec {
 
+  test("basket-expansion co-occurrence edges equal the self-join form") {
+    // the r14 rewrite: groupBy(order) -> sorted part set -> map-side
+    // C(k,2) expansion must produce EXACTLY the self-join's edge set
+    val fast = Graph.coOccurrenceEdges(spark, sf0001)
+      .orderBy(col("u"), col("v")).collect().toSeq
+    val join = Graph.coOccurrenceEdgesJoinForm(spark, sf0001)
+      .orderBy(col("u"), col("v")).collect().toSeq
+    assert(fast.nonEmpty && fast == join)
+    // u < v structural (sorted set + strictly-later slice)
+    assert(fast.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
+  test("sharedEdges memoizes per release epoch and clears on releaseAll") {
+    Caches.releaseAll(); spark.catalog.clearCache()
+    val a = Graph.sharedEdges(spark, sf0001)
+    val b = Graph.sharedEdges(spark, sf0001)
+    assert(a eq b, "same epoch must return the SAME persisted relation")
+    assert(a.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    Caches.releaseAll()
+    val c = Graph.sharedEdges(spark, sf0001)
+    assert(!(c eq a), "releaseAll must invalidate the memo (epoch discipline)")
+    Caches.releaseAll(); spark.catalog.clearCache()
+  }
+
   test("triangleCounts matches the naive u<v wedge enumeration") {
     val edges = Graph.coOccurrenceEdges(spark, sf0001).cache()
     try {
