@@ -374,7 +374,9 @@ object Graph {
   def bfsLevels(spark: SparkSession, dir: String, maxHops: Int = 3): DataFrame = {
     import graft.operators.Scale.maybeBroadcast
     import spark.implicits._
-    val e0 = coOccurrenceEdges(spark, dir)
+    // sharedEdges: the union's two branches otherwise each re-derive
+    // the FULL edge build inside sym's one materialization
+    val e0 = sharedEdges(spark, dir)
     val sym = graft.Caches.persistTracked(
       e0.union(e0.select(col("v").as("u"), col("u").as("v"))))
     sym.count()
@@ -597,14 +599,19 @@ object Graph {
     * ~32-group agg over the |V|-row degree table; totals broadcast
     * back from the bucket table. */
   def degreeDist(spark: SparkSession, dir: String): DataFrame = {
-    val p = coOccurrenceEdges(spark, dir)
+    // sharedEdges (persisted), and the ≤~64-row bucket table persisted
+    // too: `buckets` feeds BOTH the total and the share join, and
+    // uncached each branch re-derived the ENTIRE edge build + degree
+    // agg (the pq_code_entropy two-branch disease — this query's sf10
+    // wall was ~2× the build for exactly that reason)
+    val p = sharedEdges(spark, dir)
     val deg = p.select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
-    val buckets = deg
+    val buckets = graft.Caches.persistTracked(deg
       .withColumn("bucket",
         expr("CAST(shiftleft(CAST(1 AS BIGINT), length(bin(deg - 1))) AS BIGINT)"))
       .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("deg_sum"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("deg_sum")))
     val tot = buckets.agg(sum(col("n_nodes")).as("tn"), sum(col("deg_sum")).as("td"))
     buckets.crossJoin(broadcast(tot))
       .select(col("bucket"), col("n_nodes"),
