@@ -739,11 +739,14 @@ object TextAnalysis {
     val tokensAt = perDoc.crossJoin(broadcast(ck))
       .filter(col("doc_id") <= col("ckpt"))
       .groupBy(col("q")).agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
-    val pts = vocabAt.join(tokensAt, Seq("q"))
+    // 4 rows, TWO consumers (the Heaps regression + the output join) —
+    // uncached, each consumer re-derived the whole tokenize chain
+    // (8 corpus scans in the final plan; the r9 boundary discipline)
+    val pts = graft.Caches.persistTracked(vocabAt.join(tokensAt, Seq("q"))
       .withColumn("x", round(log(col("n_tokens").cast("double")), 6)
         .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
       .withColumn("y", round(log(col("vocab").cast("double")), 6)
-        .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6))))
     val beta = pts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
         sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"))
