@@ -891,19 +891,26 @@ object Graph {
       .filter(col("l_quantity") >= 40)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
-    val p = items.as("x").join(items.as("y"),
-        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-      .select(col("x.pk").as("u"), col("y.pk").as("v"))
-      .distinct()
+    // persist the canonical pairs BEFORE the symmetrizing union — its
+    // two branches otherwise each re-derive the self-join build inside
+    // e's one materialization (the bfsLevels disease; 4 lineitem scans
+    // in the audited plan)
+    val p = graft.Caches.persistTracked(
+      items.as("x").join(items.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("u"), col("y.pk").as("v"))
+        .distinct())
     val e = graft.Caches.persistTracked(
       p.unionAll(p.select(col("v").as("u"), col("u").as("v"))))
     e.count()
-    val diag = e.as("a").join(e.as("b"),
+    // diag (the |E|²-fan wedge join) feeds BOTH the top-15 and the
+    // totals row — persist so the join runs once
+    val diag = graft.Caches.persistTracked(e.as("a").join(e.as("b"),
         col("a.v") === col("b.u") && col("a.u") < col("b.v"))
       .groupBy(col("a.u").as("x"), col("b.v").as("y"))
       .agg(count(lit(1)).as("cn"))
       .filter(col("cn") >= 2)
-      .withColumn("pair_squares", expr("(cn * (cn - 1)) div 2"))
+      .withColumn("pair_squares", expr("(cn * (cn - 1)) div 2")))
     val top = diag
       .orderBy(col("cn").desc, col("x"), col("y")).limit(15)
       .select(col("x"), col("y"), col("cn").as("common_neighbors"),
