@@ -25,6 +25,7 @@ import org.apache.spark.storage.StorageLevel
 object Caches {
   private val tracked = mutable.ArrayBuffer.empty[Dataset[_]]
   private val releaseHooks = mutable.ArrayBuffer.empty[() => Unit]
+  private val trackedReleaseHooks = mutable.ArrayBuffer.empty[() => Unit]
 
   /** Register a callback to run at every [[releaseAll]] — for operator
     * objects holding derived per-JVM memos (e.g. Dedup's doubled-corpus
@@ -32,6 +33,19 @@ object Caches {
     * operator are materialized" epoch as the tracked caches. Hooks are
     * permanent (registered once from an object initializer). */
   def onRelease(hook: () => Unit): Unit = synchronized { releaseHooks += hook }
+
+  /** Like [[onRelease]], but ALSO fired by [[releaseTrackedOnly]] — for
+    * memos that hold [[persistTracked]] HANDLES (e.g. Graph's shared
+    * edge relation). Such a memo's validity is tied to the blocks, not
+    * the epoch: once the handle is unpersisted by EITHER release path,
+    * returning it would silently hand out a relation the caller
+    * believes is materialized but is not (it would re-derive from
+    * scratch on every consumer — exactly what a MemoAB measurement
+    * must not conflate with the memo-rebuild tax). Scalar memos
+    * (Dedup's doubled-corpus shift) stay on [[onRelease]]: they wrap
+    * no storage and are what releaseTrackedOnly exists to preserve. */
+  def onTrackedRelease(hook: () => Unit): Unit =
+    synchronized { trackedReleaseHooks += hook }
 
   /** Persist MEMORY_AND_DISK and remember the handle for [[releaseAll]]. */
   def persistTracked[T](ds: Dataset[T]): Dataset[T] = synchronized {
@@ -55,13 +69,17 @@ object Caches {
       try ds.unpersist(blocking) catch { case _: Throwable => () }
     }
     tracked.clear()
-    releaseHooks.foreach { h =>
+    (releaseHooks ++ trackedReleaseHooks).foreach { h =>
       try h() catch { case _: Throwable => () }
     }
   }
 
-  /** Unpersist tracked handles WITHOUT firing release hooks — i.e.
-    * derived per-JVM memos (Dedup's doubled-corpus shift) survive.
+  /** Unpersist tracked handles WITHOUT firing the epoch hooks — i.e.
+    * derived per-JVM SCALAR memos (Dedup's doubled-corpus shift)
+    * survive. Memos registered via [[onTrackedRelease]] (those holding
+    * persistTracked handles, e.g. Graph's shared edges) ARE cleared:
+    * their cached blocks die here, so keeping the handle would return
+    * an unpersisted relation that silently re-derives per consumer.
     * MEASUREMENT-ONLY (tools/MemoAB's A/B isolating the memo-rebuild
     * tax from a flagged query's wall time); every production host
     * keeps calling [[releaseAll]], whose hook firing is the
@@ -72,5 +90,8 @@ object Caches {
         try ds.unpersist(blocking) catch { case _: Throwable => () }
       }
       tracked.clear()
+      trackedReleaseHooks.foreach { h =>
+        try h() catch { case _: Throwable => () }
+      }
     }
 }

@@ -681,6 +681,51 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** The 4500-cell centroid table behind [[annHierRoute3]]: the
+    * fixtures hold only 500 vectors at the oracle SF, so the corpus is
+    * EXPANDED ×16 with deterministic per-replica offsets (vec_id′ =
+    * vec_id·16 + o, every dim shifted by o/1024 — an exact binary
+    * fraction, so Spark and DuckDB compute bit-identical doubles) and
+    * cells seeded vec_id′ mod 4500. 8000 expanded ids cover all 4500
+    * cells, which pushes [[graft.functions.CellIndex]] past the ~4096
+    * threshold where its build recurses into the THIRD level
+    * (VectorKernels.build: √4500 ≈ 67 super-cells ≥ 64 ⇒ parent
+    * level). */
+  private[graft] def hierRoute3Centroids(spark: SparkSession,
+      dir: String): DataFrame = centroidArrays(
+    Tables.embeddings(spark, dir)
+      .crossJoin(broadcast(spark.range(16).toDF("o")))
+      .select(
+        pmod(col("vec_id") * 16 + col("o"), lit(4500)).cast("long").as("cell"),
+        col("o"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("cell"), col("pos").cast("long").as("pos"),
+        (col("x").cast("double") + col("o") / lit(1024.0)).as("xd"))
+      .groupBy(col("cell"), col("pos"))
+      .agg(round(avg(col("xd")), 6).as("centroid")))
+
+  /** The index object [[annHierRoute3]] routes through — exposed so
+    * the spec can assert the THIRD routing level is what the
+    * oracle-gated query exercises (parentCents non-null). */
+  private[graft] def hierRoute3Index(spark: SparkSession,
+      dir: String): graft.functions.CellIndex =
+    cellIndexOf(hierRoute3Centroids(spark, dir))
+
+  /** Quantizer routing through the THREE-level pruned scan under the
+    * DuckDB oracle (r14 verdict missing-item 2: [[annHierRoute]]'s 128
+    * cells adjudicate level 2; the ≥4096-cell recursion shipped on
+    * kernel-spec equivalence only). 4500 mod-seeded cells over the
+    * ×16-expanded corpus — see [[hierRoute3Centroids]] — and a bounded
+    * 50-probe set so the cross-engine brute-force oracle stays
+    * ~225k distance rows. Same argmin semantics as [[annIvf]]:
+    * (round(l2, 6), cell asc), one scan, no join, no window. */
+  def annHierRoute3(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir).select(col("vec_id"), col("v"))
+      .filter(col("vec_id") < 50)
+    kmeansAssign(e, hierRoute3Centroids(spark, dir))
+      .select(col("vec_id"), col("cell"), col("dist").as("dist_to_cell"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Cell-size balance of the trained IVF index — the load-balancing
     * health check run before trusting an nprobe setting: a skewed
     * quantizer makes probe latency the max cell's scan time, not the
@@ -726,6 +771,11 @@ object Similarity {
       .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray))
     val cbIdx = Array.tabulate((rows.map(_._1).max + 1).toInt) { s =>
       val cs = rows.filter(_._1 == s).sortBy(_._2)
+      // enforce the precondition the k=1 sentinel below relies on: a
+      // gap in subspace ids would make an EMPTY CellIndex, cellRoute
+      // would return no candidate, and the -1 code would silently drop
+      // the subspace from the ADC distance sum at the join
+      require(cs.nonEmpty, s"empty PQ codebook for subspace $s")
       new graft.functions.CellIndex(cs.map(_._2), cs.map(_._3))
     }
     import org.apache.spark.sql.graft.GraftShim

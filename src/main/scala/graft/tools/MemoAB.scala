@@ -12,6 +12,13 @@ import org.apache.spark.sql.SparkSession
   * JIT warmth monotonically favors LATER passes, so a warm-arm
   * advantage read from interleaved passes is a lower bound on the tax.
   *
+  * Scope: SCALAR memos only (Dedup's shift). Memos holding persisted
+  * handles (Graph.sharedEdges) are cleared by BOTH arms since r15 —
+  * releaseTrackedOnly unpersists their blocks, so a surviving handle
+  * would silently re-derive in both arms and invalidate the A/B
+  * (ADVICE r14 item 4). To measure the edge memo, use Bench's
+  * SPARK_GRAFT_BENCH_PIN_EDGES mode instead.
+  *
   *   runMain graft.tools.MemoAB <sfDir> <query1,query2,...>
   */
 object MemoAB {
