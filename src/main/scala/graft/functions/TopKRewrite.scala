@@ -199,16 +199,30 @@ case class TopKRowsAgg(
   * or integer-widens the rank (`row_number().over(w).cast("long")`,
   * the shape the DuckDB-oracle contract forces on every rank column,
   * which otherwise silently disqualified the whole rank-prefix
-  * family); the condition is a single `rn <= k` / `rn < k` / `rn = k`
-  * comparison against a foldable integer; k ≤
+  * family); SOME conjunct of the condition is a `rn <= k` / `rn < k`
+  * / `rn = k` comparison against a foldable integer (by the time this
+  * rule runs, InferFiltersFromConstraints has usually merged inferred
+  * `isnotnull`s from a parent join into the same Filter — requiring
+  * the rank comparison to be the WHOLE condition silently disqualified
+  * every rank-prefix subtree consumed by a join, found by the r15
+  * plan audit on embed_prefix_recall); k ≤
   * spark.graft.topkRewrite.maxK (default 1024 — the buffer is O(k)
   * per group); the window has a non-empty orderSpec. The original
-  * Filter is kept on top of the rewritten subtree, so `<` / `=`
-  * conditions keep their exact semantics for free. Output attributes
-  * (ids included) are preserved exactly, so parent plans are
-  * untouched.
+  * Filter is kept IN FULL on top of the rewritten subtree, so `<` /
+  * `=` conditions and any non-rank conjuncts keep their exact
+  * semantics for free. Output attributes (ids included) are preserved
+  * exactly, so parent plans are untouched.
+  *
+  * InferWindowGroupLimit interplay: Spark's own rank-pushdown runs
+  * BEFORE this rule and leaves a [[WindowGroupLimit]] under the
+  * matched Window. Left in place it physically plans as Sort +
+  * partial-WGL + Sort + final-WGL — two full sorts of the candidate
+  * stream that the bounded heap exists to avoid (the r15 audit found
+  * them under every fired ann query). The replacement strips it when
+  * it is provably redundant: same partition/order spec, row_number
+  * rank, limit ≥ k.
   */
-object TopKRewrite extends Rule[LogicalPlan] {
+object TopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private val FlagKey = "spark.graft.topkRewrite.enabled"
   private val MaxKKey = "spark.graft.topkRewrite.maxK"
 
@@ -232,12 +246,44 @@ object TopKRewrite extends Rule[LogicalPlan] {
     }
   }
 
+  /** The smallest upper bound on `rn` among the condition's conjuncts
+    * (None when no conjunct bounds it). Non-rank conjuncts are fine:
+    * the ORIGINAL Filter is kept in full on top of the rewritten
+    * subtree, so they apply unchanged — and a conjunct referencing
+    * `rn` itself (e.g. `rn >= 2 AND rn <= 5`) is also fine, because
+    * the replacement reproduces the exact rank values. */
+  private def rankLimitIn(cond: Expression, rn: Attribute): Option[Int] = {
+    val ks = splitConjunctivePredicates(cond)
+      .flatMap(c => RankLimit.unapply((c, rn)))
+    if (ks.isEmpty) None else Some(ks.min)
+  }
+
+  /** Drop a [[WindowGroupLimit]] made redundant by the bounded-heap
+    * aggregate: Spark's InferWindowGroupLimit runs before this rule
+    * and its node would otherwise physically plan as TWO full sorts
+    * (partial + final) of the very candidate stream the heap folds
+    * unsorted. Only provably redundant nodes are stripped — same
+    * partition and order spec, row_number rank, limit ≥ k. */
+  private def stripGroupLimit(k: Int, partSpec: Seq[Expression],
+      orderSpec: Seq[SortOrder], child: LogicalPlan): LogicalPlan =
+    child match {
+      case WindowGroupLimit(ps, os, _: RowNumber, limit, c)
+          if limit >= k &&
+            ps.length == partSpec.length &&
+            ps.zip(partSpec).forall { case (a, b) => a.semanticEquals(b) } &&
+            os.length == orderSpec.length &&
+            os.zip(orderSpec).forall { case (a, b) => a.semanticEquals(b) } =>
+        c
+      case c => c
+    }
+
   /** The [[TopKRowsAgg]]+posexplode subtree that replaces a matched
     * Window node — identical output attributes (ids included), so any
     * parent composes unchanged. */
   private def replacement(k: Int,
       alias: Alias, partSpec: Seq[Expression], orderSpec: Seq[SortOrder],
-      child: LogicalPlan): LogicalPlan = {
+      rawChild: LogicalPlan): LogicalPlan = {
+    val child = stripGroupLimit(k, partSpec, orderSpec, rawChild)
     val payload = CreateStruct(child.output)
     val arr = Alias(
       TopKRowsAgg(orderSpec, payload, Literal(k))
@@ -288,8 +334,8 @@ object TopKRewrite extends Rule[LogicalPlan] {
             Window(Seq(alias @ Alias(WindowExpression(RowNumber(), _), _)),
               partSpec, orderSpec, child, _))
             if orderSpec.nonEmpty =>
-          (cond, alias.toAttribute) match {
-            case RankLimit(k) if k > 0 && k <= maxK =>
+          rankLimitIn(cond, alias.toAttribute) match {
+            case Some(k) if k > 0 && k <= maxK =>
               Filter(cond, replacement(k, alias, partSpec, orderSpec, child))
             case _ => f
           }
@@ -301,8 +347,8 @@ object TopKRewrite extends Rule[LogicalPlan] {
               partSpec, orderSpec, child, _)))
             if orderSpec.nonEmpty =>
           exposedRank(projList, alias.toAttribute).flatMap { rk =>
-            (cond, rk) match {
-              case RankLimit(k) if k > 0 && k <= maxK =>
+            rankLimitIn(cond, rk) match {
+              case Some(k) if k > 0 && k <= maxK =>
                 Some(Filter(cond, Project(projList,
                   replacement(k, alias, partSpec, orderSpec, child))))
               case _ => None

@@ -148,4 +148,62 @@ class TopKRewriteSpec extends SparkSpec {
       assert(got == expected, "rewritten results diverge from the window form")
     } finally spark.conf.set(Flag, "false")
   }
+
+  test("flag on: CONJUNCTIVE condition (rank-limit AND other preds) rewrites exactly") {
+    // the r15 audit's live failure class: a rank-prefix subtree
+    // consumed by a join gets inferred isnotnulls merged into its
+    // Filter, turning `rn <= k` into `rn <= k AND isnotnull(...)` —
+    // which the single-comparison guard silently skipped
+    GraftExtensions.install(spark)
+    def q() = {
+      val rnd = new scala.util.Random(3)
+      val rows = (0 until 2000).map(i => (i.toLong % 13, rnd.nextDouble(), i.toLong))
+      val df = spark.createDataFrame(rows).toDF("g", "score", "id").repartition(5)
+      val w = Window.partitionBy(col("g")).orderBy(col("score").desc, col("id"))
+      df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 4 && col("id") % 3 =!= 0)
+    }
+    def qRange() = {
+      val df = spark.createDataFrame(
+        (0 until 600).map(i => (i.toLong % 9, (i * 31 % 83).toLong, i.toLong)))
+        .toDF("g", "v", "id").repartition(4)
+      val w = Window.partitionBy(col("g")).orderBy(col("v"), col("id"))
+      // both conjuncts reference rn: the upper bound drives k, the
+      // full filter on top keeps the >= 2 side exact
+      df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") >= 2 && col("rn") <= 5)
+    }
+    spark.conf.set(Flag, "false")
+    val off = q().collect().map(_.toSeq).toSet
+    val offR = qRange().collect().map(_.toSeq).toSet
+    spark.conf.set(Flag, "true")
+    try {
+      for ((mk, exp) <- Seq((() => q(), off), (() => qRange(), offR))) {
+        val built = mk()
+        assert(built.queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+        }.isEmpty, "conjunctive rank filter was not rewritten")
+        assert(built.collect().map(_.toSeq).toSet == exp)
+      }
+    } finally spark.conf.set(Flag, "false")
+  }
+
+  test("flag on: Spark's InferWindowGroupLimit leftover is stripped (no double sort)") {
+    GraftExtensions.install(spark)
+    spark.conf.set(Flag, "true")
+    try {
+      val rnd = new scala.util.Random(5)
+      val rows = (0 until 2000).map(i => (i.toLong % 13, rnd.nextDouble(), i.toLong))
+      val df = spark.createDataFrame(rows).toDF("g", "score", "id").repartition(5)
+      val w = Window.partitionBy(col("g")).orderBy(col("score").desc, col("id"))
+      val q = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
+      val opt = q.queryExecution.optimizedPlan
+      assert(opt.collect {
+        case g: org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit => g
+      }.isEmpty,
+        "redundant WindowGroupLimit survived — it plans as two full sorts " +
+          s"of the candidate stream:\n$opt")
+      assert(q.count() == 13 * 4)
+    } finally spark.conf.set(Flag, "false")
+  }
 }
