@@ -113,6 +113,7 @@ object SparkEntry {
     "ann_bruteforce"      -> Similarity.annBruteforce _,
     "ann_ivf"             -> Similarity.annIvf _,
     "ann_hier_route"      -> Similarity.annHierRoute _,
+    "ann_hier_route3"     -> Similarity.annHierRoute3 _,
     "embed_centroids"     -> Similarity.centroids _,
     "mm_binary_features"  -> Multimodal.binaryFeatures _,
     "mm_frame_sample"     -> Multimodal.frameSample _,
@@ -1147,6 +1148,28 @@ object SparkEntry {
         |   round(avg(x), 6) AS centroid FROM pe GROUP BY 1, 2),
         |c AS (SELECT cell, list(centroid ORDER BY pos) AS cv FROM cp GROUP BY 1),
         |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |s AS (SELECT e.vec_id, c.cell,
+        |   round(sqrt(list_sum(list_transform(list_zip(e.v, c.cv), z -> (z[1]-z[2])*(z[1]-z[2])))), 6) AS dist_to_cell
+        |  FROM e CROSS JOIN c)
+        |SELECT vec_id, cell, dist_to_cell FROM s
+        |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist_to_cell, cell) = 1
+        |ORDER BY vec_id""".stripMargin,
+    // 4500 mod-seeded cells over the ×16-expanded corpus (o/1024 is an
+    // exact binary fraction — bit-identical doubles in both engines):
+    // the one oracle row that adjudicates the THREE-level CellIndex
+    // recursion (≥4096 cells ⇒ parent level; ann_hier_route's 128
+    // cells stop at level 2). 50 probes bound the brute-force side.
+    "ann_hier_route3" ->
+      """WITH ex AS (SELECT (vec_id * 16 + o) % 4500 AS cell, o,
+        |   list_transform(embedding, x -> CAST(x AS DOUBLE) + o / 1024.0) AS v
+        |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 16)) AS o)),
+        |pe AS (SELECT cell, i AS pos, v[i] AS x
+        |  FROM ex CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
+        |cp AS (SELECT cell, CAST(pos - 1 AS BIGINT) AS pos,
+        |   round(avg(x), 6) AS centroid FROM pe GROUP BY 1, 2),
+        |c AS (SELECT cell, list(centroid ORDER BY pos) AS cv FROM cp GROUP BY 1),
+        |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings WHERE vec_id < 50),
         |s AS (SELECT e.vec_id, c.cell,
         |   round(sqrt(list_sum(list_transform(list_zip(e.v, c.cv), z -> (z[1]-z[2])*(z[1]-z[2])))), 6) AS dist_to_cell
         |  FROM e CROSS JOIN c)

@@ -135,6 +135,36 @@ class HierarchicalRouteQuerySpec extends SparkSpec {
     Caches.releaseAll(); spark.catalog.clearCache()
   }
 
+  test("ann_hier_route3's own index activates the THIRD routing level") {
+    // the direct probe behind the r15 oracle row: the index object the
+    // oracle-gated query routes through has 4500 cells, so CellIndex's
+    // build recursed past the ~4096 threshold and the PARENT level —
+    // not just the 2-level scan ann_hier_route gates — is what DuckDB
+    // adjudicates (r14 verdict missing-item 2)
+    val idx = graft.ops.Similarity.hierRoute3Index(spark, sf0001)
+    assert(idx.cells.length == 4500)
+    assert(idx.hierarchy != null, "4500 cells must build the hierarchy")
+    assert(idx.hierarchy.parentCents != null,
+      "4500 cells must recurse into the third (parent) level")
+    // and the query result matches a plain crossJoin+argmin-window
+    // reference over the same expanded centroid table
+    val got = graft.ops.Similarity.annHierRoute3(spark, sf0001).collect().toSeq
+    val e = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") < 50)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cent = graft.ops.Similarity.hierRoute3Centroids(spark, sf0001)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("dist_to_cell"), col("cell"))
+    val want = e.crossJoin(broadcast(cent))
+      .withColumn("dist_to_cell", round(sqrt(expr(
+        "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), 0D, (a, z) -> a + z)")), 6))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("vec_id"), col("cell"), col("dist_to_cell"))
+      .orderBy(col("vec_id")).collect().toSeq
+    assert(got == want)
+    Caches.releaseAll(); spark.catalog.clearCache()
+  }
+
   test("semDedup over 100 computed cells matches driver-recomputed pairwise cosines") {
     val out = graft.ops.Similarity.semDedup(spark, dir).collect()
     // full reference: recompute every in-cell pairwise cosine on the
