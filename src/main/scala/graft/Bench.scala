@@ -36,6 +36,14 @@ object Bench {
   private def isChild: Boolean = sys.env.contains("SPARK_GRAFT_BENCH_CHILD")
 
   def main(args: Array[String]): Unit = {
+    // --list: dump the registry (sorted, one key per line) and exit —
+    // no Spark session. tools/seg_gate.sh derives its family partition
+    // from THIS, not from a bench artifact, so a newly registered query
+    // can never be silently excluded from the gate (ADVICE r14 item 3).
+    if (args.contains("--list")) {
+      SparkEntry.queries.keySet.toSeq.sorted.foreach(println)
+      return
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if (sys.env.get("SPARK_GRAFT_BENCH_ISOLATE").contains("1")) {
       runIsolated(sfDir); return
@@ -69,6 +77,25 @@ object Bench {
     } catch { case _: Throwable => () }
     Caches.releaseAll()
     spark.catalog.clearCache()
+
+    // SPARK_GRAFT_BENCH_PIN_EDGES=1: the PRODUCTION-COMPOSITION mode
+    // for the graph family (VERDICT r14 item 4). A real long-lived
+    // session builds the shared co-occurrence edge relation once and
+    // runs many graph queries against it; the default per-query gate
+    // instead charges every entry its own ~23s sf10 build (fair
+    // attribution, wrong composition). This mode pins the relation
+    // before the timed loop (build time reported untimed on stderr)
+    // so per-query numbers measure the algorithms, not the shared
+    // input. clearCache() between queries is skipped in this mode —
+    // it would evict the pinned blocks; releaseAll still unpersists
+    // every per-query tracked intermediate.
+    val pinEdges = sys.env.get("SPARK_GRAFT_BENCH_PIN_EDGES").contains("1")
+    if (pinEdges) {
+      val t0 = System.nanoTime()
+      graft.ops.Graph.pinSharedEdges(spark, sfDir)
+      System.err.println(
+        f"[bench] pinned shared edges in ${(System.nanoTime() - t0) / 1e9}%.1fs (untimed)")
+    }
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // SPARK_GRAFT_BENCH_ORDER=reverse runs queries in reverse-sorted
@@ -116,7 +143,7 @@ object Bench {
         // GONE, not queued for async removal — otherwise its memory
         // pressure depends on which query ran before it
         Caches.releaseAll(blocking = true)
-        spark.catalog.clearCache()
+        if (!pinEdges) spark.catalog.clearCache()
         System.gc()
         (dt, ok)
       }

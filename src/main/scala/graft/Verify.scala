@@ -10,7 +10,7 @@ object Verify {
     val sfDir = args(0); val outDir = args(1)
     val only: Set[String] = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -19,7 +19,19 @@ object Verify {
       // rewrite included), not a de-optimized variant
       .config("spark.graft.topkRewrite.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // SPARK_GRAFT_STRICT_CODEGEN=1: the codegen-honesty sweep (VERDICT
+    // r14 item 1) — a failed expression compile THROWS instead of
+    // silently interpreting (the r13 CodeRoute failure mode), so a
+    // Verify pass under this env proves every query's custom Catalyst
+    // expressions actually compile. CodegenFullSurfaceSpec runs the
+    // same sweep in sbt test; this env makes it available as a
+    // standalone gate log at any SF.
+    if (sys.env.get("SPARK_GRAFT_STRICT_CODEGEN").contains("1")) {
+      builder.config("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+        .config("spark.sql.codegen.fallback", "false")
+      System.err.println("[verify] STRICT CODEGEN: factoryMode=CODEGEN_ONLY, fallback=false")
+    }
+    val spark = builder.getOrCreate()
     GraftExtensions.install(spark)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
