@@ -177,29 +177,6 @@ object Graph {
     // materialize before the closing-relation gate; the edge count also
     // sizes the fallback join's partitioning below
     val edgeCount = oriented.count()
-    // wedges from a common apex, ordered so each pair forms once; the
-    // closing edge must also be oriented b -> c (b before c in the
-    // total order), which the (dd, dn) comparison guarantees
-    val wedges = oriented.as("e1")
-      .join(maybeBroadcast(oriented).as("e2"),
-        col("e1.src") === col("e2.src") &&
-          (col("e1.dd") < col("e2.dd") ||
-            (col("e1.dd") === col("e2.dd") && col("e1.dn") < col("e2.dn"))))
-      .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
-    // the wedge stream is the big side (Σ outdeg² rows); the closing
-    // relation is just the edge list, two ints wide — broadcast it
-    // (size-gated) so wedges are probed map-side and never shuffle.
-    // Past the gate (sf10: |E| outgrows 256 MB) the fallback must be a
-    // shuffled HASH join: SMJ would sort the wedge stream (~4×10⁹ rows
-    // there — the measured spill-of-spill OOM), SHJ streams it unsorted
-    // and only the thin edge list occupies reducer memory. The
-    // partition count is sized from the MEASURED edge count so each
-    // build partition holds ≲250k rows (~40 MB of hash map): a task's
-    // execution-memory share is pool/concurrency (measured ~150 MB at
-    // an 8 GB heap × 32 cores), and a 1M-row UnsafeHashedRelation
-    // already overruns it — both sf10 OOMs (SMJ spill-of-spill, then
-    // SHJ "not enough memory to build hash map" at |E|/120) came from
-    // partition counts sized to cores instead of to the data
     val closingRaw = oriented.select(col("src").as("b"), col("dst").as("c"))
     // conf-overridable so a spec can force the fallback path at test
     // scale — the bloom branch must not wait until sf10 to first run
@@ -207,8 +184,56 @@ object Graph {
       .map(_.toLong).getOrElse(256L << 20)
     val gate = closingRaw.queryExecution.optimizedPlan.stats.sizeInBytes <= gateBytes
     val triangles =
-      if (gate) wedges.join(broadcast(closingRaw), Seq("b", "c"))
-      else {
+      if (gate) {
+        // NEIGHBOR-INTERSECTION form (edge iterator): per oriented edge
+        // (u, v), every common OUT-neighbor w = N⁺(u) ∩ N⁺(v) closes
+        // the triangle u→v, u→w, v→w — each triangle found exactly once
+        // at its base edge, no wedge row ever materializes. The r1–r14
+        // form generated the Σoutdeg² wedge stream (41M rows at sf0.1)
+        // and hash-probed every wedge against the broadcast edge list;
+        // the intersection walks the same Σoutdeg² neighbor entries as
+        // ARRAY ELEMENTS inside one codegen stage and emits only the
+        // true triangles (1.9M at sf0.1) — measured 4.7s → 1.6s for
+        // this stage at sf0.1 (interleaved 3-pass A/B, identical
+        // per-node counts). The adjacency relation carries |E| longs
+        // total (HALF the closing edge list's bytes), so the same
+        // 256 MB gate that sanctioned broadcasting the closing edges
+        // sanctions broadcasting adj; its two aliases canonicalize
+        // identically, so ReuseExchange ships ONE broadcast.
+        // persist: TWO broadcast consumers below (an/bn) — without the
+        // boundary each BroadcastExchange re-runs the collect_list agg
+        // (the EXPLAINS double-derivation audit criterion)
+        val adj = graft.Caches.persistTracked(oriented.groupBy(col("src"))
+          .agg(sort_array(collect_list(col("dst"))).as("nbrs")))
+        adj.count()
+        oriented.select(col("src").as("a"), col("dst").as("b"))
+          .join(broadcast(adj.select(col("src").as("a"), col("nbrs").as("an"))), Seq("a"))
+          .join(broadcast(adj.select(col("src").as("b"), col("nbrs").as("bn"))), Seq("b"))
+          .select(col("a"), col("b"),
+            explode(array_intersect(col("an"), col("bn"))).as("c"))
+      } else {
+        // Past the gate (sf10: |E| outgrows 256 MB) the closing join
+        // must be a shuffled HASH join over the wedge stream: SMJ would
+        // sort the wedge stream (~4×10⁹ rows there — the measured
+        // spill-of-spill OOM), SHJ streams it unsorted and only the
+        // thin edge list occupies reducer memory. The partition count
+        // is sized from the MEASURED edge count so each build partition
+        // holds ≲250k rows (~40 MB of hash map): a task's
+        // execution-memory share is pool/concurrency (measured ~150 MB
+        // at an 8 GB heap × 32 cores), and a 1M-row
+        // UnsafeHashedRelation already overruns it — both sf10 OOMs
+        // (SMJ spill-of-spill, then SHJ "not enough memory to build
+        // hash map" at |E|/120) came from partition counts sized to
+        // cores instead of to the data.
+        // wedges from a common apex, ordered so each pair forms once;
+        // the closing edge must also be oriented b -> c (b before c in
+        // the total order), which the (dd, dn) comparison guarantees
+        val wedges = oriented.as("e1")
+          .join(maybeBroadcast(oriented).as("e2"),
+            col("e1.src") === col("e2.src") &&
+              (col("e1.dd") < col("e2.dd") ||
+                (col("e1.dd") === col("e2.dd") && col("e1.dn") < col("e2.dn"))))
+          .select(col("e1.src").as("a"), col("e1.dst").as("b"), col("e2.dst").as("c"))
         // Bloom semi-join reduction BEFORE the exchange: almost every
         // wedge does not close (measured closure rate 4.6% — triangles
         // ≪ Σoutdeg²), so a bloom over xxhash64(b,c) of the closing
@@ -598,15 +623,26 @@ object Graph {
     // without truncation the plan nests quadratically in the round count
     // (34.5k formatted-plan lines vs ~200 with checkpoints) and analysis
     // time starts to rival execution
+    // checkpoint the RAW half-round agg, not the normalized table:
+    // maxNorm consumes its input TWICE (the 1-row max subquery and the
+    // normalized stream), so checkpointing after the norm ran the whole
+    // |E|-sized join+agg twice per half-round (measured 1.20s → 1.69s
+    // for one half-round at sf0.1 — the maxNorm tax was a full second
+    // re-derivation, not a scalar agg). Over the checkpointed |V|-row
+    // table both consumers are trivial, and the normalize projection
+    // stays lazy — next half-round's broadcast re-runs only a |V|-row
+    // map over the checkpoint.
     for (_ <- 1 to iters) {
       val araw = edges
         .join(maybeBroadcast(hub.select(col("cust"), col("h"))), Seq("cust"))
         .groupBy(col("part")).agg(round(sum(col("h")), 9).as("raw"))
-      auth = maxNorm(araw, "part", "a").localCheckpoint(true)
+        .localCheckpoint(true)
+      auth = maxNorm(araw, "part", "a")
       val hraw = edges
         .join(maybeBroadcast(auth.select(col("part"), col("a"))), Seq("part"))
         .groupBy(col("cust")).agg(round(sum(col("a")), 9).as("raw"))
-      hub = maxNorm(hraw, "cust", "h").localCheckpoint(true)
+        .localCheckpoint(true)
+      hub = maxNorm(hraw, "cust", "h")
     }
     hub.select(lit("hub").as("role"), col("cust").as("node"),
         round(col("h"), 6).as("score"))
