@@ -474,7 +474,11 @@ object Graph {
           .join(maybeBroadcast(visited.select(col("node"))), Seq("node"), "left_anti")
           .withColumn("level", lit(h.toLong)))
       next.count() // materialize: broadcast gates + flat plan depth
-      visited = visited.union(next).localCheckpoint(true)
+      // lazy union of persisted per-hop relations (harmonicSample's
+      // visited discipline): each hop's rows are already materialized
+      // by the persist+count above, so checkpointing the accumulator
+      // re-wrote every prior hop's rows once per hop
+      visited = visited.union(next)
       frontier = next.select(col("node"))
     }
     visited.orderBy(col("node"))
@@ -503,9 +507,15 @@ object Graph {
     def degrees(e: DataFrame): DataFrame =
       e.select(explode(array(col("u"), col("v"))).as("n"))
         .groupBy(col("n")).agg(count(lit(1)).as("d"))
-    def stats(e: DataFrame): (Long, Long) =
-      (e.select(explode(array(col("u"), col("v"))).as("n")).distinct().count(),
-        e.count())
+    // ONE job per telemetry read: nodes and edges from a single pass
+    // over the exploded endpoints (was two full jobs per round — a
+    // distinct().count() plus a count())
+    def stats(e: DataFrame): (Long, Long) = {
+      val r = e.select(explode(array(col("u"), col("v"))).as("n"))
+        .agg(countDistinct(col("n")).as("nn"), (count(lit(1)) / 2).cast("long").as("ne"))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
     var edges = sharedEdges(spark, dir)
     edges.count()
     val k = math.floor(degrees(edges)
@@ -910,7 +920,12 @@ object Graph {
           "left_anti")
         .select(col("seed"), col("node"), lit(hop).as("dist"))
         .localCheckpoint()
-      visited = visited.unionAll(frontier).localCheckpoint()
+      // visited stays a LAZY union of the (already-checkpointed)
+      // per-hop frontiers: its lineage is ≤ maxHops flat checkpoint
+      // reads, so its own eager checkpoint was a pure extra job per
+      // hop (maxHops of them) re-materializing rows every one of
+      // which is already in cached checkpoint blocks
+      visited = visited.unionAll(frontier)
     }
     visited.filter(col("dist") > 0)
       .groupBy(col("seed"))

@@ -1191,7 +1191,10 @@ object Similarity {
     * argmax window runs on |probes|·k rows. The walk state is
     * localCheckpoint'd per hop so plan depth stays flat. */
   def annGraphSearch(spark: SparkSession, dir: String, hops: Int = 3): DataFrame = {
-    val e = vecs(spark, dir)
+    // persisted for the same reason as [[annGraphBeam]]'s e: the entry
+    // window + every hop's `next` join re-scans the vector relation
+    val e = graft.Caches.persistTracked(vecs(spark, dir))
+    e.count()
     val graph = graft.Caches.persistTracked(
       annKnnGraph(spark, dir).select(col("vec_id").as("src"), col("nbr_id")))
     graph.count()
@@ -1268,7 +1271,13 @@ object Similarity {
     * [[annRecallReport]] / dedup_lsh_eval_sampled discipline. */
   def annGraphBeam(spark: SparkSession, dir: String, beam: Int = 4,
       hops: Int = 3, k: Int = 5): DataFrame = {
-    val e = vecs(spark, dir)
+    // persist the projected vector relation: score() re-reads it per
+    // hop and the truth harness once more (5 scans + 5 norm recomputes
+    // per run uncached — the norm column is a graft_dot fold over every
+    // row, so each scan re-paid the full O(n·dim) kernel)
+    val e = graft.Caches.persistTracked(
+      vecs(spark, dir).select(col("vec_id"), col("v"), col("norm")))
+    e.count()
     val nd = graft.Caches.persistTracked(
       nnDescentGraph(spark, dir)
         .select(col("vec_id").as("src"), col("nbr_id"), col("rk")))
