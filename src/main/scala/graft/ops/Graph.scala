@@ -351,8 +351,14 @@ object Graph {
   def pageRank(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
     import graft.operators.Scale.maybeBroadcast
     val p = sharedEdges(spark, dir)
+    // LPA's pre-partitioning discipline, keyed on the CONTRIBUTION SINK
+    // v: the per-iteration broadcast joins (outdeg, ranks — both on u)
+    // preserve the partitioning, so the groupBy(v) rank agg needs no
+    // exchange — all `iters` |2E|-sized shuffles collapse into this one
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val edges = graft.Caches.persistTracked(
-      p.unionAll(p.select(col("v").as("u"), col("u").as("v"))))
+      p.unionAll(p.select(col("v").as("u"), col("u").as("v")))
+        .repartition(parts, col("v")))
     edges.count() // materialize: broadcast gates below need real sizes
     val outdeg = graft.Caches.persistTracked(
       edges.groupBy(col("u")).agg(count(lit(1)).as("od")))
@@ -394,16 +400,21 @@ object Graph {
     * quantity gate caps hub degree, which bounds BOTH the components
     * oracle's transitive closure and the wedge fan-out of any
     * common-neighbor join downstream. */
-  private[ops] def sparseCoOccurrenceEdges(spark: SparkSession, dir: String): DataFrame = {
-    val items = Tables.lineitem(spark, dir)
+  private[ops] def sparseCoOccurrenceEdges(spark: SparkSession, dir: String): DataFrame =
+    // basket-expansion form, identical shape to [[coOccurrenceEdges]]
+    // with the quantity gate pushed into the scan: one order-key
+    // shuffle + map-side C(k,2) pairs (collect_set dedups (ok, pk)
+    // inside the same agg), vs the r1–r14 distinct + self-join's two
+    // extra exchanges. Spec-equated to the join form like the full
+    // graph's rewrite.
+    Tables.lineitem(spark, dir)
       .filter(col("l_quantity") >= 48)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy(col("ok")).agg(sort_array(collect_set(col("pk"))).as("ps"))
+      .select(col("ps"), posexplode(col("ps")).as(Seq("i", "u")))
+      .select(col("u"),
+        explode(expr("slice(ps, i + 2, size(ps))")).as("v"))
       .distinct()
-    items.as("x").join(items.as("y"),
-        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-      .select(col("x.pk").as("u"), col("y.pk").as("v"))
-      .distinct()
-  }
 
   /** Node-pair neighborhood similarity: Jaccard of the two parts'
     * neighbor sets, |N(u)∩N(v)| / |N(u)∪N(v)| ≥ 0.25 — the
@@ -507,31 +518,35 @@ object Graph {
     def degrees(e: DataFrame): DataFrame =
       e.select(explode(array(col("u"), col("v"))).as("n"))
         .groupBy(col("n")).agg(count(lit(1)).as("d"))
-    // ONE job per telemetry read: nodes and edges from a single pass
-    // over the exploded endpoints (was two full jobs per round — a
-    // distinct().count() plus a count())
-    def stats(e: DataFrame): (Long, Long) = {
-      val r = e.select(explode(array(col("u"), col("v"))).as("n"))
-        .agg(countDistinct(col("n")).as("nn"), (count(lit(1)) / 2).cast("long").as("ne"))
-        .head()
-      (r.getLong(0), r.getLong(1))
-    }
     var edges = sharedEdges(spark, dir)
     edges.count()
-    val k = math.floor(degrees(edges)
+    // ONE degree pass per round, three consumers: the keep filter, the
+    // node count, and the edge count (Σd/2). The r1–r14 loop paid the
+    // |E|-sized explode+agg TWICE per round (once for keep, once for
+    // the telemetry stats) plus a separate distinct().count() — the
+    // degree table is |V| rows, so everything after the one pass is a
+    // cache read.
+    var degT = graft.Caches.persistTracked(degrees(edges))
+    def stats(): (Long, Long) = {
+      val r = degT.agg(count(lit(1)).as("nn"),
+        (coalesce(sum(col("d")), lit(0L)) / 2).cast("long").as("ne")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val nodes0 = degT.count() // materialize + the round-0 node count
+    val k = math.floor(degT
       .agg(expr("percentile(d, 0.5)")).head().getDouble(0)).toLong
     val traj = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
-    var st = stats(edges)
-    traj += ((0L, k, st._1, st._2))
+    traj += ((0L, k, nodes0, stats()._2))
     for (r <- 1 to rounds) {
-      val keep = graft.Caches.persistTracked(
-        degrees(edges).filter(col("d") >= k).select(col("n")))
-      keep.count() // materialize: the semi-join broadcast gates need real sizes
+      val keep = degT.filter(col("d") >= k).select(col("n"))
       edges = edges
         .join(maybeBroadcast(keep.select(col("n").as("u"))), Seq("u"), "left_semi")
         .join(maybeBroadcast(keep.select(col("n").as("v"))), Seq("v"), "left_semi")
         .localCheckpoint(true)
-      st = stats(edges)
+      degT.unpersist()
+      degT = graft.Caches.persistTracked(degrees(edges))
+      degT.count() // materialize: next round's semi-join gates need real sizes
+      val st = stats()
       traj += ((r.toLong, k, st._1, st._2))
     }
     import spark.implicits._
@@ -790,9 +805,16 @@ object Graph {
     items.count() // materialize: maybeBroadcast below needs real sizes
     val nOrd = items.agg(countDistinct(col("ok")).as("n_orders"))
     val itemCnt = items.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
-    val pairCnt = items.as("x").join(items.as("y"),
-        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-      .groupBy(col("x.pk").as("u"), col("y.pk").as("v"))
+    // basket-expansion form (the coOccurrenceEdges rewrite): ONE
+    // shuffle on the order key + map-side C(k,2) expansion replaces the
+    // self-join's two probe-side exchanges; the (u, v) count agg is the
+    // same either way. items is already (ok, pk)-distinct, so
+    // collect_set == collect_list here.
+    val pairCnt = items.groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("pk"))).as("ps"))
+      .select(col("ps"), posexplode(col("ps")).as(Seq("i", "u")))
+      .select(col("u"), explode(expr("slice(ps, i + 2, size(ps))")).as("v"))
+      .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("n_both"))
       .filter(col("n_both") >= minPairOrders)
     val directed = pairCnt.select(col("u").as("ante"), col("v").as("cons"), col("n_both"))

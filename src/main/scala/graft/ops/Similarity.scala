@@ -1301,6 +1301,14 @@ object Similarity {
             .as("cosine"))
     val wBeam = org.apache.spark.sql.expressions.Window
       .partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("node"))
+    // per hop, ONE eager checkpoint — of the scored candidates, their
+    // only expensive relation. The r1–r14 loop checkpointed frontier
+    // AND visited instead, which evaluated `scored` (a fresh
+    // broadcast-join pass over the vector cache) twice per hop and ran
+    // a third job re-materializing rows already in checkpoint blocks;
+    // frontier (≤ probes·beam rows) and visited (a lazy union of the
+    // checkpointed hops, deduped ONCE at the end) are trivial to
+    // recompute from those blocks.
     var frontier = score(entry).localCheckpoint(true)
     var visited = frontier
     for (_ <- 1 to hops) {
@@ -1309,16 +1317,15 @@ object Similarity {
           Seq("src"))
         .filter(col("nbr_id") =!= col("probe_id"))
         .select(col("probe_id"), col("nbr_id").as("node")).distinct()
-      val scored = score(nbrs)
+      val scored = score(nbrs).localCheckpoint(true)
       frontier = frontier.unionByName(scored)
         .dropDuplicates("probe_id", "node")
         .withColumn("rk", row_number().over(wBeam)).filter(col("rk") <= beam)
         .select(col("probe_id"), col("node"), col("cosine"))
-        .localCheckpoint(true)
       visited = visited.unionByName(scored)
-        .dropDuplicates("probe_id", "node").localCheckpoint(true)
     }
     val top = visited
+      .dropDuplicates("probe_id", "node")
       .withColumn("rk", row_number().over(wBeam).cast("long"))
       .filter(col("rk") <= k)
     // exact truth for the same probes — the recall evaluation harness
