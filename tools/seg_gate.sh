@@ -70,10 +70,18 @@ PY
 if [ -z "$FAMS" ]; then echo "[seg_gate] derived zero families"; exit 1; fi
 
 RCALL=0
+# SEG_ONLY=fam1,fam2 restricts WHICH families run (for targeted reruns
+# of the families a change touched); the registry/baseline cross-check
+# and the family partition above still run over the FULL registry, so
+# a filtered run can never hide a key — it just runs fewer segments.
+SEG_ONLY=${SEG_ONLY:-}
 while read -r FAM KEYS; do
   if [ -z "$FAM" ] || [ -z "$KEYS" ]; then
     echo "[seg_gate] empty family/key list — refusing a zero-query segment"
     exit 1
+  fi
+  if [ -n "$SEG_ONLY" ] && ! echo ",$SEG_ONLY," | grep -q ",$FAM,"; then
+    continue
   fi
   NQ=$(echo "$KEYS" | tr ',' '\n' | wc -l)
   for P in $(seq 1 "$PASSES"); do
